@@ -1,0 +1,82 @@
+"""Vectorized, seeded 64-bit hashing for sketch keys.
+
+All sketches that hash (HLL, count-min, Bloom, minhash, exact-dedup)
+share this module so a value hashes identically everywhere. Integers go
+through vectorized splitmix64 (public-domain finalizer from Steele et
+al., "Fast splittable pseudorandom number generators"); strings/binary
+go through pandas' vectorized 64-bit siphash (``pd.util.hash_array``)
+and are then seed-mixed with splitmix64. Independent hash functions are
+derived by double hashing h_i = h1 + i*h2 (Kirsch–Mitzenmacher).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    with np.errstate(over="ignore"):
+        z = (x + _GOLDEN).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * _MIX1
+        z = (z ^ (z >> np.uint64(27))) * _MIX2
+        return z ^ (z >> np.uint64(31))
+
+
+def _seed_mix(h: np.ndarray, seed: int) -> np.ndarray:
+    if seed == 0:
+        return h
+    with np.errstate(over="ignore"):
+        return splitmix64(h ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def hash_int64(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Hash an int64/uint64/float64 array to uint64."""
+    arr = np.asarray(values)
+    if arr.dtype == np.float64 or arr.dtype == np.float32:
+        arr = arr.astype(np.float64).view(np.uint64)
+    else:
+        arr = arr.astype(np.int64).view(np.uint64)
+    return _seed_mix(splitmix64(arr), seed)
+
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Hash a string (or arbitrary object) array to uint64.
+
+    Accepts numpy object arrays, pandas Series, python lists, and
+    pyarrow string arrays/ChunkedArrays.
+    """
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_numpy(zero_copy_only=False)
+    elif isinstance(values, pd.Series):
+        values = values.to_numpy()
+    arr = np.asarray(values, dtype=object)
+    h = pd.util.hash_array(arr, categorize=True)
+    return _seed_mix(h.astype(np.uint64), seed)
+
+
+def hash_any(values, seed: int = 0) -> np.ndarray:
+    """Dispatch on dtype: numeric → splitmix64, everything else → siphash."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        if pa.types.is_integer(values.type) or pa.types.is_floating(values.type):
+            return hash_int64(values.to_numpy(zero_copy_only=False), seed)
+        return hash_strings(values, seed)
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iuf":
+        return hash_int64(arr, seed)
+    return hash_strings(arr, seed)
+
+
+def double_hash(h: np.ndarray, i: int, modulus: int) -> np.ndarray:
+    """i-th derived hash via h1 + i*h2 mod modulus (h2 forced odd)."""
+    h1 = h
+    h2 = splitmix64(h) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        return ((h1 + np.uint64(i) * h2) % np.uint64(modulus)).astype(np.int64)

@@ -1,0 +1,254 @@
+"""Flagship pipeline: the sketch suite over a conversation-transcript table.
+
+Answers, in two streaming passes over the Parquet table (per
+BASELINE.json north_star):
+
+- p50/p95/p99 of per-turn text length — t-digest AND KLL (no shuffle:
+  per-block partials tree-merged by Ray's aggregate);
+- p50/p95/p99 of inter-turn latency — per-conversation ts deltas under
+  stable (conv_id, turn_idx) order (groupby shuffle on conv_id), then
+  the same shuffle-free sketch aggregation;
+- distinct conv_id — HLL;
+- heavy-hitter tool frequencies — count-min + exact small-vocab check;
+- conv_id membership — Bloom filter.
+
+Column pruning happens at the read: the wide ``text`` column is reduced
+to its length inside the first map_batches projection and never
+shuffles (SURVEY.md §7 watch-list).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from approximate_quantiles_ray.engine.udaf import (
+    SketchSpec,
+    column_as_numpy,
+    sketch_columns,
+    text_length_transform,
+)
+from approximate_quantiles_ray.sketches.bloom import BloomFilter
+from approximate_quantiles_ray.sketches.countmin import CountMinSketch
+from approximate_quantiles_ray.sketches.hll import HLL
+from approximate_quantiles_ray.sketches.kll import KLL
+from approximate_quantiles_ray.sketches.tdigest import TDigest
+
+QUANTILES = (0.5, 0.95, 0.99)
+
+
+def global_specs(
+    delta: float = 500.0,
+    kll_k: int = 200,
+    hll_p: int = 14,
+    cms_width: int = 8192,
+    bloom_bits: int = 1 << 22,
+    seed: int = 42,
+) -> list[SketchSpec]:
+    return [
+        SketchSpec(
+            key="text_len_tdigest",
+            factory=lambda: TDigest(delta=delta, scale="k2"),
+            transform=text_length_transform("text"),
+        ),
+        SketchSpec(
+            key="text_len_kll",
+            factory=lambda: KLL(k=kll_k, seed=seed),
+            transform=text_length_transform("text"),
+        ),
+        SketchSpec(
+            key="conv_hll",
+            factory=lambda: HLL(p=hll_p, seed=seed),
+            on="conv_id",
+            kind="hash",
+        ),
+        SketchSpec(
+            key="tool_cms",
+            factory=lambda: CountMinSketch(width=cms_width, depth=5, seed=seed),
+            on="tool",
+            kind="hash",
+        ),
+        SketchSpec(
+            key="conv_bloom",
+            factory=lambda: BloomFilter(num_bits=bloom_bits, num_hashes=7, seed=seed),
+            on="conv_id",
+            kind="hash",
+        ),
+    ]
+
+
+def latency_specs(delta: float = 500.0, kll_k: int = 200, seed: int = 42) -> list[SketchSpec]:
+    return [
+        SketchSpec(
+            key="latency_tdigest",
+            factory=lambda: TDigest(delta=delta, scale="k2"),
+            on="latency_s",
+        ),
+        SketchSpec(
+            key="latency_kll",
+            factory=lambda: KLL(k=kll_k, seed=seed),
+            on="latency_s",
+        ),
+    ]
+
+
+def _conv_gaps(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-conversation inter-turn gaps (seconds) under stable turn order."""
+    g = group.sort_values("turn_idx")
+    gaps = g["ts"].diff().dropna().dt.total_seconds()
+    return pd.DataFrame({"latency_s": gaps.to_numpy()})
+
+
+def latency_dataset(ds):
+    """conv_id-grouped inter-turn latency column (the one shuffle in the
+    flagship pipeline; key = conv_id, skew bounded because per-conv turn
+    counts are clipped and blocks pre-project to 3 narrow columns)."""
+    narrow = ds.select_columns(["conv_id", "turn_idx", "ts"])
+    return narrow.groupby("conv_id").map_groups(_conv_gaps, batch_format="pandas")
+
+
+def read_transcripts(table_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(table_dir)
+
+
+def transcript_report(
+    table_dir: str,
+    delta: float = 500.0,
+    kll_k: int = 200,
+    seed: int = 42,
+    include_latency: bool = True,
+) -> pd.DataFrame:
+    """Run the flagship sketch suite; returns a (metric, value) DataFrame."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(table_dir, columns=["conv_id", "text", "tool"])
+    merged = sketch_columns(ds, global_specs(delta=delta, kll_k=kll_k, seed=seed))
+
+    rows: list[dict[str, Any]] = []
+    td: TDigest = merged["text_len_tdigest"]
+    kll: KLL = merged["text_len_kll"]
+    for q in QUANTILES:
+        rows.append({"metric": f"text_len_p{int(q * 100)}_tdigest", "value": td.est_value_at_quantile(q)})
+    for q in QUANTILES:
+        rows.append({"metric": f"text_len_p{int(q * 100)}_kll", "value": kll.est_value_at_quantile(q)})
+    rows.append({"metric": "turns_count", "value": float(td.count)})
+    rows.append({"metric": "distinct_conv_hll", "value": merged["conv_hll"].estimate()})
+
+    cms: CountMinSketch = merged["tool_cms"]
+    from approximate_quantiles_ray.sources.transcripts import TOOL_VOCAB
+
+    est = cms.estimate(TOOL_VOCAB)
+    top = np.argsort(est)[::-1][:5]
+    for rank, i in enumerate(top):
+        rows.append({"metric": f"tool_top{rank + 1}_{TOOL_VOCAB[i]}", "value": float(est[i])})
+
+    bloom: BloomFilter = merged["conv_bloom"]
+    rows.append({"metric": "bloom_fill_ratio", "value": bloom.fill_ratio()})
+
+    if include_latency:
+        lat_ds = latency_dataset(rd.read_parquet(table_dir, columns=["conv_id", "turn_idx", "ts"]))
+        lat = sketch_columns(lat_ds, latency_specs(delta=delta, kll_k=kll_k, seed=seed))
+        ltd: TDigest = lat["latency_tdigest"]
+        for q in QUANTILES:
+            rows.append({"metric": f"latency_p{int(q * 100)}_tdigest", "value": ltd.est_value_at_quantile(q)})
+        rows.append({"metric": "latency_p50_kll", "value": lat["latency_kll"].est_value_at_quantile(0.5)})
+        rows.append({"metric": "latency_gaps_count", "value": float(ltd.count)})
+
+    out = pd.DataFrame(rows)
+    out["value"] = out["value"].astype(float)
+    return out
+
+
+def grouped_text_len_by_role(table_dir: str, delta: float = 300.0) -> pd.DataFrame:
+    """Grouped-sketch demo: one t-digest of text length per role."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.udaf import grouped_sketches
+    from approximate_quantiles_ray.sketches.base import sketch_from_bytes
+
+    ds = rd.read_parquet(table_dir, columns=["role", "text"])
+    spec = SketchSpec(
+        key="len_td",
+        factory=lambda: TDigest(delta=delta, scale="k2"),
+        transform=text_length_transform("text"),
+    )
+    agg = grouped_sketches(ds, "role", [spec])
+    rows = []
+    for row in agg.take_all():
+        sk = sketch_from_bytes(row["len_td"])
+        rows.append(
+            {
+                "role": row["role"],
+                "n_turns": int(sk.count),
+                "len_p50": sk.est_value_at_quantile(0.5),
+                "len_p99": sk.est_value_at_quantile(0.99),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("role").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ invariant
+
+
+def _order_checksum_batch(tbl: pa.Table) -> pa.Table:
+    """Per-batch: verify (conv_id, turn_idx) sorted within the batch and
+    emit an order-insensitive checksum of (conv_id, turn_idx, text)."""
+    from approximate_quantiles_ray.functions.hashing import hash_strings
+
+    conv = tbl.column("conv_id").combine_chunks().to_numpy(zero_copy_only=False)
+    turn = column_as_numpy(tbl, "turn_idx", drop_nulls=False).astype(np.int64)
+    text = tbl.column("text").combine_chunks().to_numpy(zero_copy_only=False)
+
+    conv_h = hash_strings(conv)
+    text_h = hash_strings(text)
+    with np.errstate(over="ignore"):
+        row_h = conv_h * np.uint64(0x9E3779B97F4A7C15) ^ text_h ^ turn.astype(np.uint64)
+        checksum = np.uint64(0)
+        for v in (np.bitwise_xor.reduce(row_h), np.sum(row_h, dtype=np.uint64)):
+            checksum = checksum * np.uint64(31) + v
+
+    # sortedness within the batch (global sortedness is the sort stage's
+    # contract; batches of a sorted ds are internally sorted ranges)
+    order_ok = True
+    if len(conv) > 1:
+        same = conv[1:] == conv[:-1]
+        order_ok = bool(np.all(turn[1:][same] > turn[:-1][same]))
+        prev_le = np.less_equal(conv[:-1], conv[1:])
+        order_ok = order_ok and bool(np.all(prev_le))
+    return pa.Table.from_pydict(
+        {
+            "xor_sum": pa.array([int(np.bitwise_xor.reduce(row_h))], type=pa.uint64()),
+            "add_sum": pa.array([int(np.sum(row_h, dtype=np.uint64))], type=pa.uint64()),
+            "n": pa.array([len(conv)], type=pa.int64()),
+            "sorted_ok": pa.array([order_ok]),
+        }
+    )
+
+
+def order_invariant_summary(ds) -> dict[str, Any]:
+    """Sort by (conv_id, turn_idx) and reduce to {checksum, rows, sorted_ok}.
+
+    The checksum is order-insensitive over rows (XOR + wrapping sum of
+    per-row hashes of (conv_id, turn_idx, text)), so two tables hold the
+    same turns iff checksums AND row counts match; ``sorted_ok`` attests
+    the produced ordering is stable (conv_id, turn_idx).
+    """
+    sorted_ds = ds.sort(["conv_id", "turn_idx"])
+    parts = sorted_ds.map_batches(_order_checksum_batch, batch_format="pyarrow")
+    xor = np.uint64(0)
+    add = np.uint64(0)
+    n = 0
+    ok = True
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        with np.errstate(over="ignore"):
+            xor ^= np.bitwise_xor.reduce(b.column("xor_sum").to_numpy().astype(np.uint64))
+            add += np.sum(b.column("add_sum").to_numpy().astype(np.uint64), dtype=np.uint64)
+        n += int(np.sum(b.column("n").to_numpy()))
+        ok = ok and bool(np.all(b.column("sorted_ok").to_numpy()))
+    return {"xor": int(xor), "add": int(add), "rows": n, "sorted_ok": ok}

@@ -1,0 +1,126 @@
+"""HyperLogLog cardinality sketch.
+
+Not present in the reference repo (SURVEY.md §2.6) — built from the
+published algorithm (Flajolet et al. 2007, "HyperLogLog: the analysis of
+a near-optimal cardinality estimation algorithm", with the standard
+small-range linear-counting correction as in Heule et al. 2013 HLL++).
+2**p uint8 registers; 64-bit hashes so no large-range correction is
+needed. Merge = elementwise register max (exactly associative and
+commutative).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from approximate_quantiles_ray.functions.hashing import hash_any
+from approximate_quantiles_ray.sketches.base import pack_state, register_sketch, unpack_state
+
+
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length of a uint64 array (no float rounding)."""
+    bl = np.zeros(v.shape, dtype=np.int64)
+    v = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = v >= (np.uint64(1) << np.uint64(shift))
+        bl[mask] += shift
+        v[mask] >>= np.uint64(shift)
+    bl[v > 0] += 1
+    return bl
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+@register_sketch
+class HLL:
+    """HyperLogLog with 2**p registers (default p=14 → ~0.8% rel. error)."""
+
+    name = "hll"
+
+    __slots__ = ("p", "seed", "registers", "_count")
+
+    def __init__(self, p: int = 14, seed: int = 0):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = int(p)
+        self.seed = int(seed)
+        self.registers = np.zeros(1 << self.p, dtype=np.uint8)
+        self._count = 0  # items offered (not distinct)
+
+    @property
+    def m(self) -> int:
+        return 1 << self.p
+
+    @property
+    def count(self) -> int:
+        return self._count
+
+    @property
+    def nbytes(self) -> int:
+        return self.registers.nbytes + 32
+
+    def update(self, values) -> "HLL":
+        """Add a batch of values (any hashable dtype)."""
+        h = hash_any(values, self.seed)
+        if len(h) == 0:
+            return self
+        self._count += len(h)
+        self.update_hashed(h)
+        return self
+
+    def update_hashed(self, h: np.ndarray) -> "HLL":
+        p64 = np.uint64(self.p)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        with np.errstate(over="ignore"):
+            rem = (h << p64).astype(np.uint64)
+        # rho = number of leading zeros in the remaining (64-p) bits + 1
+        rho = (64 - self.p) - _bit_length_u64(rem >> np.uint64(self.p)) + 1
+        np.clip(rho, 1, 64 - self.p + 1, out=rho)
+        np.maximum.at(self.registers, idx, rho.astype(np.uint8))
+        return self
+
+    def merge(self, other: "HLL") -> "HLL":
+        if other.p != self.p or other.seed != self.seed:
+            raise ValueError("cannot merge HLLs with different (p, seed)")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        self._count += other._count
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        regs = self.registers.astype(np.float64)
+        raw = _alpha(m) * m * m / np.sum(np.exp2(-regs))
+        if raw <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros > 0:
+                return m * math.log(m / zeros)
+        return float(raw)
+
+    def to_bytes(self) -> bytes:
+        return pack_state(
+            self.name,
+            {"p": self.p, "seed": self.seed, "registers": self.registers, "count": self._count},
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HLL":
+        name, st = unpack_state(data)
+        if name != cls.name:
+            raise ValueError(f"expected {cls.name} state, got {name}")
+        obj = cls(p=st["p"], seed=st["seed"])
+        obj.registers = np.asarray(st["registers"], dtype=np.uint8)
+        obj._count = st["count"]
+        return obj
+
+    def __repr__(self) -> str:
+        return f"HLL(p={self.p}, estimate={self.estimate():.1f}, count={self._count})"

@@ -1,0 +1,363 @@
+"""t-digest: mergeable quantile sketch (vectorized NumPy kernel).
+
+Semantics follow the reference implementation
+(/root/reference/src/t_digest/t_digest.rs):
+
+- ``_compress`` is the merge-compaction of ``add_centroid_buffer``
+  (t_digest.rs:301-361): concat incoming weighted points with existing
+  centroids, sort by mean, then one greedy pass merging adjacent
+  centroids while the cluster's cumulative weight stays below the
+  scale-function limit ``inv_k(k(w0/W) + 1) * W``. Here the greedy pass
+  is expressed as a loop over *clusters* (≈ O(delta) iterations of
+  ``np.searchsorted`` on the cumulative-weight array + ``np.add.reduceat``
+  segment sums) instead of a loop over points — same result, vectorized.
+- ``est_quantile_at_value`` ports the full edge-case ladder of
+  t_digest.rs:68-202 (itself derived from the public t-digest Java
+  ``MergingDigest``): empty / single centroid, below-min / above-max,
+  first/last half-centroid interpolation, equal-mean runs, and the
+  singleton (weight==1) exclusion rules.
+- ``est_value_at_quantile`` ports t_digest.rs:204-266. One deliberate
+  deviation: the reference's upper-tail branch (t_digest.rs:231-236)
+  drops the ``* (max - last.mean)`` factor present in the upstream Java;
+  we keep the factor (documented deviation — strictly more accurate,
+  and the reference's own unit-test bounds still hold).
+- Merge(a, b) = compress(concat centroid lists), validated by the
+  reference's own ``ParTDigest::flush`` pattern
+  (/root/reference/src/t_digest/par_t_digest.rs:59-94).
+
+The clustering insert paths ``add_cluster`` / ``add_cluster_tree``
+(t_digest.rs:368-520) are deliberately NOT ported: they are O(log n)
+per-item paths that are strictly worse for a batch engine (SURVEY.md §2.2).
+
+Counts are carried as int64 separately from float64 weights so that
+count conservation survives 10^12-scale merges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from approximate_quantiles_ray.sketches.base import pack_state, register_sketch, unpack_state
+from approximate_quantiles_ray.sketches.scale_functions import SCALE_FUNCTIONS
+
+
+def weighted_average(x1: float, w1: float, x2: float, w2: float) -> float:
+    """Weighted mean clamped into [min(x1,x2), max(x1,x2)]
+    (/root/reference/src/util/mod.rs:11-19)."""
+    weighted = (x1 * w1 + x2 * w2) / (w1 + w2)
+    lo, hi = (x1, x2) if x1 <= x2 else (x2, x1)
+    return max(lo, min(weighted, hi))
+
+
+@register_sketch
+class TDigest:
+    """Mergeable t-digest over float64 values."""
+
+    name = "tdigest"
+
+    __slots__ = (
+        "delta",
+        "scale",
+        "means",
+        "weights",
+        "min",
+        "max",
+        "_count",
+        "_pending",
+        "_pending_n",
+        "flush_size",
+    )
+
+    def __init__(self, delta: float = 1000.0, scale: str = "k2", flush_size: int = 65536):
+        if scale not in SCALE_FUNCTIONS:
+            raise ValueError(f"unknown scale function {scale!r}")
+        self.delta = float(delta)
+        self.scale = scale
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.min = np.inf
+        self.max = -np.inf
+        self._count = 0
+        self._pending: list[np.ndarray] = []
+        self._pending_n = 0
+        self.flush_size = int(flush_size)
+
+    # ------------------------------------------------------------------ ingest
+
+    def update(self, values: np.ndarray) -> "TDigest":
+        """Add a batch of values (weight-1 points). Buffered: compaction
+        runs when the pending buffer reaches ``flush_size``."""
+        values = np.asarray(values, dtype=np.float64)
+        if values.ndim != 1:
+            values = values.ravel()
+        if len(values) == 0:
+            return self
+        self._count += len(values)
+        self._pending.append(values)
+        self._pending_n += len(values)
+        if self._pending_n >= self.flush_size:
+            self._flush()
+        return self
+
+    def _flush(self) -> None:
+        if self._pending_n == 0:
+            return
+        vals = np.concatenate(self._pending) if len(self._pending) > 1 else self._pending[0]
+        self._pending = []
+        self._pending_n = 0
+        self._add_weighted(vals, np.ones(len(vals), dtype=np.float64))
+
+    def _add_weighted(self, means: np.ndarray, weights: np.ndarray) -> None:
+        """Merge weighted points into the digest (add_centroid_buffer)."""
+        if len(self.means):
+            means = np.concatenate([means, self.means])
+            weights = np.concatenate([weights, self.weights])
+        if len(means) == 0:
+            return
+        order = np.argsort(means, kind="stable")
+        means = means[order]
+        weights = weights[order]
+        self.min = min(self.min, float(means[0]))
+        self.max = max(self.max, float(means[-1]))
+        self.means, self.weights = self._compress(means, weights)
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Greedy adjacent-merge under the scale-function weight limit.
+
+        ``means`` must be sorted ascending; returns (means, weights) of the
+        compacted centroid list.
+        """
+        k, inv_k = SCALE_FUNCTIONS[self.scale]
+        delta = self.delta
+        cw = np.cumsum(weights)
+        total = float(cw[-1])
+        n = len(means)
+
+        starts = []
+        s = 0
+        w0 = 0.0
+        while s < n:
+            starts.append(s)
+            # absolute cumulative-weight threshold for this cluster
+            q0 = w0 / total
+            if q0 > 1.0:  # guard float rounding for asin/log domains
+                q0 = 1.0
+            limit = inv_k(k(q0, delta, total) + 1.0, delta, total) * total
+            e = int(np.searchsorted(cw, limit, side="right"))
+            if e <= s:
+                e = s + 1
+            w0 = float(cw[e - 1])
+            s = e
+
+        starts_arr = np.asarray(starts, dtype=np.intp)
+        new_weights = np.add.reduceat(weights, starts_arr)
+        new_means = np.add.reduceat(means * weights, starts_arr) / new_weights
+        return new_means, new_weights
+
+    # ------------------------------------------------------------------ merge
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        """Merge another t-digest into this one (commutative up to the
+        algorithm's published ε; validated by merge-permutation tests)."""
+        other._flush()
+        self._flush()
+        if other._count == 0:
+            return self
+        self._count += other._count
+        self._add_weighted(other.means.copy(), other.weights.copy())
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        return self
+
+    # ------------------------------------------------------------------ query
+
+    def _materialize(self) -> None:
+        self._flush()
+
+    @property
+    def count(self) -> int:
+        return self._count
+
+    @property
+    def nbytes(self) -> int:
+        return self.means.nbytes + self.weights.nbytes + 64
+
+    def total_weight(self) -> float:
+        self._materialize()
+        return float(np.sum(self.weights))
+
+    def est_quantile_at_value(self, item: float) -> float:
+        """CDF estimate (rank / n) of ``item``. t_digest.rs:68-202."""
+        self._materialize()
+        means, weights = self.means, self.weights
+        n = len(means)
+        if n == 0:
+            return float("nan")
+        item = float(item)
+        if n == 1:
+            width = self.max - self.min
+            if item < self.min:
+                return 0.0
+            if item > self.max:
+                return 1.0
+            # reference quirk: `item - min <= width` is always true inside
+            # the range, so a single centroid answers 0.5 (t_digest.rs:74-83)
+            if item - self.min <= width:
+                return 0.5
+            return (item - self.min) / width
+
+        if item < self.min:
+            return 0.0
+        if item > self.max:
+            return 1.0
+
+        total = float(np.sum(weights))
+        cw = np.cumsum(weights)
+
+        # below the first centroid's mean
+        if item < means[0]:
+            if means[0] - self.min > 0:
+                if item == self.min:
+                    return 0.5 / total
+                return (
+                    1.0
+                    + (item - self.min) / (means[0] - self.min) * (weights[0] / 2.0 - 1.0)
+                ) / total
+            return 0.0
+
+        # above the last centroid's mean
+        if item > means[-1]:
+            if self.max - means[-1] > 0:
+                if item == self.max:
+                    return 1.0 - 0.5 / total
+                return 1.0 - (
+                    (
+                        1.0
+                        + (self.max - item) / (self.max - means[-1]) * (weights[-1] / 2.0 - 1.0)
+                    )
+                    / total
+                )
+            return 1.0
+
+        j = int(np.searchsorted(means, item, side="left"))
+        if j < n and means[j] == item:
+            if j == n - 1:
+                # matched only the last centroid (t_digest.rs:192-200)
+                ws = float(cw[j - 1]) if j > 0 else 0.0
+                if weights[j] == 1.0:
+                    return ws / total
+                return 1.0 - 0.5 / total
+            # equal-mean run starting at j (t_digest.rs:129-142)
+            j2 = int(np.searchsorted(means, item, side="right"))
+            dw = float(np.sum(weights[j:j2]))
+            ws = float(cw[j - 1]) if j > 0 else 0.0
+            if j2 - j == 1 and dw == 1.0:
+                # single singleton: nothing to the left of its midpoint
+                return ws / total
+            return (ws + dw / 2.0) / total
+
+        # strictly between centroid means: means[i] < item < means[i+1]
+        i = j - 1
+        ws = float(cw[i - 1]) if i > 0 else 0.0
+        left_m, right_m = float(means[i]), float(means[i + 1])
+        lw, rw = float(weights[i]), float(weights[i + 1])
+        if right_m - left_m > 0:
+            left_excl = right_excl = 0.0
+            if lw == 1.0:
+                if rw == 1.0:
+                    return (ws + 1.0) / total
+                left_excl = 0.5
+            elif rw == 1.0:
+                right_excl = 0.5
+            dw = (lw + rw) / 2.0
+            dw_no_singleton = dw - left_excl - right_excl
+            base = ws + lw / 2.0 + left_excl
+            return (base + dw_no_singleton * (item - left_m) / (right_m - left_m)) / total
+        dw = (lw + rw) / 2.0
+        return (ws + dw) / total
+
+    def est_value_at_quantile(self, q: float) -> float:
+        """Inverse-CDF estimate. t_digest.rs:204-266."""
+        self._materialize()
+        means, weights = self.means, self.weights
+        n = len(means)
+        if n == 0:
+            return float("nan")
+        total = float(np.sum(weights))
+        ti = total * float(q)
+
+        if ti < 1.0:
+            return self.min
+        if weights[0] > 1.0 and ti < weights[0] / 2.0:
+            return self.min + (ti - 1.0) / (weights[0] / 2.0 - 1.0) * (means[0] - self.min)
+        if ti > total - 1.0:
+            return self.max
+        if weights[-1] > 1.0 and total - ti <= weights[-1] / 2.0:
+            # reference omits the `* (max - last.mean)` factor
+            # (t_digest.rs:231-236); we keep it (documented deviation).
+            return self.max - (total - ti - 1.0) / (weights[-1] / 2.0 - 1.0) * (
+                self.max - means[-1]
+            )
+
+        if n == 1:
+            return float(means[0])
+
+        cw = np.cumsum(weights)
+        mid = cw - weights / 2.0  # mid[i] == weight to the left of centroid i's midpoint
+        # first i with mid[i+1] > ti
+        ip1 = int(np.searchsorted(mid, ti, side="right"))
+        if ip1 >= n:
+            # unreachable given the tail branches above; interpolate to max
+            z1 = ti - (total - weights[-1] / 2.0)
+            z2 = total - ti
+            return weighted_average(float(means[-1]), z2, self.max, z1)
+        if ip1 < 1:
+            ip1 = 1
+        i = ip1 - 1
+        if weights[i] == 1.0 and ti - mid[i] < 0.5:
+            return float(means[i])
+        if weights[i + 1] == 1.0 and mid[i + 1] - ti <= 0.5:
+            return float(means[i + 1])
+        z1 = ti - mid[i] - 0.5
+        z2 = mid[i + 1] - ti - 0.5
+        return weighted_average(float(means[i]), z2, float(means[i + 1]), z1)
+
+    def quantiles(self, qs) -> np.ndarray:
+        return np.array([self.est_value_at_quantile(q) for q in np.atleast_1d(qs)])
+
+    # ------------------------------------------------------------------ serde
+
+    def to_bytes(self) -> bytes:
+        self._materialize()
+        return pack_state(
+            self.name,
+            {
+                "delta": self.delta,
+                "scale": self.scale,
+                "means": self.means,
+                "weights": self.weights,
+                "min": self.min,
+                "max": self.max,
+                "count": self._count,
+                "flush_size": self.flush_size,
+            },
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TDigest":
+        name, st = unpack_state(data)
+        if name != cls.name:
+            raise ValueError(f"expected {cls.name} state, got {name}")
+        obj = cls(delta=st["delta"], scale=st["scale"], flush_size=st["flush_size"])
+        obj.means = np.asarray(st["means"], dtype=np.float64)
+        obj.weights = np.asarray(st["weights"], dtype=np.float64)
+        obj.min = st["min"]
+        obj.max = st["max"]
+        obj._count = st["count"]
+        return obj
+
+    def __repr__(self) -> str:
+        return (
+            f"TDigest(delta={self.delta}, scale={self.scale!r}, "
+            f"centroids={len(self.means)}, count={self._count})"
+        )

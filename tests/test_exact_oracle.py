@@ -1,0 +1,44 @@
+"""Exact-oracle self-tests mirroring the reference's LinearDigest tests
+(/root/reference/src/util/linear_digest.rs:59-131)."""
+
+import numpy as np
+import pytest
+
+from approximate_quantiles_ray import ExactDigest
+
+
+def test_rank_singleton_rule():
+    d = ExactDigest().update(np.array([1.0, 2.0, 3.0, 4.0]))
+    # one matching value: rank = #less / n (no half-weight)
+    assert d.est_quantile_at_value(2.0) == 0.25
+    assert d.est_quantile_at_value(1.0) == 0.0
+    assert d.est_quantile_at_value(4.0) == 0.75
+
+
+def test_rank_duplicates_half_rule():
+    d = ExactDigest().update(np.array([1.0, 2.0, 2.0, 3.0]))
+    # duplicates: rank = (#less + #equal/2) / n
+    assert d.est_quantile_at_value(2.0) == (1 + 1.0) / 4
+
+
+def test_value_at_quantile_rounding():
+    d = ExactDigest().update(np.arange(10.0))
+    # index = round(q*n), clamped
+    assert d.est_value_at_quantile(0.0) == 0.0
+    assert d.est_value_at_quantile(0.05) == 1.0  # Rust round: half away from zero
+    assert d.est_value_at_quantile(0.5) == 5.0
+    assert d.est_value_at_quantile(1.0) == 9.0
+
+
+def test_merge():
+    a = ExactDigest().update(np.array([1.0, 2.0]))
+    b = ExactDigest().update(np.array([3.0, 4.0]))
+    a.merge(b)
+    assert a.count == 4
+    assert a.est_value_at_quantile(1.0) == 4.0
+
+
+def test_empty():
+    d = ExactDigest()
+    assert np.isnan(d.est_value_at_quantile(0.5))
+    assert np.isnan(d.est_quantile_at_value(1.0))

@@ -1,0 +1,129 @@
+"""HLL / count-min / Bloom error-bound and merge tests (new sketches
+mandated by BASELINE.json:14; not in the reference — SURVEY.md §2.6)."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from approximate_quantiles_ray import BloomFilter, CountMinSketch, HLL
+
+
+@pytest.fixture(scope="module")
+def ids():
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 1 << 40, 300_000)
+
+
+class TestHLL:
+    def test_estimate_within_bound(self, ids):
+        h = HLL(p=14, seed=0).update(ids)
+        exact = len(np.unique(ids))
+        # 1.04/sqrt(2^14) ~= 0.81% std error; allow 4 sigma
+        assert abs(h.estimate() - exact) / exact < 0.033
+
+    def test_small_range_linear_counting(self):
+        h = HLL(p=14, seed=0).update(np.arange(100))
+        assert abs(h.estimate() - 100) <= 2
+
+    def test_strings(self):
+        vals = np.array([f"conv-{i}" for i in range(50_000)], dtype=object)
+        h = HLL(p=14, seed=0).update(vals)
+        assert abs(h.estimate() - 50_000) / 50_000 < 0.033
+
+    def test_merge_equals_union(self, ids):
+        a = HLL(p=12, seed=0).update(ids[:150_000])
+        b = HLL(p=12, seed=0).update(ids[150_000:])
+        whole = HLL(p=12, seed=0).update(ids)
+        a.merge(b)
+        np.testing.assert_array_equal(a.registers, whole.registers)
+        assert a.estimate() == whole.estimate()
+
+    def test_merge_commutative(self, ids):
+        a1 = HLL(p=12, seed=0).update(ids[:100_000])
+        b1 = HLL(p=12, seed=0).update(ids[100_000:])
+        a2 = HLL.from_bytes(a1.to_bytes())
+        m1 = a1.merge(b1)
+        m2 = b1.merge(a2)
+        np.testing.assert_array_equal(m1.registers, m2.registers)
+
+    def test_duplicates_dont_inflate(self):
+        h = HLL(p=14, seed=0)
+        for _ in range(10):
+            h.update(np.arange(1000))
+        assert abs(h.estimate() - 1000) / 1000 < 0.05
+
+    def test_serde(self, ids):
+        h = HLL(p=14, seed=3).update(ids[:10_000])
+        back = HLL.from_bytes(h.to_bytes())
+        assert back.estimate() == h.estimate()
+        assert back.count == h.count
+
+
+class TestCountMin:
+    def test_exact_on_heavy_hitters(self):
+        rng = np.random.default_rng(1)
+        keys = np.array([f"tool-{z % 50:02d}" for z in rng.zipf(1.5, 100_000)], dtype=object)
+        cm = CountMinSketch(width=8192, depth=5, seed=0).update(keys)
+        cnt = collections.Counter(keys.tolist())
+        assert cm.count == 100_000
+        for k, true in cnt.most_common(10):
+            est = int(cm.estimate(np.array([k], dtype=object))[0])
+            assert est >= true  # never underestimates
+            assert est - true <= max(5, 0.001 * cm.count)
+
+    def test_weighted_update(self):
+        cm = CountMinSketch(width=1024, depth=5, seed=0)
+        cm.update(np.array(["a", "b", "a"], dtype=object), counts=np.array([2, 3, 4]))
+        assert cm.count == 9
+        assert int(cm.estimate(np.array(["a"], dtype=object))[0]) >= 6
+
+    def test_merge_equals_whole(self):
+        rng = np.random.default_rng(2)
+        keys = np.array([f"k{z % 100}" for z in rng.zipf(1.3, 60_000)], dtype=object)
+        a = CountMinSketch(width=4096, depth=5, seed=0).update(keys[:30_000])
+        b = CountMinSketch(width=4096, depth=5, seed=0).update(keys[30_000:])
+        whole = CountMinSketch(width=4096, depth=5, seed=0).update(keys)
+        a.merge(b)
+        np.testing.assert_array_equal(a.table, whole.table)
+        assert a.count == whole.count
+
+    def test_serde(self):
+        cm = CountMinSketch(width=512, depth=3, seed=7).update(np.arange(1000))
+        back = CountMinSketch.from_bytes(cm.to_bytes())
+        np.testing.assert_array_equal(back.table, cm.table)
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        seen = np.array([f"conv-{i:010d}" for i in range(50_000)], dtype=object)
+        b = BloomFilter.for_capacity(50_000, 0.01, seed=0).update(seen)
+        assert b.contains(seen).all()
+
+    def test_false_positive_rate(self):
+        seen = np.array([f"conv-{i:010d}" for i in range(50_000)], dtype=object)
+        b = BloomFilter.for_capacity(50_000, 0.01, seed=0).update(seen)
+        unseen = np.array([f"unseen-{i}" for i in range(20_000)], dtype=object)
+        assert b.contains(unseen).mean() <= 0.02  # 2x configured bound
+
+    def test_merge_is_union(self):
+        a_items = np.array([f"a{i}" for i in range(10_000)], dtype=object)
+        b_items = np.array([f"b{i}" for i in range(10_000)], dtype=object)
+        a = BloomFilter(num_bits=1 << 18, num_hashes=5, seed=0).update(a_items)
+        b = BloomFilter(num_bits=1 << 18, num_hashes=5, seed=0).update(b_items)
+        a.merge(b)
+        assert a.contains(a_items).all()
+        assert a.contains(b_items).all()
+        whole = BloomFilter(num_bits=1 << 18, num_hashes=5, seed=0)
+        whole.update(a_items).update(b_items)
+        np.testing.assert_array_equal(a.bits, whole.bits)
+
+    def test_int_keys(self):
+        b = BloomFilter(num_bits=1 << 16, num_hashes=5, seed=0).update(np.arange(1000))
+        assert b.contains(np.arange(1000)).all()
+
+    def test_serde(self):
+        b = BloomFilter(num_bits=1 << 12, num_hashes=3, seed=1).update(np.arange(100))
+        back = BloomFilter.from_bytes(b.to_bytes())
+        np.testing.assert_array_equal(back.bits, b.bits)
+        assert back.contains(np.arange(100)).all()
