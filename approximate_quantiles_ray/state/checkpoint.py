@@ -1,0 +1,203 @@
+"""Checkpointed, resumable sketch jobs with per-partition lineage.
+
+The reference has no fault-tolerance story (SURVEY.md §4); this is the
+design mandated by BASELINE.json north_rule: input files are grouped
+into shards, each shard's merged sketch states are written atomically to
+``part-{shard:05d}.parquet`` (write temp + rename) together with lineage
+(input fragments, row count, wall time, config hash) and a manifest
+line. A resumed run skips every completed shard and reproduces the
+unbroken run's final states **bit-for-bit**, which requires determinism:
+
+- every sketch is seeded (no thread_rng — SURVEY.md §7 watch-list);
+- per-shard partial states are merged in sorted-state order, and shard
+  states in shard-id order, so the merge tree is independent of Ray's
+  task completion order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from approximate_quantiles_ray.engine.udaf import PartialSketcher, SketchSpec
+from approximate_quantiles_ray.sketches.base import sketch_from_bytes
+
+PART_SCHEMA = pa.schema(
+    [
+        pa.field("shard_id", pa.int64()),
+        pa.field("sketch_key", pa.string()),
+        pa.field("state", pa.binary()),
+        pa.field("count", pa.int64()),
+        pa.field("nbytes", pa.int64()),
+        pa.field("rows", pa.int64()),
+        pa.field("wall_s", pa.float64()),
+        pa.field("input_files", pa.string()),
+        pa.field("config_hash", pa.string()),
+    ]
+)
+
+
+def _config_hash(specs: list[SketchSpec]) -> str:
+    sig = json.dumps([(s.key, s.kind, s.on) for s in specs], sort_keys=True)
+    return hashlib.sha256(sig.encode()).hexdigest()[:16]
+
+
+def _merge_deterministic(states: list[bytes]):
+    """Fold serialized states in sorted-bytes order → order-independent."""
+    if not states:
+        return None
+    states = sorted(states)
+    acc = sketch_from_bytes(states[0])
+    for s in states[1:]:
+        acc.merge(sketch_from_bytes(s))
+    return acc
+
+
+def _shard_files(input_files: list[str], files_per_shard: int) -> list[list[str]]:
+    files = sorted(input_files)
+    return [files[i : i + files_per_shard] for i in range(0, len(files), files_per_shard)]
+
+
+class CheckpointedSketchJob:
+    """Run sketch specs over Parquet shards with resume support."""
+
+    def __init__(
+        self,
+        input_files: list[str],
+        specs: list[SketchSpec],
+        checkpoint_dir: str,
+        files_per_shard: int = 1,
+        batch_size: int = 65536,
+    ):
+        self.shards = _shard_files(input_files, files_per_shard)
+        self.specs = specs
+        self.checkpoint_dir = checkpoint_dir
+        self.batch_size = batch_size
+        self.cfg_hash = _config_hash(specs)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def _part_path(self, shard_id: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"part-{shard_id:05d}.parquet")
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "manifest.jsonl")
+
+    def completed_shards(self) -> dict[int, dict]:
+        """Read the manifest, keeping only entries whose part file exists
+        and whose config hash matches (stale checkpoints are ignored)."""
+        done: dict[int, dict] = {}
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    entry = json.loads(line)
+                    if (
+                        entry.get("config_hash") == self.cfg_hash
+                        and os.path.exists(self._part_path(entry["shard_id"]))
+                    ):
+                        done[entry["shard_id"]] = entry
+        return done
+
+    def _run_shard(self, shard_id: int, files: list[str]) -> None:
+        import ray.data as rd
+
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(files)
+        partials = ds.map_batches(
+            PartialSketcher(self.specs),
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            zero_copy_batch=True,
+        )
+        by_key: dict[str, list[bytes]] = {s.key: [] for s in self.specs}
+        for tbl in partials.iter_batches(batch_format="pyarrow"):
+            for key, state in zip(
+                tbl.column("sketch_key").to_pylist(), tbl.column("state").to_pylist()
+            ):
+                by_key[key].append(state)
+        wall = time.perf_counter() - t0
+
+        rows_out: dict[str, Any] = {k: [] for k in PART_SCHEMA.names}
+        total_rows = 0
+        for spec in self.specs:
+            sk = _merge_deterministic(by_key[spec.key]) or spec.factory()
+            total_rows = max(total_rows, sk.count)
+            rows_out["shard_id"].append(shard_id)
+            rows_out["sketch_key"].append(spec.key)
+            rows_out["state"].append(sk.to_bytes())
+            rows_out["count"].append(sk.count)
+            rows_out["nbytes"].append(sk.nbytes)
+            rows_out["rows"].append(sk.count)
+            rows_out["wall_s"].append(wall)
+            rows_out["input_files"].append(json.dumps(files))
+            rows_out["config_hash"].append(self.cfg_hash)
+
+        tmp = self._part_path(shard_id) + ".tmp"
+        pq.write_table(pa.Table.from_pydict(rows_out, schema=PART_SCHEMA), tmp)
+        os.replace(tmp, self._part_path(shard_id))
+        with open(self.manifest_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "shard_id": shard_id,
+                        "files": files,
+                        "rows": total_rows,
+                        "wall_s": round(wall, 4),
+                        "config_hash": self.cfg_hash,
+                    }
+                )
+                + "\n"
+            )
+
+    def run(self, max_shards: int | None = None) -> dict[str, Any]:
+        """Process incomplete shards (optionally at most ``max_shards``,
+        for interruption tests), then merge all completed shard states.
+
+        Returns {sketch_key: merged sketch} over the completed shards.
+        """
+        done = self.completed_shards()
+        processed = 0
+        for shard_id, files in enumerate(self.shards):
+            if shard_id in done:
+                continue
+            if max_shards is not None and processed >= max_shards:
+                break
+            self._run_shard(shard_id, files)
+            processed += 1
+        return self.collect()
+
+    def collect(self) -> dict[str, Any]:
+        """Merge completed shard states in shard-id order (deterministic)."""
+        done = sorted(self.completed_shards())
+        merged: dict[str, Any] = {}
+        for shard_id in done:
+            tbl = pq.read_table(self._part_path(shard_id))
+            for key, state in zip(
+                tbl.column("sketch_key").to_pylist(), tbl.column("state").to_pylist()
+            ):
+                sk = sketch_from_bytes(state)
+                if key in merged:
+                    merged[key].merge(sk)
+                else:
+                    merged[key] = sk
+        return merged
+
+    def metrics(self) -> dict[str, Any]:
+        done = self.completed_shards()
+        rows = sum(e["rows"] for e in done.values())
+        wall = sum(e["wall_s"] for e in done.values())
+        return {
+            "shards_total": len(self.shards),
+            "shards_done": len(done),
+            "rows": rows,
+            "wall_s_sum": round(wall, 4),
+            "rows_per_sec_per_shard": round(rows / wall, 1) if wall > 0 else None,
+        }

@@ -1,0 +1,108 @@
+"""Flagship transcript pipeline vs exact oracles + invariants (local ray)."""
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from approximate_quantiles_ray.pipelines.transcripts import (
+    grouped_text_len_by_role,
+    order_invariant_summary,
+    read_transcripts,
+    transcript_report,
+)
+from approximate_quantiles_ray.sketches.exact import ExactDigest
+from approximate_quantiles_ray.sources.transcripts import generate_shard
+
+
+@pytest.fixture(scope="module")
+def exact_frame(transcripts_dir):
+    files = sorted(glob.glob(transcripts_dir + "/*.parquet"))
+    return pq.read_table(files).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def report(ray_session, transcripts_dir):
+    return transcript_report(transcripts_dir).set_index("metric")["value"]
+
+
+def test_text_len_quantiles(report, exact_frame):
+    lens = exact_frame["text"].str.len().to_numpy(dtype=np.float64)
+    ex = ExactDigest().update(lens)
+    for q in (0.5, 0.95, 0.99):
+        want = ex.est_value_at_quantile(q)
+        # text lengths are discrete (multiples of 16) with large point
+        # masses; t-digest interpolates across tie atoms, so its
+        # guarantee is on RANK error, not value error. KLL stores real
+        # values, so its value estimate lands on an atom.
+        td_est = report[f"text_len_p{int(q*100)}_tdigest"]
+        assert abs(ex.est_quantile_at_value(td_est) - q) < 0.02, q
+        assert report[f"text_len_p{int(q*100)}_kll"] == pytest.approx(want, rel=0.02)
+    assert report["turns_count"] == len(exact_frame)
+
+
+def test_distinct_convs(report, exact_frame):
+    exact = exact_frame["conv_id"].nunique()
+    assert report["distinct_conv_hll"] == pytest.approx(exact, rel=0.05)
+
+
+def test_tool_heavy_hitters(report, exact_frame):
+    counts = exact_frame["tool"].dropna().value_counts()
+    n = len(exact_frame)
+    for rank, (tool, true) in enumerate(counts.head(3).items()):
+        est = report[f"tool_top{rank+1}_{tool}"]
+        assert est >= true
+        assert est - true <= max(5, 0.001 * n)
+
+
+def test_latency_quantiles(report, exact_frame):
+    g = exact_frame.sort_values(["conv_id", "turn_idx"]).groupby("conv_id")["ts"]
+    gaps = g.diff().dropna().dt.total_seconds().to_numpy()
+    ex = ExactDigest().update(gaps)
+    assert report["latency_gaps_count"] == len(gaps)
+    for q in (0.5, 0.95, 0.99):
+        assert report[f"latency_p{int(q*100)}_tdigest"] == pytest.approx(
+            ex.est_value_at_quantile(q), rel=0.02
+        )
+
+
+def test_grouped_by_role(ray_session, transcripts_dir, exact_frame):
+    out = grouped_text_len_by_role(transcripts_dir).set_index("role")
+    truth = exact_frame.groupby("role")["text"].agg(lambda s: s.str.len().median())
+    for role, med in truth.items():
+        assert out.loc[role, "n_turns"] == (exact_frame["role"] == role).sum()
+        assert out.loc[role, "len_p50"] == pytest.approx(med, rel=0.06)
+
+
+def test_order_invariant_and_text_equality(ray_session, transcripts_dir, exact_frame):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering
+    vs the regenerated fixture (BASELINE.json input_hint invariant)."""
+    s = order_invariant_summary(read_transcripts(transcripts_dir))
+    assert s["sorted_ok"]
+    assert s["rows"] == len(exact_frame)
+
+    # regenerate the fixture independently and compare checksums
+    import pyarrow as pa
+    import ray.data as rd
+
+    # same params as ensure_transcripts(10_000, 42): 8 shards of 1250
+    shards = [generate_shard(i, 1250, 42) for i in range(8)]
+    # regeneration with the same params must reproduce the same table
+    regen = pa.concat_tables(shards)
+    files = sorted(glob.glob(transcripts_dir + "/*.parquet"))
+    orig = pq.read_table(files)
+    assert regen.num_rows == orig.num_rows
+    s2 = order_invariant_summary(rd.from_arrow(regen))
+    assert s2 == s
+
+
+def test_per_turn_text_equality_exact(exact_frame, transcripts_dir):
+    """Byte-for-byte text equality after stable sort, against regeneration."""
+    regen = pd.concat([generate_shard(i, 1250, 42).to_pandas() for i in range(8)])
+    a = exact_frame.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = regen.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["text"] == b["text"]).all()
+    assert (a["conv_id"] == b["conv_id"]).all()

@@ -1,0 +1,101 @@
+"""Ray Data integration tests for the sketch UDAF engine (local ray)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from approximate_quantiles_ray.engine.udaf import (
+    SketchSpec,
+    grouped_sketches,
+    sketch_columns,
+    sketch_columns_streaming,
+)
+from approximate_quantiles_ray.sketches.base import sketch_from_bytes
+from approximate_quantiles_ray.sketches.exact import ExactDigest
+from approximate_quantiles_ray.sketches.hll import HLL
+from approximate_quantiles_ray.sketches.kll import KLL
+from approximate_quantiles_ray.sketches.tdigest import TDigest
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _value_specs():
+    return [
+        SketchSpec(key="v_td", factory=lambda: TDigest(delta=500.0), on="value"),
+        SketchSpec(key="v_kll", factory=lambda: KLL(k=200, seed=1), on="value"),
+        SketchSpec(key="u_hll", factory=lambda: HLL(p=14, seed=0), on="user_id", kind="hash"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def events_exact():
+    tbl = pq.read_table(EVENTS, columns=["value", "user_id"])
+    vals = tbl.column("value").to_numpy()
+    users = tbl.column("user_id").to_numpy()
+    return vals, users
+
+
+def test_sketch_columns_vs_exact(ray_session, events_exact):
+    import ray.data as rd
+
+    vals, users = events_exact
+    ds = rd.read_parquet(EVENTS, columns=["value", "user_id"])
+    merged = sketch_columns(ds, _value_specs())
+    ex = ExactDigest().update(vals)
+    assert merged["v_td"].count == len(vals)
+    assert merged["v_kll"].count == len(vals)
+    for q in (0.1, 0.5, 0.9):
+        assert merged["v_td"].est_value_at_quantile(q) == pytest.approx(
+            ex.est_value_at_quantile(q), rel=0.05
+        )
+        assert merged["v_kll"].est_value_at_quantile(q) == pytest.approx(
+            ex.est_value_at_quantile(q), rel=0.05
+        )
+    exact_users = len(np.unique(users))
+    assert merged["u_hll"].estimate() == pytest.approx(exact_users, rel=0.05)
+
+
+def test_streaming_path_matches_aggregate_path(ray_session, events_exact):
+    import ray.data as rd
+
+    vals, _ = events_exact
+    ds = rd.read_parquet(EVENTS, columns=["value", "user_id"])
+    a = sketch_columns(ds, _value_specs())
+    b = sketch_columns_streaming(ds, _value_specs())
+    # HLL merge is exact → identical registers regardless of plan
+    np.testing.assert_array_equal(a["u_hll"].registers, b["u_hll"].registers)
+    for key in ("v_td", "v_kll"):
+        assert a[key].count == b[key].count == len(vals)
+        assert a[key].est_value_at_quantile(0.5) == pytest.approx(
+            b[key].est_value_at_quantile(0.5), rel=0.01
+        )
+
+
+def test_grouped_sketches(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(EVENTS, columns=["event_type", "value"])
+    spec = SketchSpec(key="v_td", factory=lambda: TDigest(delta=300.0), on="value")
+    out = {r["event_type"]: r["v_td"] for r in grouped_sketches(ds, "event_type", [spec]).take_all()}
+
+    import pandas as pd
+
+    pdf = pq.read_table(EVENTS, columns=["event_type", "value"]).to_pandas()
+    for etype, grp in pdf.groupby("event_type"):
+        sk = sketch_from_bytes(out[etype])
+        assert sk.count == len(grp), etype
+        ex = ExactDigest().update(grp["value"].to_numpy())
+        assert sk.est_value_at_quantile(0.5) == pytest.approx(
+            ex.est_value_at_quantile(0.5), rel=0.05
+        )
+
+
+def test_empty_dataset(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(EVENTS, columns=["value", "user_id"]).filter(
+        lambda row: False
+    )
+    merged = sketch_columns(ds, _value_specs())
+    assert merged["v_td"].count == 0
+    assert merged["u_hll"].estimate() == 0.0
