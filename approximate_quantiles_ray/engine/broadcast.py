@@ -1,0 +1,92 @@
+"""Broadcast hash join as a map_batches stage (no shuffle).
+
+The reference has no joins (SURVEY.md §2.6); a 100 TB engine still
+needs small-side lookups (dimension tables, vocabularies, candidate
+sets). The scale-correct plan for a big⋈small join on Ray Data is NOT
+a shuffle join: ``ray.put`` the small side once, and resolve it once
+per actor in ``__init__`` of a callable-class ``map_batches`` stage —
+the object store ships the table to each node at most once, and every
+batch does a vectorized hash-probe against the in-memory build side.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class BroadcastJoiner:
+    """Callable-class map_batches stage: probe-side batches join a
+    broadcast build-side table.
+
+    Parameters
+    ----------
+    small_ref : ray.ObjectRef | pa.Table
+        Build side, ``ray.put`` once by the driver (an ObjectRef is
+        resolved once per actor here in ``__init__``, never per batch).
+    left_key / right_key : str
+        Join keys on the probe (batch) / build (small) side.
+    how : "inner" | "left"
+    """
+
+    def __init__(self, small_ref: Any, left_key: str, right_key: str, how: str = "inner"):
+        import ray
+
+        small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
+        if not isinstance(small, pa.Table):
+            small = pa.Table.from_pandas(small)
+        self.left_key = left_key
+        self.how = how
+        # build-side hash index, built once per actor
+        keys = small.column(right_key).combine_chunks().to_numpy(zero_copy_only=False)
+        self.index = pd.Index(keys)
+        if not self.index.is_unique:
+            raise ValueError(f"build-side key {right_key!r} must be unique for this join")
+        self.payload = small.drop_columns([right_key] if right_key not in (left_key,) else [])
+        if right_key in self.payload.column_names:
+            self.payload = self.payload.drop_columns([right_key])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probe = batch.column(self.left_key).combine_chunks().to_numpy(zero_copy_only=False)
+        pos = self.index.get_indexer(probe)  # -1 = no match
+        if self.how == "inner":
+            keep = pos >= 0
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                pos = pos[keep]
+            take = pa.array(pos, type=pa.int64())
+        else:  # left: null payload on misses
+            take = pa.array(np.where(pos >= 0, pos, -1), type=pa.int64())
+            take = pa.compute.if_else(pa.compute.greater_equal(take, 0), take, pa.scalar(None, pa.int64()))
+        picked = self.payload.take(take)
+        out = batch
+        for name, col in zip(picked.column_names, picked.columns):
+            out = out.append_column(name, col)
+        return out
+
+
+def broadcast_join(ds, small: pa.Table, left_key: str, right_key: str, how: str = "inner", **map_kwargs):
+    """big Dataset ⋈ small pa.Table via broadcast hash probe.
+
+    The small table is ray.put once; each actor materializes the hash
+    index in ``__init__``. concurrency defaults let Ray scale the pool.
+    """
+    import ray
+
+    ref = ray.put(small)
+    return ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs={
+            "small_ref": ref,
+            "left_key": left_key,
+            "right_key": right_key,
+            "how": how,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=map_kwargs.pop("concurrency", (1, 8)),
+        **map_kwargs,
+    )

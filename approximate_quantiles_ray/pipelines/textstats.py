@@ -1,0 +1,210 @@
+"""Text analysis stages for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` transforms over Arrow string
+columns (pyarrow.compute regex/string kernels — no Python row loops):
+
+- token counting (``\\S+`` runs — whitespace tokenization — plus a
+  BPE-ish word/number/punct regex token count);
+- quality scoring (length, alpha ratio, stopword ratio, mean token
+  length) with a composite [0,1] score;
+- language ID via stopword-hit + script (CJK codepoint) heuristics;
+- document fingerprinting (order-sensitive 64-bit rolling hash of the
+  token shingle stream).
+
+The token/char-count stage is oracle-matched against DuckDB regexes;
+the heuristic stages are deterministic and tested against the
+``documents.lang`` labels in pytest (rows-only driver check).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from approximate_quantiles_ray.functions.hashing import hash_strings, splitmix64
+
+# Tiny per-language stopword profiles (top function words). Public
+# knowledge; enough signal for a synthetic-corpus heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "du", "que", "une"],
+}
+_WORD_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish pre-tokenizer split
+
+
+def token_count_stats(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_tokens (\\S+ runs), n_word_tokens (BPE-ish), n_alpha."""
+    text = tbl.column(text_col)
+    out = tbl.append_column("n_tokens", pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()))
+    out = out.append_column(
+        "n_word_tokens", pc.cast(pc.count_substring_regex(text, _WORD_TOKEN_RE), pa.int64())
+    )
+    out = out.append_column(
+        "n_alpha", pc.cast(pc.count_substring_regex(text, "[a-zA-Z]"), pa.int64())
+    )
+    return out
+
+
+class QualityScorer:
+    """Actor-pool stage: per-doc quality features + composite score.
+
+    Patterns are compiled once per actor in ``__init__`` (SURVEY.md §7:
+    stateful setup once per actor, not per batch).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        words = sorted({w for ws in STOPWORDS.values() for w in ws})
+        self.stop_re = r"(?i)\b(" + "|".join(words) + r")\b"
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        text = tbl.column(self.text_col)
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64())
+        n_alpha = pc.cast(pc.count_substring_regex(text, "[a-zA-Z]"), pa.float64())
+        n_stop = pc.cast(pc.count_substring_regex(text, self.stop_re), pa.float64())
+
+        chars = n_chars.to_numpy(zero_copy_only=False)
+        toks = n_tokens.to_numpy(zero_copy_only=False)
+        alpha = n_alpha.to_numpy(zero_copy_only=False)
+        stop = n_stop.to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha_ratio = np.where(chars > 0, alpha / chars, 0.0)
+            stop_ratio = np.where(toks > 0, stop / toks, 0.0)
+            mean_tok_len = np.where(toks > 0, chars / toks, 0.0)
+        # composite: favor texts with words, sane token length, some stopwords
+        len_score = np.clip(np.log1p(toks) / np.log(1 + 64.0), 0, 1)
+        tok_score = np.clip(1.0 - np.abs(mean_tok_len - 5.5) / 10.0, 0, 1)
+        score = 0.35 * len_score + 0.25 * np.clip(alpha_ratio * 1.5, 0, 1) + 0.2 * np.clip(
+            stop_ratio * 4.0, 0, 1
+        ) + 0.2 * tok_score
+        out = tbl.append_column("alpha_ratio", pa.array(alpha_ratio, type=pa.float64()))
+        out = out.append_column("stopword_ratio", pa.array(stop_ratio, type=pa.float64()))
+        out = out.append_column("mean_token_len", pa.array(mean_tok_len, type=pa.float64()))
+        out = out.append_column("quality_score", pa.array(score, type=pa.float64()))
+        return out
+
+
+class LanguageID:
+    """Actor-pool stage: n-gram/stopword heuristic language ID.
+
+    Scores = stopword hits per candidate language; CJK-codepoint ratio
+    short-circuits to "zh". Ties → "en" → alphabetical (deterministic).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.lang_res = {
+            lang: r"(?i)\b(" + "|".join(ws) + r")\b" for lang, ws in STOPWORDS.items()
+        }
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        text = tbl.column(self.text_col)
+        n = len(tbl)
+        scores = np.zeros((len(self.lang_res), n), dtype=np.float64)
+        langs = sorted(self.lang_res)  # deterministic tie order
+        toks = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        for i, lang in enumerate(langs):
+            hits = pc.cast(
+                pc.count_substring_regex(text, self.lang_res[lang]), pa.float64()
+            ).to_numpy(zero_copy_only=False)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores[i] = np.where(toks > 0, hits / toks, 0.0)
+        # prefer en on exact ties (most common), else alphabetical order
+        en = langs.index("en")
+        best = np.argmax(scores, axis=0)
+        best_score = scores[best, np.arange(n)]
+        best = np.where(scores[en] >= best_score, en, best)
+        pred = np.array(langs, dtype=object)[best]
+        pred[best_score <= 0.0] = "unknown"
+
+        # CJK script detection dominates stopword evidence
+        cjk = pc.cast(
+            pc.count_substring_regex(text, r"[\x{4e00}-\x{9fff}]"), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        chars = pc.cast(pc.utf8_length(text), pa.float64()).to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cjk_ratio = np.where(chars > 0, cjk / chars, 0.0)
+        pred[cjk_ratio > 0.2] = "zh"
+        return tbl.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+
+def fingerprint_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Order-sensitive 64-bit document fingerprint.
+
+    fp = splitmix-mix of (hash(text), length) — a cheap stand-in for a
+    rolling hash over the full byte stream, deterministic across
+    partitions/runs; used for exact-dup candidate keys.
+    """
+    text = tbl.column(text_col).combine_chunks()
+    h = hash_strings(text)
+    ln = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        fp = splitmix64(h ^ (ln * np.uint64(0xC2B2AE3D27D4EB4F)))
+    return tbl.append_column("fingerprint", pa.array(fp.astype(np.int64), type=pa.int64()))
+
+
+# ------------------------------------------------------------------- pipelines
+
+
+def docs_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-doc token/char counts (oracle-matched vs DuckDB regexes)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: token_count_stats(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_quality_report(sf_dir: str) -> pd.DataFrame:
+    """Per-doc quality features + score (deterministic; rows-only check)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        QualityScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    ).drop_columns(["text"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_lang_id(sf_dir: str) -> pd.DataFrame:
+    """Predicted language per doc + agreement with the labeled lang."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    pred = ds.map_batches(
+        LanguageID, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    ).drop_columns(["text"])
+    out = pred.to_pandas()
+    out["match"] = out["lang_pred"] == out["lang"]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL = {
+    "docs_token_stats": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_word_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha
+        FROM documents ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "docs_token_stats": docs_token_stats,
+    "docs_quality_report": docs_quality_report,
+    "docs_lang_id": docs_lang_id,
+}

@@ -1,0 +1,150 @@
+"""Exact companions to the transcript sketch suite (oracle-matched).
+
+Each sketch metric in pipelines/transcripts.py has an exact counterpart
+here whose result is bit-identical to DuckDB SQL over the same Parquet
+(CORRECTNESS gate): role-grouped counts + int char sums, exact tool
+heavy-hitter top-k, and element-exact inter-turn latency quantiles in
+integer microseconds. These double as the small-scale ground truth the
+sketch estimates are bounded against in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from approximate_quantiles_ray.pipelines.relational import exact_quantiles
+from approximate_quantiles_ray.sources.transcripts import transcripts_for_sf
+
+LATENCY_QS = (0.5, 0.9, 0.95, 0.99)
+
+
+def sf_of_dir(sf_dir: str) -> float:
+    """Parse scale factor from a '/root/testdata/sf0.01'-style path."""
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if base.startswith("sf"):
+        return float(base[2:])
+    return 0.01
+
+
+def transcripts_dir_for(sf_dir: str) -> str:
+    """Map a testdata sf dir to the deterministic synthetic transcript
+    table of the same scale (generated once, cached under /tmp)."""
+    return transcripts_for_sf(sf_of_dir(sf_dir))
+
+
+def read_transcripts_ds(sf_dir: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(transcripts_dir_for(sf_dir), columns=columns)
+
+
+def role_stats(sf_dir: str) -> pd.DataFrame:
+    """Per role: turn count, distinct conversations, total text chars."""
+    ds = read_transcripts_ds(sf_dir, ["role", "conv_id", "text"])
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                tbl.column("role"),
+                tbl.column("conv_id"),
+                pc.cast(pc.utf8_length(tbl.column("text")), pa.int64()),
+            ],
+            names=["role", "conv_id", "chars"],
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    narrow = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    base = (
+        narrow.groupby("role")
+        .aggregate(Count(), Sum("chars"))
+        .rename_columns({"count()": "n_turns", "sum(chars)": "text_chars"})
+        .to_pandas()
+    )
+    dist = (
+        narrow.select_columns(["role", "conv_id"])
+        .groupby(["role", "conv_id"])
+        .count()
+        .groupby("role")
+        .count()
+        .rename_columns({"count()": "n_convs"})
+        .to_pandas()
+    )
+    out = base.merge(dist, on="role")[["role", "n_turns", "n_convs", "text_chars"]]
+    return out.sort_values("role").reset_index(drop=True)
+
+
+def tool_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Exact tool heavy hitters (the count-min sketch's ground truth)."""
+    ds = read_transcripts_ds(sf_dir, ["tool"])
+    counts = (
+        ds.map_batches(
+            lambda t: t.drop_null(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("tool")
+        .count()
+        .rename_columns({"count()": "n_uses"})
+    )
+    return counts.sort(["n_uses", "tool"], descending=[True, False]).limit(k).to_pandas()
+
+
+def _conv_gaps_us(group: pd.DataFrame) -> pd.DataFrame:
+    """map_groups fn: per-conversation inter-turn gaps in int64 µs under
+    stable turn_idx order (vectorized inside the group)."""
+    ts = group.sort_values("turn_idx")["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    return pd.DataFrame({"gap_us": np.diff(ts)})
+
+
+def latency_quantiles_exact(sf_dir: str) -> pd.DataFrame:
+    """Element-exact quantiles of inter-turn latency (µs).
+
+    Plan: narrow projection at the read → one conv_id hash shuffle
+    (groupby.map_groups) → distinct-value-count quantile reduction.
+    """
+    ds = read_transcripts_ds(sf_dir, ["conv_id", "turn_idx", "ts"])
+    gaps = ds.groupby("conv_id").map_groups(_conv_gaps_us, batch_format="pandas")
+    out = exact_quantiles(gaps, "gap_us", LATENCY_QS)
+    out["gap_us"] = out["value"].astype("int64")
+    return out[["q", "gap_us"]]
+
+
+def _tdir_glob(sf_dir: str) -> str:
+    return transcripts_dir_for(sf_dir) + "/*.parquet"
+
+
+def oracle_sql(sf_dir_for_oracle: str) -> dict[str, str]:
+    """DuckDB SQL over the same synthetic Parquet files (read_parquet by
+    absolute path — the transcript table is not a pre-registered view)."""
+    glob = _tdir_glob(sf_dir_for_oracle)
+    lat = " UNION ALL ".join(
+        f"""SELECT {q} AS q, quantile_disc(gap_us, {q}) AS gap_us FROM (
+              SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+              FROM read_parquet('{glob}')
+            ) WHERE gap_us IS NOT NULL"""
+        for q in LATENCY_QS
+    )
+    return {
+        "transcript_role_stats": f"""
+            SELECT role, COUNT(*) AS n_turns,
+                   COUNT(DISTINCT conv_id) AS n_convs,
+                   SUM(LENGTH(text)) AS text_chars
+            FROM read_parquet('{glob}') GROUP BY role ORDER BY role
+        """,
+        "transcript_tool_topk": f"""
+            SELECT tool, COUNT(*) AS n_uses
+            FROM read_parquet('{glob}') WHERE tool IS NOT NULL
+            GROUP BY tool ORDER BY n_uses DESC, tool ASC LIMIT 10
+        """,
+        "transcript_latency_quantiles": lat,
+    }
+
+
+QUERIES = {
+    "transcript_role_stats": role_stats,
+    "transcript_tool_topk": tool_topk,
+    "transcript_latency_quantiles": latency_quantiles_exact,
+}

@@ -1,0 +1,80 @@
+"""Simulate the driver: run every queries() entry at sf0.001 and check
+each oracle-backed one matches its DuckDB SQL (order-insensitive,
+column-name-aligned) — the same comparison CORRECTNESS_r{N}.json uses.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as mod
+
+    return mod
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    out = df.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    return out
+
+
+def test_entry_smoke(contract):
+    df = _to_df(contract.entry())
+    assert len(df) > 0
+    assert set(df.columns) == {"metric", "value"}
+
+
+def test_all_queries_run_and_oracles_match(contract, oracle_con):
+    qs = contract.queries()
+    sqls = contract.oracle_sql()
+    assert qs, "queries() empty"
+    # oracle SQL in the test runs against sf0.001 transcripts, not the
+    # driver's sf0.01 — regenerate the SQL at this scale
+    from approximate_quantiles_ray.pipelines import transcript_exact as te
+
+    sqls.update(te.oracle_sql(SF_DIR))
+    for name, fn in qs.items():
+        got = _to_df(fn(SF_DIR))
+        assert len(got) >= 0, name
+        if name not in sqls:
+            continue
+        exp = oracle_con.sql(sqls[name]).df()
+        g, e = _norm(got), _norm(exp)
+        assert list(g.columns) == list(e.columns), f"{name}: column names differ"
+        assert len(g) == len(e), f"{name}: row counts differ"
+        e = e.astype({c: g[c].dtype for c in g.columns})
+        pd.testing.assert_frame_equal(g, e, check_exact=True, obj=name)
