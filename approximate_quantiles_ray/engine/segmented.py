@@ -1,0 +1,198 @@
+"""Segmented lag (windowed diff) as a vectorized Ray Data operator.
+
+Problem: per-conversation inter-turn gaps need a LAG over (conv_id
+ORDER BY turn_idx). ``groupby(conv).map_groups(fn)`` is semantically
+right but calls a Python fn once per group — at 10^12 turns (billions
+of conversations) that is a per-row-scale Python loop, the exact
+anti-pattern SURVEY.md §7 bans.
+
+Scale plan implemented here:
+
+1. range-shuffle ``sort(["conv_id", "turn_idx"])`` (the ONE shuffle);
+2. ``map_batches``: within each sorted block, diffs are one vectorized
+   numpy subtraction masked where conv_id changes;
+3. the only information lost is the gap that straddles two adjacent
+   blocks — each block also emits its head and tail row (2 rows per
+   block, regardless of block size). The driver stitches those
+   boundary pairs (tail_i → head_{i+1} of the same conv) into the
+   missing gaps. O(#blocks) driver work, exact result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+GAP, HEAD, TAIL = 0, 1, 2
+
+_SCHEMA = pa.schema(
+    [
+        pa.field("kind", pa.int8()),
+        pa.field("gap_us", pa.int64()),
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("ts_us", pa.int64()),
+    ]
+)
+
+
+def _ts_us(tbl: pa.Table, ts_col: str) -> np.ndarray:
+    col = tbl.column(ts_col).combine_chunks()
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def make_block_gaps(key_col: str, order_col: str, ts_col: str):
+    """Vectorized per-block segmented diff + head/tail boundary rows."""
+
+    def block_gaps(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return _SCHEMA.empty_table()
+        conv = tbl.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        turn = tbl.column(order_col).combine_chunks().to_numpy(zero_copy_only=False)
+        ts = _ts_us(tbl, ts_col)
+
+        same = conv[1:] == conv[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+
+        kind = np.concatenate([np.zeros(len(gaps), np.int8), np.int8([HEAD, TAIL])])
+        gap_col = np.concatenate([gaps, [0, 0]]).astype(np.int64)
+        conv_col = np.concatenate([np.full(len(gaps), None, object), [conv[0], conv[-1]]])
+        turn_col = np.concatenate(
+            [np.zeros(len(gaps), np.int32), np.int32([turn[0], turn[-1]])]
+        )
+        ts_col_out = np.concatenate([np.zeros(len(gaps), np.int64), [ts[0], ts[-1]]])
+        return pa.Table.from_arrays(
+            [
+                pa.array(kind, pa.int8()),
+                pa.array(gap_col, pa.int64()),
+                pa.array(conv_col, pa.string()),
+                pa.array(turn_col, pa.int32()),
+                pa.array(ts_col_out, pa.int64()),
+            ],
+            schema=_SCHEMA,
+        )
+
+    return block_gaps
+
+
+def _stitch_boundaries(bnd: pd.DataFrame) -> np.ndarray:
+    """Gaps lost at block boundaries: sort boundary rows by (conv, turn,
+    kind); every TAIL immediately followed by a HEAD of the same conv is
+    an adjacent-block pair → one gap."""
+    if not len(bnd):
+        return np.empty(0, np.int64)
+    b = bnd.sort_values(["conv_id", "turn_idx", "kind"]).reset_index(drop=True)
+    kind = b["kind"].to_numpy()
+    conv = b["conv_id"].to_numpy()
+    ts = b["ts_us"].to_numpy()
+    is_pair = (kind[:-1] == TAIL) & (kind[1:] == HEAD) & (conv[:-1] == conv[1:])
+    return (ts[1:] - ts[:-1])[is_pair].astype(np.int64)
+
+
+def segmented_gaps(ds, key_col: str = "conv_id", order_col: str = "turn_idx", ts_col: str = "ts"):
+    """Returns (gap Dataset with one int64 column ``gap_us``, boundary
+    gaps np.ndarray). Caller folds the (tiny) boundary array into
+    whatever reduction it runs over the Dataset."""
+    sorted_ds = ds.sort([key_col, order_col])
+    tagged = sorted_ds.map_batches(
+        make_block_gaps(key_col, order_col, ts_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,  # one call per block: boundary rows ∝ #blocks
+    )
+    # one pass, split by kind: interior gaps stay distributed; the 2-per-
+    # block boundary rows come back to the driver for stitching
+    mat = tagged.materialize()
+    gaps_ds = mat.filter(expr="kind == 0").select_columns(["gap_us"])
+    bnd = mat.filter(expr="kind > 0").select_columns(
+        ["kind", "conv_id", "turn_idx", "ts_us"]
+    ).to_pandas()
+    return gaps_ds, _stitch_boundaries(bnd)
+
+
+def segmented_gap_sketches(
+    ds,
+    specs,
+    scale: float = 1e-6,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+):
+    """Fused scale path: sort → one map_batches that computes in-block
+    gaps AND reduces them to per-block sketch partials (KB each), plus
+    the 2-per-block boundary rows. Nothing row-scale ever leaves a
+    block, so there is no intermediate gap dataset to materialize; the
+    driver folds partial states and feeds the stitched boundary gaps
+    (scaled by ``scale``, default µs→s) into the merged sketches.
+
+    ``specs``: list of SketchSpec-like (key, factory) — gaps are fed as
+    float64 ``gap_us * scale``.
+    """
+    out_schema = pa.schema(
+        [
+            pa.field("kind", pa.int8()),  # 3 = sketch partial
+            pa.field("sketch_key", pa.string()),
+            pa.field("state", pa.binary()),
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("ts_us", pa.int64()),
+        ]
+    )
+    block_gaps = make_block_gaps(key_col, order_col, ts_col)
+
+    def block_fn(tbl: pa.Table) -> pa.Table:
+        tagged = block_gaps(tbl)
+        kinds = tagged.column("kind").to_numpy(zero_copy_only=False)
+        gaps = tagged.column("gap_us").to_numpy(zero_copy_only=False)[kinds == GAP]
+        values = gaps.astype(np.float64) * scale
+        rows = {name: [] for name in out_schema.names}
+        for spec in specs:
+            sk = spec.factory()
+            if len(values):
+                sk.update(values)
+            rows["kind"].append(3)
+            rows["sketch_key"].append(spec.key)
+            rows["state"].append(sk.to_bytes())
+            rows["conv_id"].append(None)
+            rows["turn_idx"].append(0)
+            rows["ts_us"].append(0)
+        bnd = tagged.filter(pa.compute.greater(tagged.column("kind"), 0))
+        for i in range(bnd.num_rows):
+            rows["kind"].append(int(bnd.column("kind")[i].as_py()))
+            rows["sketch_key"].append(None)
+            rows["state"].append(None)
+            rows["conv_id"].append(bnd.column("conv_id")[i].as_py())
+            rows["turn_idx"].append(int(bnd.column("turn_idx")[i].as_py()))
+            rows["ts_us"].append(int(bnd.column("ts_us")[i].as_py()))
+        return pa.Table.from_pydict(rows, schema=out_schema)
+
+    sorted_ds = ds.sort([key_col, order_col])
+    tagged = sorted_ds.map_batches(
+        block_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    from approximate_quantiles_ray.sketches.base import sketch_from_bytes
+
+    merged = {}
+    bnd_rows = []
+    for b in tagged.iter_batches(batch_format="pyarrow"):
+        kinds = b.column("kind").to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(kinds == 3):
+            key = b.column("sketch_key")[int(i)].as_py()
+            sk = sketch_from_bytes(b.column("state")[int(i)].as_py())
+            merged[key] = merged[key].merge(sk) if key in merged else sk
+        sel = kinds != 3
+        if sel.any():
+            bnd_rows.append(b.filter(pa.array(sel)).to_pandas())
+    if key_missing := [s.key for s in specs if s.key not in merged]:
+        for k in key_missing:
+            merged[k] = next(s for s in specs if s.key == k).factory()
+    if bnd_rows:
+        boundary = _stitch_boundaries(pd.concat(bnd_rows, ignore_index=True))
+        if len(boundary):
+            vals = boundary.astype(np.float64) * scale
+            for sk in merged.values():
+                sk.update(vals)
+    return merged

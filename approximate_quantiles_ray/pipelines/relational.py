@@ -44,7 +44,9 @@ def int_cents(tbl: pa.Table, src: str, dst: str) -> pa.Table:
 # --------------------------------------------------------------- exact quantile
 
 
-def exact_quantiles(ds, col: str, qs: tuple[float, ...]) -> pd.DataFrame:
+def exact_quantiles(
+    ds, col: str, qs: tuple[float, ...], extra_values: np.ndarray | None = None
+) -> pd.DataFrame:
     """Exact quantile_disc: value at sorted index ``max(0, ceil(q*n)-1)``.
 
     Distributed plan: ``groupby(col).count()`` reduces the dataset to
@@ -58,6 +60,13 @@ def exact_quantiles(ds, col: str, qs: tuple[float, ...]) -> pd.DataFrame:
     KLL sketches instead (pipelines/transcripts.py).
     """
     hist = ds.groupby(col).count().to_pandas()
+    if extra_values is not None and len(extra_values):
+        vals, cnts = np.unique(np.asarray(extra_values), return_counts=True)
+        hist = (
+            pd.concat([hist, pd.DataFrame({col: vals, "count()": cnts})])
+            .groupby(col, as_index=False)["count()"]
+            .sum()
+        )
     hist = hist.sort_values(col).reset_index(drop=True)
     counts = hist["count()"].to_numpy()
     cum = np.cumsum(counts)

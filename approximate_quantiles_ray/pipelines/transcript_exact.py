@@ -91,22 +91,19 @@ def tool_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return counts.sort(["n_uses", "tool"], descending=[True, False]).limit(k).to_pandas()
 
 
-def _conv_gaps_us(group: pd.DataFrame) -> pd.DataFrame:
-    """map_groups fn: per-conversation inter-turn gaps in int64 µs under
-    stable turn_idx order (vectorized inside the group)."""
-    ts = group.sort_values("turn_idx")["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-    return pd.DataFrame({"gap_us": np.diff(ts)})
-
-
 def latency_quantiles_exact(sf_dir: str) -> pd.DataFrame:
     """Element-exact quantiles of inter-turn latency (µs).
 
-    Plan: narrow projection at the read → one conv_id hash shuffle
-    (groupby.map_groups) → distinct-value-count quantile reduction.
+    Plan: narrow projection at the read → one (conv_id, turn_idx) range
+    sort → vectorized segmented lag with boundary stitching
+    (engine/segmented.py — no per-group Python calls) → distinct-value-
+    count quantile reduction with the stitched boundary gaps folded in.
     """
+    from approximate_quantiles_ray.engine.segmented import segmented_gaps
+
     ds = read_transcripts_ds(sf_dir, ["conv_id", "turn_idx", "ts"])
-    gaps = ds.groupby("conv_id").map_groups(_conv_gaps_us, batch_format="pandas")
-    out = exact_quantiles(gaps, "gap_us", LATENCY_QS)
+    gaps, boundary = segmented_gaps(ds)
+    out = exact_quantiles(gaps, "gap_us", LATENCY_QS, extra_values=boundary)
     out["gap_us"] = out["value"].astype("int64")
     return out[["q", "gap_us"]]
 

@@ -96,19 +96,16 @@ def latency_specs(delta: float = 500.0, kll_k: int = 200, seed: int = 42) -> lis
     ]
 
 
-def _conv_gaps(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-conversation inter-turn gaps (seconds) under stable turn order."""
-    g = group.sort_values("turn_idx")
-    gaps = g["ts"].diff().dropna().dt.total_seconds()
-    return pd.DataFrame({"latency_s": gaps.to_numpy()})
+def latency_sketches(ds, specs: list[SketchSpec]):
+    """Inter-turn latency sketches via the fused segmented-lag operator
+    (engine/segmented.py): one (conv_id, turn_idx) range sort, then each
+    sorted block reduces its vectorized gaps straight into per-block
+    sketch partials — no per-group Python calls, no materialized gap
+    dataset; block-boundary gaps are stitched in exactly on the driver."""
+    from approximate_quantiles_ray.engine.segmented import segmented_gap_sketches
 
-
-def latency_dataset(ds):
-    """conv_id-grouped inter-turn latency column (the one shuffle in the
-    flagship pipeline; key = conv_id, skew bounded because per-conv turn
-    counts are clipped and blocks pre-project to 3 narrow columns)."""
     narrow = ds.select_columns(["conv_id", "turn_idx", "ts"])
-    return narrow.groupby("conv_id").map_groups(_conv_gaps, batch_format="pandas")
+    return segmented_gap_sketches(narrow, specs, scale=1e-6)
 
 
 def read_transcripts(table_dir: str):
@@ -152,8 +149,10 @@ def transcript_report(
     rows.append({"metric": "bloom_fill_ratio", "value": bloom.fill_ratio()})
 
     if include_latency:
-        lat_ds = latency_dataset(rd.read_parquet(table_dir, columns=["conv_id", "turn_idx", "ts"]))
-        lat = sketch_columns(lat_ds, latency_specs(delta=delta, kll_k=kll_k, seed=seed))
+        lat = latency_sketches(
+            rd.read_parquet(table_dir, columns=["conv_id", "turn_idx", "ts"]),
+            latency_specs(delta=delta, kll_k=kll_k, seed=seed),
+        )
         ltd: TDigest = lat["latency_tdigest"]
         for q in QUANTILES:
             rows.append({"metric": f"latency_p{int(q * 100)}_tdigest", "value": ltd.est_value_at_quantile(q)})

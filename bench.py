@@ -1,0 +1,155 @@
+"""Benchmark harness — one JSON line per run.
+
+Headline: the flagship sketch suite (t-digest + KLL + HLL + count-min +
+Bloom in ONE shuffle-free aggregation pass) over the synthetic
+transcript table at the scale matching $GRAFT_SF_DIR, plus per-query
+timings for the exact/oracle pipelines over the testdata tables.
+
+    python bench.py             # $GRAFT_SF_DIR (default /root/testdata/sf0.1),
+                                # $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling   # same job at 8 vs 32 CPUs in fresh
+                                # processes → throughput + scaling efficiency
+
+This script OWNS its Ray session (ray.init/shutdown); library code never
+initialises Ray.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALING_CPUS = (8, 32)
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _flagship(tdir: str, include_latency: bool):
+    from approximate_quantiles_ray.pipelines.transcripts import transcript_report
+
+    return transcript_report(tdir, include_latency=include_latency)
+
+
+def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
+    from approximate_quantiles_ray.pipelines.transcript_exact import (
+        sf_of_dir,
+        transcripts_dir_for,
+    )
+
+    sf = sf_of_dir(sf_dir)
+    tdir = transcripts_dir_for(sf_dir)  # generate OUTSIDE the timed region
+
+    _init_ray(num_cpus)
+    import ray
+
+    queries: dict[str, float] = {}
+
+    # warmup: amortize Ray Data first-pipeline startup out of the timings
+    from approximate_quantiles_ray.sources.transcripts import ensure_transcripts
+
+    _flagship(ensure_transcripts(2_000, seed=9, n_shards=2), include_latency=False)
+
+    # headline: pure sketch-update pass (no shuffle) — the north metric
+    t0 = time.perf_counter()
+    rep = _flagship(tdir, include_latency=False)
+    sketch_sec = time.perf_counter() - t0
+    turns = int(rep.set_index("metric")["value"]["turns_count"])
+    queries["flagship_sketch_suite"] = sketch_sec
+
+    result = {
+        "metric": "flagship_sketch_suite_sec",
+        "value": round(sketch_sec, 3),
+        "unit": "sec",
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "turns": turns,
+        "turns_per_sec": round(turns / sketch_sec, 1),
+        "queries": queries,
+    }
+
+    if not scaling_mode:
+        # latency suite adds the one conv_id shuffle
+        t0 = time.perf_counter()
+        _flagship(tdir, include_latency=True)
+        queries["flagship_with_latency"] = round(time.perf_counter() - t0, 3)
+
+        from approximate_quantiles_ray.pipelines import relational, textstats
+        from approximate_quantiles_ray.pipelines import transcript_exact as te
+
+        bench_queries = {}
+        bench_queries.update(relational.QUERIES)
+        bench_queries.update(textstats.QUERIES)
+        bench_queries.update(te.QUERIES)
+        try:
+            from approximate_quantiles_ray.pipelines import dedup, similarity
+
+            bench_queries.update(dedup.QUERIES)
+            bench_queries.update(similarity.QUERIES)
+        except ImportError:
+            pass
+        for name, fn in bench_queries.items():
+            t0 = time.perf_counter()
+            fn(sf_dir)
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    for k in queries:
+        queries[k] = round(queries[k], 3)
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same sketch job at two parallelism levels in FRESH processes —
+    the sandbox evidence for the N vs 4N cluster-size criterion."""
+    runs = {}
+    for cpus in SCALING_CPUS:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, __file__, "--single"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = SCALING_CPUS
+    thr_lo = runs[lo]["turns_per_sec"]
+    thr_hi = runs[hi]["turns_per_sec"]
+    efficiency = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "sf": runs[lo]["sf"],
+        "num_cpus": hi,
+        "queries": {f"flagship_cpus{c}": runs[c]["queries"]["flagship_sketch_suite"] for c in runs},
+        "throughput_turns_per_sec": {str(c): runs[c]["turns_per_sec"] for c in runs},
+        "cpu_levels": list(SCALING_CPUS),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    elif "--single" in sys.argv:  # internal: one fresh-process scaling sample
+        print(json.dumps(run_bench(NUM_CPUS, SF_DIR, scaling_mode=True)))
+    else:
+        print(json.dumps(run_bench(NUM_CPUS, SF_DIR)))

@@ -1,0 +1,61 @@
+"""Segmented-lag operator: exactness vs a pandas oracle, including
+block-boundary stitching (many tiny blocks forced via repartition)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from approximate_quantiles_ray.sources.transcripts import ensure_transcripts
+
+
+def _oracle_gaps_us(table_dir: str) -> np.ndarray:
+    import pyarrow.dataset as pads
+
+    df = pads.dataset(table_dir).to_table(columns=["conv_id", "turn_idx", "ts"]).to_pandas()
+    df = df.sort_values(["conv_id", "turn_idx"])
+    ts = df["ts"].astype("datetime64[us]").astype("int64")
+    gaps = ts.groupby(df["conv_id"].values).diff().dropna()
+    return np.sort(gaps.to_numpy().astype(np.int64))
+
+
+@pytest.fixture(scope="module")
+def small_table(ray_session):
+    return ensure_transcripts(5_000, seed=7, n_shards=4)
+
+
+def test_segmented_gaps_exact_with_boundaries(small_table):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.segmented import segmented_gaps
+
+    # many tiny blocks → lots of conv-spanning boundaries to stitch
+    ds = rd.read_parquet(small_table, columns=["conv_id", "turn_idx", "ts"]).repartition(37)
+    gaps_ds, boundary = segmented_gaps(ds)
+    got = np.concatenate(
+        [gaps_ds.to_pandas()["gap_us"].to_numpy().astype(np.int64), boundary]
+    )
+    exp = _oracle_gaps_us(small_table)
+    assert len(boundary) > 0  # stitching actually exercised
+    np.testing.assert_array_equal(np.sort(got), exp)
+
+
+def test_fused_gap_sketches_match_unfused(small_table):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.segmented import segmented_gap_sketches
+    from approximate_quantiles_ray.engine.udaf import SketchSpec
+    from approximate_quantiles_ray.sketches.kll import KLL
+
+    ds = rd.read_parquet(small_table, columns=["conv_id", "turn_idx", "ts"]).repartition(23)
+    specs = [SketchSpec(key="lat_kll", factory=lambda: KLL(k=200, seed=1), on="x")]
+    merged = segmented_gap_sketches(ds, specs, scale=1e-6)
+    sk = merged["lat_kll"]
+
+    exp = _oracle_gaps_us(small_table).astype(np.float64) * 1e-6
+    assert sk.count == len(exp)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = sk.est_value_at_quantile(q)
+        lo, hi = np.quantile(exp, max(0.0, q - 0.05)), np.quantile(exp, min(1.0, q + 0.05))
+        assert lo <= est <= hi, (q, est, lo, hi)
