@@ -1,0 +1,457 @@
+"""Deduplication operators for training-data pipelines (Ray Data).
+
+Four dedup families, each expressed shuffle-light:
+
+- **exact**: 64-bit content hash → groupby(hash) keep MIN(id). Only
+  (hash, id) pairs shuffle, never text. Oracle-matched vs DuckDB.
+- **MinHash + LSH near-dup**: per-batch vectorized char-shingle minhash
+  signatures (actor pool) → band buckets → C++ groupby-count finds hot
+  buckets (no per-bucket Python) → candidate pairs from hot buckets →
+  exact shingle-Jaccard verification of candidates only → union-find
+  on verified pairs → keep min-id per cluster.
+- **SimHash**: 64-bit simhash of token hashes (fully vectorized via
+  segment cumsums); near-dup = Hamming ≤ 3 via 4 × 16-bit band
+  blocking (pigeonhole), verified by true Hamming distance.
+- **n-gram Jaccard**: the exact verifier, exposed for pair scoring.
+
+(Embedding-cosine near-dup lives in similarity.py.)
+
+Scale notes: signatures are fixed-width (n_perm × 8 B minhash, 8 B
+simhash) so shuffle payload per doc is bounded regardless of document
+size. Hot-bucket discovery is an aggregate (tiny result ∝ #near-dup
+clusters), so the only driver-side work is over candidates, never the
+corpus. A 200-member cap per bucket bounds quadratic pair blowup on
+degenerate spam buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from approximate_quantiles_ray.functions.hashing import hash_strings, splitmix64
+
+UINT64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ----------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Hash-partitioned exact dedup: keep MIN(id) per content hash.
+
+    The text column is reduced to a 64-bit hash inside the first
+    map_batches, so only (hash:int64, id) rows reach the shuffle. A
+    64-bit hash over 10^12 docs has ~3% birthday-collision risk; at
+    that scale widen the key to two seeded hashes (same plan, 16 B key).
+    """
+
+    def project(tbl: pa.Table) -> pa.Table:
+        h = hash_strings(tbl.column(text_col).combine_chunks()).astype(np.int64)
+        return pa.table({id_col: tbl.column(id_col), "text_hash": pa.array(h, pa.int64())})
+
+    from ray.data.aggregate import Count, Min
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_hash")
+        .aggregate(Min(id_col), Count())
+        .rename_columns({f"min({id_col})": id_col, "count()": "n_copies"})
+    )
+
+
+# ------------------------------------------------------------ shingles/minhash
+
+
+def _char_shingle_hashes(texts: np.ndarray, k: int = 5) -> list[np.ndarray]:
+    """Per-doc arrays of hashed k-char shingles. Per-doc numpy window
+    ops (the doc loop is over documents, not rows-within-kernel; each
+    iteration is vectorized over all of that doc's shingles)."""
+    out = []
+    for t in texts:
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) == 0:
+            out.append(np.zeros(0, np.uint64))
+            continue
+        windows = np.lib.stride_tricks.sliding_window_view(b, min(k, len(b)))
+        with np.errstate(over="ignore"):
+            acc = np.zeros(len(windows), np.uint64)
+            for j in range(windows.shape[1]):
+                acc = acc * np.uint64(1099511628211) + windows[:, j].astype(np.uint64)
+            out.append(splitmix64(acc))
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: per-doc minhash signature (n_perm × uint64).
+
+    The hash family h_i(x) = splitmix64(a_i·x + b_i) (overflow-wrapping
+    PRF — minhash only needs a fixed family of ~independent hashes) is
+    sampled once per actor in ``__init__`` from a fixed seed, so
+    signatures are identical across actors/partitions/retries.
+    """
+
+    def __init__(self, n_perm: int = 128, shingle_k: int = 5, seed: int = 42,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, 1 << 62, n_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 62, n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.k = shingle_k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if not len(shingles):
+            return np.full(self.n_perm, UINT64_MAX, np.uint64)
+        x = np.unique(shingles)
+        with np.errstate(over="ignore"):
+            v = splitmix64(x[None, :] * self.a[:, None] + self.b[:, None])
+        return v.min(axis=1)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(self.text_col).combine_chunks().to_numpy(zero_copy_only=False)
+        sh = _char_shingle_hashes(texts, self.k)
+        sigs = (
+            np.stack([self.signature(s) for s in sh])
+            if len(sh)
+            else np.zeros((0, self.n_perm), np.uint64)
+        )
+        return pa.table(
+            {
+                self.id_col: tbl.column(self.id_col),
+                "signature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.astype(np.int64).ravel(), pa.int64()), self.n_perm
+                ),
+            }
+        )
+
+
+def _band_rows(ids: np.ndarray, sigs: np.ndarray, n_bands: int) -> pa.Table:
+    """(id, band, bucket-hash) rows — one per (doc, band)."""
+    n, n_perm = sigs.shape
+    rows_per_band = n_perm // n_bands
+    bands = sigs[:, : n_bands * rows_per_band].reshape(n, n_bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n, n_bands), np.uint64)
+        for j in range(rows_per_band):
+            acc = acc * np.uint64(0x100000001B3) + bands[:, :, j].astype(np.uint64)
+        bucket = splitmix64(acc).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids, n_bands)),
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+            "bucket": pa.array(bucket.ravel()),
+        }
+    )
+
+
+def _hot_bucket_pairs(rows: pd.DataFrame, extra_cols: list[str] | None = None,
+                      cap: int = 200) -> pd.DataFrame:
+    """Candidate pairs from hot-bucket member rows (vectorized pandas
+    groupby over the *small* hot subset — never the corpus)."""
+    pairs = []
+    cols = extra_cols or []
+    for (_, _), g in rows.groupby(["band", "bucket"], sort=False):
+        g = g.sort_values("doc_id").head(cap)
+        ids = g["doc_id"].to_numpy()
+        if len(ids) < 2:
+            continue
+        iu = np.triu_indices(len(ids), 1)
+        d = {"a": ids[iu[0]], "b": ids[iu[1]]}
+        for c in cols:
+            v = g[c].to_numpy()
+            d[f"{c}_a"], d[f"{c}_b"] = v[iu[0]], v[iu[1]]
+        pairs.append(pd.DataFrame(d))
+    if not pairs:
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+    return pd.concat(pairs, ignore_index=True).drop_duplicates(subset=["a", "b"])
+
+
+def _hot_bucket_rows(band_ds, extra_cols: list[str] | None = None) -> pd.DataFrame:
+    """Find buckets with ≥2 members via a C++ groupby-count (no Python
+    per group), then pull ONLY those buckets' member rows."""
+    counts = (
+        band_ds.groupby(["band", "bucket"])
+        .count()
+        .rename_columns({"count()": "n"})
+        .filter(expr="n > 1")
+        .to_pandas()
+    )
+    if not len(counts):
+        return pd.DataFrame(columns=["doc_id", "band", "bucket"] + (extra_cols or []))
+    hot = set(zip(counts["band"].astype(int), counts["bucket"].astype(int)))
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        band = tbl.column("band").combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+        mask = np.fromiter(((b, u) in hot for b, u in zip(band, bucket)), bool, len(band))
+        return tbl.filter(pa.array(mask))
+
+    return band_ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+
+
+# -------------------------------------------------------------------- jaccard
+
+
+def jaccard_pairs(texts_by_id: dict, pairs: pd.DataFrame, k: int = 5) -> pd.DataFrame:
+    """Exact k-char-shingle Jaccard for candidate pairs (verification)."""
+    cache: dict = {}
+
+    def sh(i):
+        if i not in cache:
+            arr = _char_shingle_hashes(np.array([texts_by_id[i]], object), k)[0]
+            cache[i] = set(np.unique(arr).tolist())
+        return cache[i]
+
+    scores = []
+    for a, b in zip(pairs["a"], pairs["b"]):
+        sa, sb = sh(int(a)), sh(int(b))
+        union = len(sa | sb) or 1
+        scores.append(len(sa & sb) / union)
+    res = pairs.copy()
+    res["jaccard"] = scores
+    return res
+
+
+def _connected_components(pairs: pd.DataFrame) -> dict[int, int]:
+    """Union-find over the (small, verified) duplicate-pair set."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def minhash_lsh_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 128,
+    n_bands: int = 32,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """MinHash-LSH near-dup clustering → (doc_id, cluster_id, is_kept).
+
+    Stages: signatures (actor pool) → band explode → groupby-count hot
+    buckets → candidate pairs → exact-Jaccard verify (candidate texts
+    fetched by broadcast-filter) → union-find → keep min-id/cluster.
+    """
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "n_perm": n_perm, "shingle_k": shingle_k, "seed": seed,
+            "id_col": id_col, "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return _band_rows(np.zeros(0, np.int64), np.zeros((0, n_perm), np.uint64), n_bands)
+        sig = np.stack(
+            tbl.column("signature").combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+        return _band_rows(ids, sig, n_bands)
+
+    bands = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    cand = _hot_bucket_pairs(_hot_bucket_rows(bands))
+
+    texts_by_id: dict[int, str] = {}
+    if len(cand):
+        needed = set(int(x) for x in pd.unique(pd.concat([cand["a"], cand["b"]])))
+
+        def pick(tbl: pa.Table) -> pa.Table:
+            ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+            mask = np.fromiter((int(i) in needed for i in ids), bool, len(ids))
+            return tbl.filter(pa.array(mask))
+
+        picked = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        texts_by_id = dict(zip(picked[id_col].astype(int), picked[text_col]))
+
+    if len(cand):
+        verified = jaccard_pairs(texts_by_id, cand, shingle_k)
+        dup_pairs = verified[verified["jaccard"] >= threshold]
+    else:
+        dup_pairs = pd.DataFrame({"a": [], "b": []})
+    comp = _connected_components(dup_pairs)
+
+    all_ids = ds.select_columns([id_col]).to_pandas()[id_col].astype(int)
+    cluster = all_ids.map(lambda i: comp.get(i, i))
+    return (
+        pd.DataFrame(
+            {
+                "doc_id": all_ids,
+                "cluster_id": cluster.astype(int),
+                "is_kept": (all_ids == cluster).astype(bool),
+            }
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------- simhash
+
+
+class SimHasher:
+    """Actor-pool stage: 64-bit simhash over whitespace-token hashes.
+
+    Fully vectorized: one regex split (Arrow kernel), one hash pass over
+    the flattened word array, bit votes via segment cumsum differences.
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", seed: int = 42):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.seed = seed
+        self.bit_idx = np.arange(64, dtype=np.uint64)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(self.text_col).combine_chunks()
+        split = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]  # flatten() below re-bases to 0
+        flat = split.flatten()
+        words = flat.to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        valid = lens > 0
+
+        if len(words):
+            h = hash_strings(words, seed=self.seed)
+            bits = ((h[:, None] >> self.bit_idx[None, :]) & np.uint64(1)).astype(np.int32)
+            bits[~valid] = 0
+            csum = np.vstack([np.zeros((1, 64), np.int64), np.cumsum(bits, axis=0)])
+            seg = csum[offsets[1:]] - csum[offsets[:-1]]
+            vcum = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+            nvalid = vcum[offsets[1:]] - vcum[offsets[:-1]]
+            vote = 2 * seg - nvalid[:, None]
+            sims = ((vote > 0).astype(np.uint64) << self.bit_idx[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        else:
+            sims = np.zeros(len(tbl), np.uint64)
+        return pa.table(
+            {
+                self.id_col: tbl.column(self.id_col),
+                "simhash": pa.array(sims.astype(np.int64)),
+            }
+        )
+
+
+def simhash_signatures(ds, id_col: str = "doc_id", text_col: str = "text", seed: int = 42):
+    return ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col, "seed": seed},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def simhash_near_dup_pairs(
+    ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text", seed: int = 42
+) -> pd.DataFrame:
+    """Near-dup pairs by simhash Hamming ≤ 3: band-block on each of 4
+    16-bit quarters (pigeonhole: distance ≤3 ⇒ some quarter equal),
+    groupby-count hot buckets, verify true Hamming on candidates."""
+    sigs = simhash_signatures(ds, id_col=id_col, text_col=text_col, seed=seed)
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        s = (
+            tbl.column("simhash").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        parts = [
+            ((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.tile(ids, 4)),
+                "simhash": pa.array(np.tile(s.astype(np.int64), 4)),
+                "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), len(ids))),
+                "bucket": pa.array(np.concatenate(parts) if len(ids) else np.zeros(0, np.int64)),
+            }
+        )
+
+    band_ds = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    rows = _hot_bucket_rows(band_ds, extra_cols=["simhash"])
+    pairs = _hot_bucket_pairs(rows, extra_cols=["simhash"])
+    if not len(pairs):
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "hamming": pd.Series(dtype=np.int64),
+            }
+        )
+    x = pairs["simhash_a"].to_numpy().astype(np.uint64) ^ pairs["simhash_b"].to_numpy().astype(
+        np.uint64
+    )
+    # vectorized popcount via byte-view + unpackbits
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1).astype(np.int64)
+    out = pd.DataFrame(
+        {"a": pairs["a"].astype(np.int64), "b": pairs["b"].astype(np.int64), "hamming": ham}
+    )
+    return (
+        out[out["hamming"] <= max_hamming].sort_values(["a", "b"]).reset_index(drop=True)
+    )
+
+
+# ------------------------------------------------------------------- pipelines
+
+
+def docs_exact_dedup_hash(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup by 64-bit content hash (scale variant of
+    relational.docs_dedup_exact — only hashes shuffle). Oracle: GROUP BY
+    text gives the identical keep-set when the hash is collision-free."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()[["doc_id", "n_copies"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_minhash_clusters(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds)
+
+
+def docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds)
+
+
+ORACLE_SQL = {
+    "docs_exact_dedup_hash": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "docs_exact_dedup_hash": docs_exact_dedup_hash,
+    "docs_minhash_clusters": docs_minhash_clusters,
+    "docs_simhash_pairs": docs_simhash_pairs,
+}

@@ -1,0 +1,104 @@
+"""Dedup operators: planted exact/near duplicates must be found;
+unrelated docs must not be merged."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _corpus() -> pa.Table:
+    rng = np.random.default_rng(123)
+    words = np.array(
+        "the quick brown fox jumps over lazy dog table query merge sort batch "
+        "stream data row column hash join scan filter window vector".split(),
+        dtype=object,
+    )
+    base = [" ".join(rng.choice(words, 40)) for _ in range(60)]
+    docs = list(base)
+    # exact dups: docs 60..64 duplicate docs 0..4
+    docs += base[:5]
+    # near dups: docs 65..69 = docs 5..9 with one word changed
+    for i in range(5):
+        toks = base[5 + i].split()
+        toks[3] = "changedword"
+        docs.append(" ".join(toks))
+    return pa.table({"doc_id": list(range(len(docs))), "text": docs})
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_corpus()).repartition(4)
+
+
+def test_exact_dedup(corpus_ds):
+    from approximate_quantiles_ray.pipelines.dedup import exact_dedup
+
+    out = (
+        exact_dedup(corpus_ds)
+        .to_pandas()[["doc_id", "n_copies"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = _corpus().to_pandas()
+    exp = (
+        df.groupby("text", as_index=False)
+        .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "n_copies"]]
+    )
+    pd.testing.assert_frame_equal(out, exp.astype({"n_copies": out["n_copies"].dtype}))
+    # the 5 exact dups collapse onto doc 0..4
+    assert out[out["doc_id"] < 5]["n_copies"].tolist() == [2] * 5
+
+
+def test_minhash_lsh_dedup_clusters(corpus_ds):
+    from approximate_quantiles_ray.pipelines.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(corpus_ds, threshold=0.5).set_index("doc_id")
+    # exact dups cluster with their originals
+    for i in range(5):
+        assert out.loc[60 + i, "cluster_id"] == out.loc[i, "cluster_id"] == i
+        assert not out.loc[60 + i, "is_kept"]
+    # near dups (1 word of 40 changed → Jaccard ≈ 0.8+) cluster too
+    for i in range(5):
+        assert out.loc[65 + i, "cluster_id"] == out.loc[5 + i, "cluster_id"] == 5 + i
+    # unrelated docs keep singleton clusters
+    singles = out.loc[10:59]
+    assert (singles["cluster_id"] == singles.index).all()
+    assert singles["is_kept"].all()
+
+
+def test_minhash_merge_is_partition_independent(ray_session):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.dedup import minhash_lsh_dedup
+
+    a = minhash_lsh_dedup(rd.from_arrow(_corpus()).repartition(2), threshold=0.5)
+    b = minhash_lsh_dedup(rd.from_arrow(_corpus()).repartition(7), threshold=0.5)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_near_dup_pairs(corpus_ds):
+    from approximate_quantiles_ray.pipelines.dedup import simhash_near_dup_pairs
+
+    pairs = simhash_near_dup_pairs(corpus_ds, max_hamming=6)
+    got = set(zip(pairs["a"], pairs["b"]))
+    for i in range(5):  # exact dups: hamming 0
+        assert (i, 60 + i) in got
+    ham0 = pairs[pairs["a"] < 5].set_index("a")["hamming"]
+    assert (ham0 == 0).all()
+
+
+def test_jaccard_exact_values():
+    from approximate_quantiles_ray.pipelines.dedup import jaccard_pairs
+
+    texts = {0: "abcdefgh", 1: "abcdefgh", 2: "zzzzzzzz"}
+    pairs = pd.DataFrame({"a": [0, 0], "b": [1, 2]})
+    out = jaccard_pairs(texts, pairs, k=5)
+    assert out["jaccard"].tolist()[0] == 1.0
+    assert out["jaccard"].tolist()[1] == 0.0
