@@ -1,0 +1,207 @@
+"""Multimodal (image/audio/video) pipeline plumbing over binary columns.
+
+Media travel as opaque ``binary`` payload columns with typed metadata
+(kind, width/height, sample_rate, n_frames), processed by actor-pool
+``map_batches`` stages sized for large payloads (small ``batch_size``,
+bounded ``concurrency`` — a batch × pool must fit worker heap).
+
+The actual codecs (PIL/libjpeg, ffmpeg, soundfile) are NOT in this
+container, so the decode kernels are **clearly-marked deterministic
+stubs**: ``decode_image_stub`` derives pixels from a seeded hash of the
+payload bytes (same bytes → same pixels, any partition/actor/retry).
+Everything around the stub — schemas, tensor (FixedSizeList) output
+layout, actor signatures, resize/frame-sample/feature math — is real
+and is what a codec drop-in would plug into: replace the ``*_stub``
+functions with real decoders and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from approximate_quantiles_ray.functions.hashing import splitmix64
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),  # image | audio | video
+        pa.field("payload", pa.binary()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("n_frames", pa.int32()),
+    ]
+)
+
+
+def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media corpus (payload bytes from seeded RNG)."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"], object)[np.arange(n) % 3]
+    payloads, width, height, rate, frames = [], [], [], [], []
+    for i in range(n):
+        size = int(rng.integers(256, 4096))
+        payloads.append(rng.integers(0, 256, size, dtype=np.uint8).tobytes())
+        width.append(int(rng.integers(16, 64)))
+        height.append(int(rng.integers(16, 64)))
+        rate.append(16000)
+        frames.append(int(rng.integers(4, 32)))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(width, pa.int32()),
+            "height": pa.array(height, pa.int32()),
+            "sample_rate": pa.array(rate, pa.int32()),
+            "n_frames": pa.array(frames, pa.int32()),
+        }
+    )
+
+
+# ------------------------------------------------------------------ stub codecs
+
+
+def _payload_hash_stream(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic uint64 stream derived from payload bytes (the stub
+    stand-in for actual decoding)."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    base = np.uint64(0xCBF29CE484222325)
+    with np.errstate(over="ignore"):
+        for j in range(0, len(b), 8):
+            chunk = b[j : j + 8].astype(np.uint64)
+            base = base * np.uint64(0x100000001B3) + np.uint64(
+                int((chunk * (np.uint64(1) << (np.arange(len(chunk), dtype=np.uint64) * np.uint64(8)))).sum())
+            )
+        return splitmix64(np.arange(n, dtype=np.uint64) + base)
+
+
+def decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB (no libjpeg in container): (h, w, 3) uint8 from payload hash.
+
+    Replace with ``PIL.Image.open(io.BytesIO(payload))`` in production.
+    """
+    n = height * width * 3
+    return (_payload_hash_stream(payload, n) & np.uint64(0xFF)).astype(np.uint8).reshape(
+        height, width, 3
+    )
+
+
+def decode_audio_stub(payload: bytes, n_samples: int = 16000) -> np.ndarray:
+    """STUB: float32 waveform in [-1, 1) from payload hash
+    (``soundfile.read`` in production)."""
+    u = _payload_hash_stream(payload, n_samples)
+    return ((u >> np.uint64(11)).astype(np.float64) / 2**53 * 2 - 1).astype(np.float32)
+
+
+def decode_video_frames_stub(payload: bytes, width: int, height: int, n_frames: int) -> np.ndarray:
+    """STUB: (n_frames, h, w, 3) uint8 (ffmpeg/PyAV in production)."""
+    n = n_frames * height * width * 3
+    return (_payload_hash_stream(payload, n) & np.uint64(0xFF)).astype(np.uint8).reshape(
+        n_frames, height, width, 3
+    )
+
+
+# --------------------------------------------------------------------- stages
+
+
+def _tensor_column(flat: np.ndarray, widths: int) -> pa.Array:
+    return pa.FixedSizeListArray.from_arrays(pa.array(flat.ravel()), widths)
+
+
+class ImageDecodeResize:
+    """Actor-pool stage: decode (stub) → nearest-neighbor resize to a
+    fixed (target, target, 3) tensor, emitted as FixedSizeList.
+
+    Real per-actor state: the precomputed resample index grids cache.
+    """
+
+    def __init__(self, target: int = 32):
+        self.target = target
+        self._grids: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    def _grid(self, h: int, w: int):
+        if (h, w) not in self._grids:
+            ys = (np.arange(self.target) * h // self.target).astype(np.int64)
+            xs = (np.arange(self.target) * w // self.target).astype(np.int64)
+            self._grids[(h, w)] = (ys, xs)
+        return self._grids[(h, w)]
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        out = []
+        for row in tbl.to_pylist():  # per-media loop: decode is per-payload by nature
+            img = decode_image_stub(row["payload"], row["width"], row["height"])
+            ys, xs = self._grid(img.shape[0], img.shape[1])
+            out.append(img[ys][:, xs].astype(np.uint8).ravel())
+        flat = np.concatenate(out) if out else np.zeros(0, np.uint8)
+        return pa.table(
+            {
+                "media_id": tbl.column("media_id"),
+                "pixels": _tensor_column(flat, self.target * self.target * 3),
+            }
+        )
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode (stub) → per-frame RMS energy features."""
+
+    def __init__(self, frame: int = 512, n_frames: int = 31):
+        self.frame = frame
+        self.n_frames = n_frames
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        feats = []
+        for row in tbl.to_pylist():
+            wave = decode_audio_stub(row["payload"], self.frame * self.n_frames)
+            rms = np.sqrt((wave.reshape(self.n_frames, self.frame) ** 2).mean(axis=1))
+            feats.append(rms.astype(np.float32))
+        flat = np.concatenate(feats) if feats else np.zeros(0, np.float32)
+        return pa.table(
+            {
+                "media_id": tbl.column("media_id"),
+                "rms": _tensor_column(flat, self.n_frames),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: decode video (stub) → sample every k-th frame →
+    per-frame mean intensity (the shape a real frame featurizer takes)."""
+
+    def __init__(self, stride: int = 4, max_frames: int = 8):
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids, frame_idx, intensity = [], [], []
+        for row in tbl.to_pylist():
+            frames = decode_video_frames_stub(
+                row["payload"], row["width"], row["height"], row["n_frames"]
+            )
+            picked = frames[:: self.stride][: self.max_frames]
+            means = picked.reshape(len(picked), -1).mean(axis=1)
+            ids.extend([row["media_id"]] * len(picked))
+            frame_idx.extend((np.arange(len(picked)) * self.stride).tolist())
+            intensity.extend(means.astype(np.float64).tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "mean_intensity": pa.array(intensity, pa.float64()),
+            }
+        )
+
+
+def media_pipeline(ds, kind: str, stage_cls, batch_size: int = 16, concurrency=(1, 4), **kw):
+    """Filter one modality and run its actor-pool stage with media-sized
+    batches (large binary payloads → small batch_size; see module doc)."""
+    filtered = ds.filter(expr=f"kind == '{kind}'")
+    return filtered.map_batches(
+        stage_cls,
+        fn_constructor_kwargs=kw,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
