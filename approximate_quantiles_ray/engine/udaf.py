@@ -59,16 +59,36 @@ class SketchSpec:
     transform: Callable[[pa.Table], np.ndarray] | None = None
     kind: str = "float"
 
-    def extract(self, block: pa.Table) -> np.ndarray:
-        if self.transform is not None:
-            return np.asarray(self.transform(block))
-        if self.on is None:
-            raise ValueError(f"SketchSpec {self.key!r} needs `on` or `transform`")
-        return column_as_numpy(block, self.on)
+    def _cache_key(self):
+        return (id(self.transform), self.on, self.kind)
 
-    def build(self, block: pa.Table):
+    def extract(self, block: pa.Table, cache: dict | None = None):
+        """Column/derived values for this spec. ``kind="hash"`` columns
+        stay as Arrow arrays (the hash kernel's fast path — no Python
+        object materialization). ``cache`` (shared per batch) dedupes
+        identical extractions across specs (e.g. text length feeds both
+        the t-digest and the KLL)."""
+        key = self._cache_key()
+        if cache is not None and key in cache:
+            return cache[key]
+        if self.transform is not None:
+            values = self.transform(block)
+        elif self.on is None:
+            raise ValueError(f"SketchSpec {self.key!r} needs `on` or `transform`")
+        elif self.kind == "hash":
+            arr = block.column(self.on)
+            if arr.null_count:
+                arr = arr.drop_null()
+            values = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        else:
+            values = column_as_numpy(block, self.on)
+        if cache is not None:
+            cache[key] = values
+        return values
+
+    def build(self, block: pa.Table, cache: dict | None = None):
         sketch = self.factory()
-        values = self.extract(block)
+        values = self.extract(block, cache)
         if len(values):
             if self.kind == "float":
                 sketch.update(np.asarray(values, dtype=np.float64))
@@ -163,8 +183,9 @@ class PartialSketcher:
 
     def __call__(self, block: pa.Table) -> pa.Table:
         keys, states, counts = [], [], []
+        cache: dict = {}  # share derived columns across specs within the batch
         for spec in self.specs:
-            sk = spec.build(block)
+            sk = spec.build(block, cache)
             keys.append(spec.key)
             states.append(sk.to_bytes())
             counts.append(sk.count)

@@ -136,6 +136,12 @@ def generate_shard(shard: int, n_turns: int, seed: int = 42) -> pa.Table:
     )
 
 
+def _write_shard(args: tuple) -> None:
+    shard, per_shard, seed, tmp = args
+    tbl = generate_shard(shard, per_shard, seed)
+    pq.write_table(tbl, os.path.join(tmp, f"part-{shard:05d}.parquet"))
+
+
 def generate_transcripts(
     out_dir: str, n_turns: int, seed: int = 42, n_shards: int = 8
 ) -> str:
@@ -149,9 +155,21 @@ def generate_transcripts(
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
     per_shard = max(1, n_turns // n_shards)
-    for shard in range(n_shards):
-        tbl = generate_shard(shard, per_shard, seed)
-        pq.write_table(tbl, os.path.join(tmp, f"part-{shard:05d}.parquet"))
+    if n_shards >= 8:
+        # shards are seed-independent → generate in parallel processes
+        from concurrent.futures import ProcessPoolExecutor
+
+        workers = min(16, n_shards, os.cpu_count() or 8)
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            list(
+                pool.map(
+                    _write_shard,
+                    [(shard, per_shard, seed, tmp) for shard in range(n_shards)],
+                )
+            )
+    else:
+        for shard in range(n_shards):
+            _write_shard((shard, per_shard, seed, tmp))
     os.rename(tmp, out_dir)
     return out_dir
 
