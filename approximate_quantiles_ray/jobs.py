@@ -1,0 +1,111 @@
+"""`ray job submit`-able entrypoints.
+
+    ray job submit -- python -m approximate_quantiles_ray.jobs report \
+        --input /data/transcripts --output /out/report.json
+    ray job submit -- python -m approximate_quantiles_ray.jobs checkpointed \
+        --input /data/transcripts --checkpoint-dir /out/ckpt --output /out/r.json
+    python -m approximate_quantiles_ray.jobs synth --n-turns 1000000 --out /tmp/t
+
+Only this CLI owns the Ray session (guarded init — when run under
+`ray job submit` the cluster connection already exists; standalone it
+starts local). Library code never calls ray.init.
+
+The ``checkpointed`` job is the resumable production shape: per-shard
+sketch states land in ``<checkpoint-dir>/part-*.parquet`` with a
+lineage manifest (input fragments, row counts, config hash, wall time);
+re-running after a kill skips completed shards (state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _emit(obj, output: str | None):
+    text = json.dumps(obj, indent=2, default=float)
+    if output:
+        with open(output, "w") as f:
+            f.write(text + "\n")
+    print(text)
+
+
+def cmd_report(args) -> None:
+    _ensure_ray()
+    from approximate_quantiles_ray.pipelines.transcripts import transcript_report
+
+    rep = transcript_report(args.input, include_latency=not args.no_latency)
+    _emit(dict(zip(rep["metric"], rep["value"])), args.output)
+
+
+def cmd_checkpointed(args) -> None:
+    _ensure_ray()
+    from approximate_quantiles_ray.pipelines.transcripts import QUANTILES, global_specs
+    from approximate_quantiles_ray.state.checkpoint import CheckpointedSketchJob
+
+    files = sorted(glob.glob(f"{args.input}/*.parquet"))
+    job = CheckpointedSketchJob(
+        files, global_specs(), args.checkpoint_dir, files_per_shard=args.files_per_shard
+    )
+    merged = job.run(max_shards=args.max_shards)
+    out = {"metrics": job.metrics()}
+    if "text_len_tdigest" in merged:
+        td = merged["text_len_tdigest"]
+        out["quantiles"] = {f"p{int(q * 100)}": td.est_value_at_quantile(q) for q in QUANTILES}
+        out["turns"] = td.count
+    if "conv_hll" in merged:
+        out["distinct_convs"] = merged["conv_hll"].estimate()
+    _emit(out, args.output)
+
+
+def cmd_synth(args) -> None:
+    from approximate_quantiles_ray.sources.transcripts import generate_transcripts
+
+    path = generate_transcripts(args.out, args.n_turns, seed=args.seed, n_shards=args.n_shards)
+    _emit({"path": path, "n_turns": args.n_turns, "n_shards": args.n_shards}, None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="approximate_quantiles_ray.jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("report", help="flagship sketch suite over a transcript table")
+    r.add_argument("--input", required=True)
+    r.add_argument("--output")
+    r.add_argument("--no-latency", action="store_true")
+    r.set_defaults(fn=cmd_report)
+
+    c = sub.add_parser("checkpointed", help="resumable sketch job with lineage manifest")
+    c.add_argument("--input", required=True)
+    c.add_argument("--checkpoint-dir", required=True)
+    c.add_argument("--output")
+    c.add_argument("--files-per-shard", type=int, default=1)
+    c.add_argument("--max-shards", type=int, default=None)
+    c.set_defaults(fn=cmd_checkpointed)
+
+    s = sub.add_parser("synth", help="generate the deterministic synthetic transcript table")
+    s.add_argument("--out", required=True)
+    s.add_argument("--n-turns", type=int, default=1_000_000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--n-shards", type=int, default=8)
+    s.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

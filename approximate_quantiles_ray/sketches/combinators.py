@@ -1,0 +1,114 @@
+"""Digest combinators ported from the reference's wrapper layer.
+
+- :class:`ShardedDigest` — the reference's ``ParallelDigest``
+  (/root/reference/src/parallel_digest.rs:6-99): shards are kept
+  separate; the rank query is the count-weighted sum of shard ranks
+  (:44-51) and the quantile query is bisection on the value domain over
+  the combined rank function, tolerance 1e-6 relative, returning the
+  smallest value whose rank reaches the target (:53-80). This is the
+  generic merge strategy for sketches *without* a native merge, and an
+  independent oracle for native-merge tests (SURVEY.md §2.4).
+- :class:`SymDigest` — /root/reference/src/sym_digest.rs:8-72: a low
+  digest over x and a high digest over −x; queries answer from the side
+  of the median that is more accurate for one-sided sketches (the
+  relative-compactor family is low-tail-accurate), ties averaged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class ShardedDigest:
+    """Query-time combination of independent shard digests.
+
+    Any objects exposing ``est_quantile_at_value``,
+    ``est_value_at_quantile`` and ``count`` work as shards.
+    """
+
+    def __init__(self, shards: list):
+        if not shards:
+            raise ValueError("need at least one shard")
+        self.shards = list(shards)
+
+    @property
+    def count(self) -> int:
+        return int(sum(s.count for s in self.shards))
+
+    def est_quantile_at_value(self, value: float) -> float:
+        """Count-weighted mean of shard ranks (parallel_digest.rs:44-51)."""
+        total = self.count
+        if total == 0:
+            return 0.0
+        acc = 0.0
+        for s in self.shards:
+            if s.count:
+                acc += s.est_quantile_at_value(value) * s.count
+        return acc / total
+
+    def est_value_at_quantile(self, q: float, rel_tol: float = 1e-6) -> float:
+        """Bisection over [min, max] of the combined rank function,
+        choosing the smallest value with rank ≥ q
+        (parallel_digest.rs:53-80)."""
+        live = [s for s in self.shards if s.count]
+        if not live:
+            return float("nan")
+        lo = min(s.est_value_at_quantile(0.0) for s in live)
+        hi = max(s.est_value_at_quantile(1.0) for s in live)
+        if lo == hi:
+            return lo
+        span = max(abs(lo), abs(hi), 1.0)
+        while hi - lo > rel_tol * span:
+            mid = 0.5 * (lo + hi)
+            if self.est_quantile_at_value(mid) >= q:
+                hi = mid
+            else:
+                lo = mid
+        return hi
+
+
+class SymDigest:
+    """Two one-sided digests: ``low`` over x, ``high`` over −x.
+
+    ``factory()`` must build a fresh inner digest; both sides see every
+    value (sym_digest.rs:21-40).
+    """
+
+    def __init__(self, factory):
+        self.low = factory()
+        self.high = factory()
+
+    @property
+    def count(self) -> int:
+        return int(self.low.count)
+
+    def update(self, values: np.ndarray) -> "SymDigest":
+        v = np.asarray(values, dtype=np.float64)
+        self.low.update(v)
+        self.high.update(-v)
+        return self
+
+    def merge(self, other: "SymDigest") -> "SymDigest":
+        self.low.merge(other.low)
+        self.high.merge(other.high)
+        return self
+
+    def est_value_at_quantile(self, q: float) -> float:
+        """Low side below the median, mirrored high side above, ties
+        averaged (sym_digest.rs:42-58)."""
+        lo_est = self.low.est_value_at_quantile(q)
+        hi_est = -self.high.est_value_at_quantile(1.0 - q)
+        if q < 0.5:
+            return lo_est
+        if q > 0.5:
+            return hi_est
+        return 0.5 * (lo_est + hi_est)
+
+    def est_quantile_at_value(self, value: float) -> float:
+        lo_rank = self.low.est_quantile_at_value(value)
+        hi_rank = 1.0 - self.high.est_quantile_at_value(-value)
+        if lo_rank < 0.5 and hi_rank < 0.5:
+            return lo_rank
+        if lo_rank > 0.5 and hi_rank > 0.5:
+            return hi_rank
+        return 0.5 * (lo_rank + hi_rank)

@@ -81,11 +81,15 @@ class KLL:
         "number_of_sections",
         "section_sizes",
         "_sorted_cache",
+        "compaction",
     )
 
-    def __init__(self, k: int = 200, seed: int = 0):
+    def __init__(self, k: int = 200, seed: int = 0, compaction: str = "default"):
+        if compaction not in ("default", "average"):
+            raise ValueError("compaction must be 'default' or 'average'")
         self.k = int(k)
         self.seed = int(seed)
+        self.compaction = compaction
         self._levels: list[list[np.ndarray]] = []
         self._level_lens: list[int] = []
         self.sketch_size = 0
@@ -184,8 +188,19 @@ class KLL:
         self._level_lens[h] = len(lower)
         self.sketch_size -= len(upper)
 
-        chosen = self._coin(h, counter)
-        survivors = upper[chosen::2]
+        if self.compaction == "average":
+            # AverageNeighbour (rc_sketch.rs:263-273 / compaction_method.rs):
+            # average adjacent pairs; a dangling last item survives as-is
+            n_pairs = len(upper) // 2
+            pairs = upper[: 2 * n_pairs].reshape(n_pairs, 2).mean(axis=1)
+            survivors = (
+                np.concatenate([pairs, upper[2 * n_pairs :]])
+                if len(upper) % 2
+                else pairs
+            )
+        else:
+            chosen = self._coin(h, counter)
+            survivors = upper[chosen::2]
         return survivors
 
     def _compress(self) -> None:
@@ -305,6 +320,7 @@ class KLL:
                 "compaction_counters": list(self.compaction_counters),
                 "number_of_sections": list(self.number_of_sections),
                 "section_sizes": list(self.section_sizes),
+                "compaction": self.compaction,
             },
         )
 
@@ -313,7 +329,7 @@ class KLL:
         name, st = unpack_state(data)
         if name != cls.name:
             raise ValueError(f"expected {cls.name} state, got {name}")
-        obj = cls(k=st["k"], seed=st["seed"])
+        obj = cls(k=st["k"], seed=st["seed"], compaction=st.get("compaction", "default"))
         obj._levels = [[np.asarray(a, dtype=np.float64)] for a in st["levels"]]
         obj._level_lens = [len(a) for a in st["levels"]]
         obj.sketch_size = sum(obj._level_lens)

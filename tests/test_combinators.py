@@ -1,0 +1,94 @@
+"""ShardedDigest (rank-sum + bisection), SymDigest, and the
+AverageNeighbour compaction variant, vs the exact oracle.
+
+Reference bounds: parallel_digest.rs:140-248 (rel-err ≤0.005–0.0075),
+sym_digest.rs:172-263 (rel-err ≤0.005).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from approximate_quantiles_ray.sketches.combinators import ShardedDigest, SymDigest
+from approximate_quantiles_ray.sketches.exact import ExactDigest
+from approximate_quantiles_ray.sketches.kll import KLL
+from approximate_quantiles_ray.sketches.tdigest import TDigest
+
+QS = (0.001, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@pytest.fixture(scope="module")
+def uniform_data():
+    rng = np.random.default_rng(42)
+    return rng.uniform(0, 1001, 1_000_000)
+
+
+def _shards(data, make, n=4):
+    out = []
+    for chunk in np.array_split(data, n):
+        s = make()
+        s.update(chunk)
+        out.append(s)
+    return out
+
+
+def test_sharded_kll_rank_sum_and_bisection(uniform_data):
+    exact = ExactDigest()
+    exact.update(uniform_data)
+    sd = ShardedDigest(_shards(uniform_data, lambda: KLL(k=200, seed=7)))
+    assert sd.count == len(uniform_data)
+    for q in QS:
+        est = sd.est_value_at_quantile(q)
+        want = exact.est_value_at_quantile(q)
+        assert est == pytest.approx(want, rel=0.0075, abs=1.0), q
+    for v in (1.0, 100.0, 500.5, 990.0):
+        assert sd.est_quantile_at_value(v) == pytest.approx(
+            exact.est_quantile_at_value(v), abs=0.0075
+        ), v
+
+
+def test_sharded_tdigest_matches_native_merge(uniform_data):
+    shards = _shards(uniform_data, lambda: TDigest(delta=500, scale="k2"))
+    sd = ShardedDigest(shards)
+    native = TDigest(delta=500, scale="k2")
+    for s in _shards(uniform_data, lambda: TDigest(delta=500, scale="k2")):
+        native.merge(s)
+    for q in QS:
+        assert sd.est_value_at_quantile(q) == pytest.approx(
+            native.est_value_at_quantile(q), rel=0.01, abs=1.0
+        ), q
+
+
+def test_sym_digest_tails(uniform_data):
+    exact = ExactDigest()
+    exact.update(uniform_data)
+    sym = SymDigest(lambda: KLL(k=200, seed=3))
+    sym.update(uniform_data)
+    assert sym.count == len(uniform_data)
+    # both tails within the reference's one-sided bound
+    for q in (0.001, 0.01, 0.5, 0.99, 0.999):
+        est = sym.est_value_at_quantile(q)
+        want = exact.est_value_at_quantile(q)
+        assert est == pytest.approx(want, rel=0.005, abs=1.0), q
+    # merge path
+    sym2 = SymDigest(lambda: KLL(k=200, seed=3))
+    sym2.update(uniform_data[:100])
+    sym.merge(sym2)
+    assert sym.count == len(uniform_data) + 100
+
+
+def test_kll_average_compaction(uniform_data):
+    exact = ExactDigest()
+    exact.update(uniform_data)
+    sk = KLL(k=200, seed=1, compaction="average")
+    sk.update(uniform_data)
+    assert sk.count == len(uniform_data)
+    for q in QS:
+        assert sk.est_value_at_quantile(q) == pytest.approx(
+            exact.est_value_at_quantile(q), rel=0.005, abs=1.0
+        ), q
+    # serde round-trip keeps the mode
+    rt = KLL.from_bytes(sk.to_bytes())
+    assert rt.compaction == "average"
+    assert rt.est_value_at_quantile(0.5) == sk.est_value_at_quantile(0.5)
