@@ -54,6 +54,12 @@ def _role_len_sketch(sf_dir: str) -> pd.DataFrame:
     return grouped_text_len_by_role(te.transcripts_dir_for(sf_dir))
 
 
+def _membership(sf_dir: str) -> pd.DataFrame:
+    from approximate_quantiles_ray.pipelines.transcripts import conv_membership_check
+
+    return conv_membership_check(te.transcripts_dir_for(sf_dir))
+
+
 def _order_invariant(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -69,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sketch suite (approximate → rows-only driver check; ε-bounds in tests/)
     q["transcript_sketch_report"] = _sketch_report
     q["transcript_role_len_sketch"] = _role_len_sketch
+    q["transcript_membership"] = _membership
     q["transcript_order_invariant"] = _order_invariant
     try:  # round-1 extensions registered as they land
         from approximate_quantiles_ray.pipelines import dedup, similarity

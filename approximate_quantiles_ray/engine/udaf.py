@@ -252,3 +252,39 @@ def hashed_column_transform(col: str) -> Callable[[pa.Table], np.ndarray]:
         return hash_any(arr.combine_chunks())
 
     return transform
+
+
+def grouped_sketches_salted(ds, group_key: str, specs: list[SketchSpec], salt: int = 16):
+    """Skew-defused grouped sketches: two-stage salted merge.
+
+    Stage 1 groups on ``(group_key, salt)`` where salt spreads each hot
+    key across ``salt`` reducers (round-robin within each batch), so a
+    Zipf-hot key costs ``salt`` parallel partial merges instead of one
+    straggler reducer. Stage 2 merges the ≤ salt partial states per key
+    — sketch states are KB-sized, so the final merge is driver-side and
+    O(#groups × salt).
+
+    Returns a pandas DataFrame [group_key, *spec.key] of merged states
+    (bytes), same schema as :func:`grouped_sketches` collected.
+    """
+    import pandas as pd
+
+    def add_salt(tbl: pa.Table) -> pa.Table:
+        s = np.arange(tbl.num_rows, dtype=np.int64) % salt
+        return tbl.append_column("__salt", pa.array(s))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [make_aggregate(s) for s in specs]
+    stage1 = salted.groupby([group_key, "__salt"]).aggregate(*aggs).to_pandas()
+
+    rows = []
+    for key, g in stage1.groupby(group_key, sort=True):
+        row = {group_key: key}
+        for spec in specs:
+            merged = None
+            for state in g[spec.key]:
+                sk = sketch_from_bytes(state)
+                merged = sk if merged is None else merged.merge(sk)
+            row[spec.key] = (merged or spec.factory()).to_bytes()
+        rows.append(row)
+    return pd.DataFrame(rows)

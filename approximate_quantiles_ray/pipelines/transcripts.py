@@ -4,10 +4,10 @@ Answers, in two streaming passes over the Parquet table (per
 BASELINE.json north_star):
 
 - p50/p95/p99 of per-turn text length — t-digest AND KLL (no shuffle:
-  per-block partials tree-merged by Ray's aggregate);
+  per-block partials folded streaming on the driver);
 - p50/p95/p99 of inter-turn latency — per-conversation ts deltas under
-  stable (conv_id, turn_idx) order (groupby shuffle on conv_id), then
-  the same shuffle-free sketch aggregation;
+  stable (conv_id, turn_idx) order via the fused segmented-lag operator
+  (one range sort, per-block sketch partials, exact boundary stitching);
 - distinct conv_id — HLL;
 - heavy-hitter tool frequencies — count-min + exact small-vocab check;
 - conv_id membership — Bloom filter.
@@ -257,3 +257,36 @@ def order_invariant_summary(ds) -> dict[str, Any]:
         n += int(np.sum(b.column("n").to_numpy()))
         ok = ok and bool(np.all(b.column("sorted_ok").to_numpy()))
     return {"xor": int(xor), "add": int(add), "rows": n, "sorted_ok": ok}
+
+
+def conv_membership_check(table_dir: str, n_probes: int = 200, seed: int = 42) -> pd.DataFrame:
+    """Bloom membership demo: build the conv_id Bloom filter in one
+    streaming pass, then probe known conv_ids (must ALL hit — Bloom has
+    no false negatives) and synthetic absent ids (hit rate estimates the
+    false-positive rate)."""
+    import pyarrow.dataset as pads
+
+    from approximate_quantiles_ray.sketches.bloom import BloomFilter
+
+    spec = global_specs(seed=seed)
+    bloom_spec = [s for s in spec if s.key == "conv_bloom"]
+    import ray.data as rd
+
+    ds = rd.read_parquet(table_dir, columns=["conv_id"])
+    bloom: BloomFilter = sketch_columns_streaming(ds, bloom_spec)["conv_bloom"]
+
+    head = pads.dataset(table_dir).head(n_probes * 50, columns=["conv_id"])
+    known = np.unique(head.column("conv_id").to_numpy(zero_copy_only=False))[:n_probes]
+    absent = np.array([f"conv-absent-{i:07d}" for i in range(n_probes)], dtype=object)
+
+    present_hits = int(bloom.contains(pa.array(known)).sum())
+    absent_hits = int(bloom.contains(pa.array(absent)).sum())
+    return pd.DataFrame(
+        [
+            {"metric": "present_probes", "value": float(len(known))},
+            {"metric": "present_hits", "value": float(present_hits)},
+            {"metric": "absent_probes", "value": float(n_probes)},
+            {"metric": "absent_hits", "value": float(absent_hits)},
+            {"metric": "fp_rate_est", "value": absent_hits / n_probes},
+        ]
+    )
