@@ -149,25 +149,55 @@ def _band_rows(ids: np.ndarray, sigs: np.ndarray, n_bands: int) -> pa.Table:
 
 
 def _hot_bucket_pairs(rows: pd.DataFrame, extra_cols: list[str] | None = None,
-                      cap: int = 200) -> pd.DataFrame:
-    """Candidate pairs from hot-bucket member rows (vectorized pandas
-    groupby over the *small* hot subset — never the corpus)."""
-    pairs = []
+                      cap: int = 200, star: bool = False) -> pd.DataFrame:
+    """Candidate pairs from hot-bucket member rows.
+
+    Vectorized: one sort by (band, bucket, doc_id), run-boundary
+    detection, then per-run numpy index generation (no pandas-groupby
+    Python overhead — a similarity-dense corpus can have 10^4+ hot
+    buckets). ``star=True`` links each member to the run's min-id only
+    (n−1 edges instead of n(n−1)/2): sufficient for connected-component
+    clustering, and the standard candidate-blowup bound for dedup.
+    """
     cols = extra_cols or []
-    for (_, _), g in rows.groupby(["band", "bucket"], sort=False):
-        g = g.sort_values("doc_id").head(cap)
-        ids = g["doc_id"].to_numpy()
-        if len(ids) < 2:
+    empty = {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+    for c in cols:
+        empty[f"{c}_a"] = pd.Series(dtype=rows[c].dtype if len(rows) else np.int64)
+        empty[f"{c}_b"] = empty[f"{c}_a"]
+    if not len(rows):
+        return pd.DataFrame(empty)
+
+    r = rows.sort_values(["band", "bucket", "doc_id"], kind="stable").reset_index(drop=True)
+    band = r["band"].to_numpy()
+    bucket = r["bucket"].to_numpy()
+    new_run = np.ones(len(r), bool)
+    new_run[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], len(r))
+
+    ia_all, ib_all = [], []
+    for s, e in zip(starts, ends):
+        n = min(e - s, cap)
+        if n < 2:
             continue
-        iu = np.triu_indices(len(ids), 1)
-        d = {"a": ids[iu[0]], "b": ids[iu[1]]}
-        for c in cols:
-            v = g[c].to_numpy()
-            d[f"{c}_a"], d[f"{c}_b"] = v[iu[0]], v[iu[1]]
-        pairs.append(pd.DataFrame(d))
-    if not pairs:
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
-    return pd.concat(pairs, ignore_index=True).drop_duplicates(subset=["a", "b"])
+        if star:
+            ia = np.full(n - 1, s)
+            ib = np.arange(s + 1, s + n)
+        else:
+            iu = np.triu_indices(n, 1)
+            ia, ib = iu[0] + s, iu[1] + s
+        ia_all.append(ia)
+        ib_all.append(ib)
+    if not ia_all:
+        return pd.DataFrame(empty)
+    ia = np.concatenate(ia_all)
+    ib = np.concatenate(ib_all)
+    ids = r["doc_id"].to_numpy()
+    d = {"a": ids[ia], "b": ids[ib]}
+    for c in cols:
+        v = r[c].to_numpy()
+        d[f"{c}_a"], d[f"{c}_b"] = v[ia], v[ib]
+    return pd.DataFrame(d).drop_duplicates(subset=["a", "b"])
 
 
 def _hot_bucket_rows(band_ds, extra_cols: list[str] | None = None) -> pd.DataFrame:
@@ -238,7 +268,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_perm: int = 128,
-    n_bands: int = 32,
+    n_bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
@@ -257,7 +287,8 @@ def minhash_lsh_dedup(
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        batch_size=512,  # single-file tables arrive as one block — slice so
+        concurrency=(1, 8),  # the signature work spreads across the pool
     )
 
     def explode(tbl: pa.Table) -> pa.Table:
@@ -269,8 +300,11 @@ def minhash_lsh_dedup(
         ).astype(np.uint64)
         return _band_rows(ids, sig, n_bands)
 
+    # 16 bands × 8 rows: band-collision prob J^8 — J=0.8 → ≥1 collision
+    # p≈0.94, J=0.5 → p≈6% (few false candidates); star edges bound the
+    # per-bucket pair count at n−1 (union-find restores full clusters)
     bands = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    cand = _hot_bucket_pairs(_hot_bucket_rows(bands))
+    cand = _hot_bucket_pairs(_hot_bucket_rows(bands), star=True)
 
     texts_by_id: dict[int, str] = {}
     if len(cand):
@@ -362,6 +396,7 @@ def simhash_signatures(ds, id_col: str = "doc_id", text_col: str = "text", seed:
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col, "seed": seed},
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=1024,
         concurrency=(1, 8),
     )
 

@@ -80,13 +80,21 @@ def role_stats(sf_dir: str) -> pd.DataFrame:
 def tool_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Exact tool heavy hitters (the count-min sketch's ground truth)."""
     ds = read_transcripts_ds(sf_dir, ["tool"])
-    counts = (
-        ds.map_batches(
-            lambda t: t.drop_null(), batch_format="pyarrow", zero_copy_batch=True
+    def block_counts(t: pa.Table) -> pa.Table:
+        # per-block pre-aggregation: only (tool, n) rows — ~50 per block —
+        # reach the shuffle, not one row per turn
+        vc = t.drop_null().column("tool").value_counts()
+        return pa.table(
+            {"tool": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
         )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("tool")
-        .count()
-        .rename_columns({"count()": "n_uses"})
+        .aggregate(Sum("n"))
+        .rename_columns({"sum(n)": "n_uses"})
     )
     return counts.sort(["n_uses", "tool"], descending=[True, False]).limit(k).to_pandas()
 
