@@ -78,10 +78,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcript_membership"] = _membership
     q["transcript_order_invariant"] = _order_invariant
     try:  # round-1 extensions registered as they land
-        from approximate_quantiles_ray.pipelines import dedup, similarity
+        from approximate_quantiles_ray.pipelines import dedup, similarity, windows
 
         q.update(dedup.QUERIES)
         q.update(similarity.QUERIES)
+        q.update(windows.QUERIES)
     except ImportError:
         pass
     return q
@@ -95,10 +96,11 @@ def oracle_sql() -> dict[str, str]:
     # use (generated on demand — oracle_sql() may be called first)
     sqls.update(te.oracle_sql(_ORACLE_SF_DIR))
     try:
-        from approximate_quantiles_ray.pipelines import dedup, similarity
+        from approximate_quantiles_ray.pipelines import dedup, similarity, windows
 
         sqls.update(dedup.ORACLE_SQL)
         sqls.update(similarity.ORACLE_SQL)
+        sqls.update(windows.ORACLE_SQL)
     except ImportError:
         pass
     return sqls
