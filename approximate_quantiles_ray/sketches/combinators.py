@@ -112,3 +112,35 @@ class SymDigest:
         if lo_rank > 0.5 and hi_rank > 0.5:
             return hi_rank
         return 0.5 * (lo_rank + hi_rank)
+
+
+class MultiDigest:
+    """Ensemble fan-out: every value goes to every member; queries
+    average the members' estimates (/root/reference/src/multi_digest.rs:26-61).
+    Useful for variance reduction with randomized sketches (KLL)."""
+
+    def __init__(self, factories: list):
+        if not factories:
+            raise ValueError("need at least one factory")
+        self.members = [f() for f in factories]
+
+    @property
+    def count(self) -> int:
+        return int(self.members[0].count)
+
+    def update(self, values: np.ndarray) -> "MultiDigest":
+        v = np.asarray(values, dtype=np.float64)
+        for m in self.members:
+            m.update(v)
+        return self
+
+    def merge(self, other: "MultiDigest") -> "MultiDigest":
+        for a, b in zip(self.members, other.members):
+            a.merge(b)
+        return self
+
+    def est_value_at_quantile(self, q: float) -> float:
+        return float(np.mean([m.est_value_at_quantile(q) for m in self.members]))
+
+    def est_quantile_at_value(self, value: float) -> float:
+        return float(np.mean([m.est_quantile_at_value(value) for m in self.members]))

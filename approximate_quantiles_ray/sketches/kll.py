@@ -82,11 +82,16 @@ class KLL:
         "section_sizes",
         "_sorted_cache",
         "compaction",
+        "fast",
     )
 
-    def __init__(self, k: int = 200, seed: int = 0, compaction: str = "default"):
+    def __init__(self, k: int = 200, seed: int = 0, compaction: str = "default",
+                 fast: bool = False):
         if compaction not in ("default", "average"):
             raise ValueError("compaction must be 'default' or 'average'")
+        # fast=True always compacts the upper half (rc_sketch.rs:130-136
+        # get_compact_index_fast): cheaper, more error
+        self.fast = bool(fast)
         self.k = int(k)
         self.seed = int(seed)
         self.compaction = compaction
@@ -165,6 +170,8 @@ class KLL:
         return _splitmix64_scalar(self.seed ^ (h * _GOLDEN) ^ counter) & 1
 
     def _get_compact_index(self, h: int) -> int:
+        if self.fast:
+            return self._level_lens[h] // 2
         num_compaction_sections = max(
             0,
             self.number_of_sections[h] - _trailing_ones(self.compaction_counters[h]) - 1,
@@ -321,6 +328,7 @@ class KLL:
                 "number_of_sections": list(self.number_of_sections),
                 "section_sizes": list(self.section_sizes),
                 "compaction": self.compaction,
+                "fast": self.fast,
             },
         )
 
@@ -329,7 +337,12 @@ class KLL:
         name, st = unpack_state(data)
         if name != cls.name:
             raise ValueError(f"expected {cls.name} state, got {name}")
-        obj = cls(k=st["k"], seed=st["seed"], compaction=st.get("compaction", "default"))
+        obj = cls(
+            k=st["k"],
+            seed=st["seed"],
+            compaction=st.get("compaction", "default"),
+            fast=st.get("fast", False),
+        )
         obj._levels = [[np.asarray(a, dtype=np.float64)] for a in st["levels"]]
         obj._level_lens = [len(a) for a in st["levels"]]
         obj.sketch_size = sum(obj._level_lens)

@@ -92,3 +92,32 @@ def test_kll_average_compaction(uniform_data):
     rt = KLL.from_bytes(sk.to_bytes())
     assert rt.compaction == "average"
     assert rt.est_value_at_quantile(0.5) == sk.est_value_at_quantile(0.5)
+
+
+def test_multi_digest_ensemble(uniform_data):
+    from approximate_quantiles_ray.sketches.combinators import MultiDigest
+
+    exact = ExactDigest()
+    exact.update(uniform_data)
+    md = MultiDigest([lambda s=s: KLL(k=100, seed=s) for s in (1, 2, 3)])
+    md.update(uniform_data)
+    assert md.count == len(uniform_data)
+    for q in (0.01, 0.5, 0.99):
+        assert md.est_value_at_quantile(q) == pytest.approx(
+            exact.est_value_at_quantile(q), rel=0.01, abs=1.0
+        ), q
+
+
+def test_kll_fast_mode(uniform_data):
+    exact = ExactDigest()
+    exact.update(uniform_data)
+    sk = KLL(k=200, seed=2, fast=True)
+    sk.update(uniform_data)
+    assert sk.count == len(uniform_data)
+    # fast mode trades accuracy for speed — bound is looser
+    for q in (0.1, 0.5, 0.9):
+        assert sk.est_value_at_quantile(q) == pytest.approx(
+            exact.est_value_at_quantile(q), rel=0.02, abs=2.0
+        ), q
+    rt = KLL.from_bytes(sk.to_bytes())
+    assert rt.fast and rt.est_value_at_quantile(0.5) == sk.est_value_at_quantile(0.5)
