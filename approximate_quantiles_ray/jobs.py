@@ -70,6 +70,43 @@ def cmd_checkpointed(args) -> None:
     _emit(out, args.output)
 
 
+def cmd_dedup(args) -> None:
+    """Exact-dedup a document corpus and write the kept rows as
+    partitioned Parquet (one file per output block — a failed run can
+    rewrite only missing partitions)."""
+    _ensure_ray()
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.dedup import exact_dedup
+
+    ds = rd.read_parquet(args.input)
+    keep = exact_dedup(ds, id_col=args.id_col, text_col=args.text_col)
+    keep_ids = keep.select_columns([args.id_col]).to_pandas()[args.id_col].to_numpy()
+    keep_ref = ray.put(set(int(x) for x in keep_ids))
+
+    class KeepFilter:
+        def __init__(self, ref):
+            self.keep = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(args.id_col).combine_chunks().to_numpy(zero_copy_only=False)
+            mask = np.fromiter((int(i) in self.keep for i in ids), bool, len(ids))
+            return t.filter(pa.array(mask))
+
+    deduped = rd.read_parquet(args.input).map_batches(
+        KeepFilter,
+        fn_constructor_kwargs={"ref": keep_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    deduped.write_parquet(args.output)
+    _emit({"kept": int(len(keep_ids)), "output": args.output}, None)
+
+
 def cmd_synth(args) -> None:
     from approximate_quantiles_ray.sources.transcripts import generate_transcripts
 
@@ -94,6 +131,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--files-per-shard", type=int, default=1)
     c.add_argument("--max-shards", type=int, default=None)
     c.set_defaults(fn=cmd_checkpointed)
+
+    d = sub.add_parser("dedup", help="exact-dedup a corpus, write partitioned Parquet")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.set_defaults(fn=cmd_dedup)
 
     s = sub.add_parser("synth", help="generate the deterministic synthetic transcript table")
     s.add_argument("--out", required=True)

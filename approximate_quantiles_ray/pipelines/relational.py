@@ -242,3 +242,46 @@ QUERIES = {
     "orders_by_segment": orders_by_segment,
     "docs_dedup_exact": docs_dedup_exact,
 }
+
+
+def supplier_region_stats(sf_dir: str) -> pd.DataFrame:
+    """supplier ⋈ nation ⋈ region via CHAINED broadcast joins (both
+    dimension tables ship once via ray.put; no shuffle), then per-region
+    totals with exact integer cents."""
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray.engine.broadcast import broadcast_join
+
+    suppliers = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"]).map_batches(
+        lambda t: int_cents(t, "s_acctbal", "acctbal_cents").select(
+            ["s_suppkey", "s_nationkey", "acctbal_cents"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    joined = broadcast_join(suppliers, nation, "s_nationkey", "n_nationkey")
+    joined = broadcast_join(joined, region, "n_regionkey", "r_regionkey")
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        joined.groupby("r_name")
+        .aggregate(Count(), Sum("acctbal_cents"))
+        .rename_columns({"count()": "n_suppliers", "sum(acctbal_cents)": "acctbal_cents"})
+        .to_pandas()
+    )
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+ORACLE_SQL["supplier_region_stats"] = """
+    SELECT r_name,
+           COUNT(*) AS n_suppliers,
+           SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS acctbal_cents
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+"""
+QUERIES["supplier_region_stats"] = supplier_region_stats

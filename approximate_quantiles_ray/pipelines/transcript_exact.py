@@ -64,8 +64,13 @@ def role_stats(sf_dir: str) -> pd.DataFrame:
         .rename_columns({"count()": "n_turns", "sum(chars)": "text_chars"})
         .to_pandas()
     )
+    def block_unique_pairs(t: pa.Table) -> pa.Table:
+        # per-block dedup before the shuffle: only distinct (role, conv)
+        # pairs leave the block (~#convs rows instead of #turns)
+        return t.select(["role", "conv_id"]).group_by(["role", "conv_id"]).aggregate([])
+
     dist = (
-        narrow.select_columns(["role", "conv_id"])
+        narrow.map_batches(block_unique_pairs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["role", "conv_id"])
         .count()
         .groupby("role")
