@@ -58,9 +58,14 @@ class SketchSpec:
     on: str | None = None
     transform: Callable[[pa.Table], np.ndarray] | None = None
     kind: str = "float"
+    # set-semantics sketches (HLL, Bloom) ignore multiplicity: pre-unique
+    # the batch (pc.unique, vectorized) so e.g. a conv_id column with ~30
+    # turns/conversation feeds ~30× fewer values. NEVER set for
+    # multiplicity-sensitive sketches (count-min, quantiles).
+    dedup_per_batch: bool = False
 
     def _cache_key(self):
-        return (id(self.transform), self.on, self.kind)
+        return (id(self.transform), self.on, self.kind, self.dedup_per_batch)
 
     def extract(self, block: pa.Table, cache: dict | None = None):
         """Column/derived values for this spec. ``kind="hash"`` columns
@@ -79,6 +84,8 @@ class SketchSpec:
             arr = block.column(self.on)
             if arr.null_count:
                 arr = arr.drop_null()
+            if self.dedup_per_batch:
+                arr = pa.compute.unique(arr)
             values = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         else:
             values = column_as_numpy(block, self.on)

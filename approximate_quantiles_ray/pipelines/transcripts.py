@@ -66,6 +66,7 @@ def global_specs(
             factory=lambda: HLL(p=hll_p, seed=seed),
             on="conv_id",
             kind="hash",
+            dedup_per_batch=True,  # set semantics: ~30 turns/conv collapse
         ),
         SketchSpec(
             key="tool_cms",
@@ -78,6 +79,7 @@ def global_specs(
             factory=lambda: BloomFilter(num_bits=bloom_bits, num_hashes=7, seed=seed),
             on="conv_id",
             kind="hash",
+            dedup_per_batch=True,
         ),
     ]
 
