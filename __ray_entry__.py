@@ -78,11 +78,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcript_membership"] = _membership
     q["transcript_order_invariant"] = _order_invariant
     try:  # round-1 extensions registered as they land
-        from approximate_quantiles_ray.pipelines import dedup, similarity, windows
+        from approximate_quantiles_ray.pipelines import dedup, sessions, similarity, windows
 
         q.update(dedup.QUERIES)
         q.update(similarity.QUERIES)
         q.update(windows.QUERIES)
+        q.update(sessions.QUERIES)
     except ImportError:
         pass
     return q
@@ -96,11 +97,12 @@ def oracle_sql() -> dict[str, str]:
     # use (generated on demand — oracle_sql() may be called first)
     sqls.update(te.oracle_sql(_ORACLE_SF_DIR))
     try:
-        from approximate_quantiles_ray.pipelines import dedup, similarity, windows
+        from approximate_quantiles_ray.pipelines import dedup, sessions, similarity, windows
 
         sqls.update(dedup.ORACLE_SQL)
         sqls.update(similarity.ORACLE_SQL)
         sqls.update(windows.ORACLE_SQL)
+        sqls.update(sessions.ORACLE_SQL)
     except ImportError:
         pass
     return sqls

@@ -31,7 +31,7 @@ _SCHEMA = pa.schema(
         pa.field("kind", pa.int8()),
         pa.field("gap_us", pa.int64()),
         pa.field("conv_id", pa.string()),
-        pa.field("turn_idx", pa.int32()),
+        pa.field("turn_idx", pa.int64()),
         pa.field("ts_us", pa.int64()),
     ]
 )
@@ -42,15 +42,23 @@ def _ts_us(tbl: pa.Table, ts_col: str) -> np.ndarray:
     return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
-def make_block_gaps(key_col: str, order_col: str, ts_col: str):
-    """Vectorized per-block segmented diff + head/tail boundary rows."""
+def make_block_gaps(key_col: str, order_col: str, ts_col: str, keep_gap_keys: bool = False):
+    """Vectorized per-block segmented diff + head/tail boundary rows.
+
+    ``keep_gap_keys=True`` stamps each gap row with its segment key
+    (needed for per-key downstream aggregation, e.g. sessionization)."""
 
     def block_gaps(tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
         if n == 0:
             return _SCHEMA.empty_table()
         conv = tbl.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
-        turn = tbl.column(order_col).combine_chunks().to_numpy(zero_copy_only=False)
+        turn = (
+            tbl.column(order_col)
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         ts = _ts_us(tbl, ts_col)
 
         same = conv[1:] == conv[:-1]
@@ -58,9 +66,10 @@ def make_block_gaps(key_col: str, order_col: str, ts_col: str):
 
         kind = np.concatenate([np.zeros(len(gaps), np.int8), np.int8([HEAD, TAIL])])
         gap_col = np.concatenate([gaps, [0, 0]]).astype(np.int64)
-        conv_col = np.concatenate([np.full(len(gaps), None, object), [conv[0], conv[-1]]])
+        gap_keys = conv[1:][same] if keep_gap_keys else np.full(len(gaps), None, object)
+        conv_col = np.concatenate([gap_keys, [conv[0], conv[-1]]])
         turn_col = np.concatenate(
-            [np.zeros(len(gaps), np.int32), np.int32([turn[0], turn[-1]])]
+            [np.zeros(len(gaps), np.int64), np.int64([turn[0], turn[-1]])]
         )
         ts_col_out = np.concatenate([np.zeros(len(gaps), np.int64), [ts[0], ts[-1]]])
         return pa.Table.from_arrays(
@@ -68,7 +77,7 @@ def make_block_gaps(key_col: str, order_col: str, ts_col: str):
                 pa.array(kind, pa.int8()),
                 pa.array(gap_col, pa.int64()),
                 pa.array(conv_col, pa.string()),
-                pa.array(turn_col, pa.int32()),
+                pa.array(turn_col, pa.int64()),
                 pa.array(ts_col_out, pa.int64()),
             ],
             schema=_SCHEMA,
@@ -77,27 +86,44 @@ def make_block_gaps(key_col: str, order_col: str, ts_col: str):
     return block_gaps
 
 
-def _stitch_boundaries(bnd: pd.DataFrame) -> np.ndarray:
+def _stitch_boundaries_keyed(bnd: pd.DataFrame) -> pd.DataFrame:
     """Gaps lost at block boundaries: sort boundary rows by (conv, turn,
     kind); every TAIL immediately followed by a HEAD of the same conv is
-    an adjacent-block pair → one gap."""
+    an adjacent-block pair → one gap. Returns (gap_us, conv_id) rows."""
     if not len(bnd):
-        return np.empty(0, np.int64)
+        return pd.DataFrame({"gap_us": pd.Series(dtype=np.int64), "conv_id": pd.Series(dtype=object)})
     b = bnd.sort_values(["conv_id", "turn_idx", "kind"]).reset_index(drop=True)
     kind = b["kind"].to_numpy()
     conv = b["conv_id"].to_numpy()
     ts = b["ts_us"].to_numpy()
     is_pair = (kind[:-1] == TAIL) & (kind[1:] == HEAD) & (conv[:-1] == conv[1:])
-    return (ts[1:] - ts[:-1])[is_pair].astype(np.int64)
+    return pd.DataFrame(
+        {"gap_us": (ts[1:] - ts[:-1])[is_pair].astype(np.int64), "conv_id": conv[1:][is_pair]}
+    )
 
 
-def segmented_gaps(ds, key_col: str = "conv_id", order_col: str = "turn_idx", ts_col: str = "ts"):
-    """Returns (gap Dataset with one int64 column ``gap_us``, boundary
-    gaps np.ndarray). Caller folds the (tiny) boundary array into
-    whatever reduction it runs over the Dataset."""
+def _stitch_boundaries(bnd: pd.DataFrame) -> np.ndarray:
+    return _stitch_boundaries_keyed(bnd)["gap_us"].to_numpy()
+
+
+def segmented_gaps(
+    ds,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    keep_gap_keys: bool = False,
+):
+    """Returns (gap Dataset, boundary gaps). Caller folds the (tiny)
+    boundary set into whatever reduction it runs over the Dataset.
+
+    ``keep_gap_keys=False`` (default): gap Dataset has one ``gap_us``
+    column; boundary is an int64 np.ndarray.
+    ``keep_gap_keys=True``: gap Dataset carries (gap_us, conv_id=key);
+    boundary is a (gap_us, conv_id) DataFrame — for per-key reductions
+    (sessionization)."""
     sorted_ds = ds.sort([key_col, order_col])
     tagged = sorted_ds.map_batches(
-        make_block_gaps(key_col, order_col, ts_col),
+        make_block_gaps(key_col, order_col, ts_col, keep_gap_keys=keep_gap_keys),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,  # one call per block: boundary rows ∝ #blocks
@@ -105,10 +131,13 @@ def segmented_gaps(ds, key_col: str = "conv_id", order_col: str = "turn_idx", ts
     # one pass, split by kind: interior gaps stay distributed; the 2-per-
     # block boundary rows come back to the driver for stitching
     mat = tagged.materialize()
-    gaps_ds = mat.filter(expr="kind == 0").select_columns(["gap_us"])
+    gap_cols = ["gap_us", "conv_id"] if keep_gap_keys else ["gap_us"]
+    gaps_ds = mat.filter(expr="kind == 0").select_columns(gap_cols)
     bnd = mat.filter(expr="kind > 0").select_columns(
         ["kind", "conv_id", "turn_idx", "ts_us"]
     ).to_pandas()
+    if keep_gap_keys:
+        return gaps_ds, _stitch_boundaries_keyed(bnd)
     return gaps_ds, _stitch_boundaries(bnd)
 
 

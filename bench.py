@@ -106,10 +106,12 @@ def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
         bench_queries.update(textstats.QUERIES)
         bench_queries.update(te.QUERIES)
         try:
-            from approximate_quantiles_ray.pipelines import dedup, similarity
+            from approximate_quantiles_ray.pipelines import dedup, sessions, similarity, windows
 
             bench_queries.update(dedup.QUERIES)
             bench_queries.update(similarity.QUERIES)
+            bench_queries.update(windows.QUERIES)
+            bench_queries.update(sessions.QUERIES)
         except ImportError:
             pass
         for name, fn in bench_queries.items():
