@@ -81,6 +81,9 @@ class CheckpointedSketchJob:
         self.batch_size = batch_size
         self.cfg_hash = _config_hash(specs)
         os.makedirs(checkpoint_dir, exist_ok=True)
+        import threading
+
+        self._driver_lock = threading.Lock()
 
     def _part_path(self, shard_id: int) -> str:
         return os.path.join(self.checkpoint_dir, f"part-{shard_id:05d}.parquet")
@@ -110,7 +113,13 @@ class CheckpointedSketchJob:
         import ray.data as rd
 
         t0 = time.perf_counter()
-        ds = rd.read_parquet(files)
+        # Dataset creation (path/filesystem resolution) is serialized: Ray's
+        # resolver lazily imports optional fsspec modules, and since the
+        # import FAILS in this env (no aiohttp) it never caches — concurrent
+        # attempts race into a plain ImportError that escapes Ray's
+        # ModuleNotFoundError guard. Execution below stays concurrent.
+        with self._driver_lock:
+            ds = rd.read_parquet(files)
         partials = ds.map_batches(
             PartialSketcher(self.specs),
             batch_format="pyarrow",
@@ -143,7 +152,7 @@ class CheckpointedSketchJob:
         tmp = self._part_path(shard_id) + ".tmp"
         pq.write_table(pa.Table.from_pydict(rows_out, schema=PART_SCHEMA), tmp)
         os.replace(tmp, self._part_path(shard_id))
-        with open(self.manifest_path, "a") as f:
+        with self._driver_lock, open(self.manifest_path, "a") as f:
             f.write(
                 json.dumps(
                     {
@@ -157,21 +166,43 @@ class CheckpointedSketchJob:
                 + "\n"
             )
 
-    def run(self, max_shards: int | None = None) -> dict[str, Any]:
+    def run(
+        self, max_shards: int | None = None, max_concurrent: int = 4
+    ) -> dict[str, Any]:
         """Process incomplete shards (optionally at most ``max_shards``,
         for interruption tests), then merge all completed shard states.
 
+        Shards run as concurrent Ray Data pipelines (``max_concurrent``
+        driver threads) so shard-level sequencing doesn't serialize the
+        cluster; each shard still checkpoints atomically on completion
+        (manifest append is under a lock).
+
         Returns {sketch_key: merged sketch} over the completed shards.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         done = self.completed_shards()
-        processed = 0
-        for shard_id, files in enumerate(self.shards):
-            if shard_id in done:
-                continue
-            if max_shards is not None and processed >= max_shards:
-                break
-            self._run_shard(shard_id, files)
-            processed += 1
+        todo = [
+            (shard_id, files)
+            for shard_id, files in enumerate(self.shards)
+            if shard_id not in done
+        ]
+        if max_shards is not None:
+            todo = todo[:max_shards]
+        if todo:
+            # first shard runs inline: Ray's read path lazily imports
+            # optional modules (fsspec.http, …) and a concurrent FIRST
+            # import from several threads races into a plain ImportError
+            # that Ray's ModuleNotFoundError guard doesn't catch; one
+            # warm pass makes the rest thread-safe
+            self._run_shard(*todo[0])
+            rest = todo[1:]
+            if rest and max_concurrent > 1:
+                with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+                    list(pool.map(lambda t: self._run_shard(*t), rest))
+            else:
+                for shard_id, files in rest:
+                    self._run_shard(shard_id, files)
         return self.collect()
 
     def collect(self) -> dict[str, Any]:
