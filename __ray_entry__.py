@@ -20,8 +20,16 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+# the driver may import this module by file path from another cwd — make
+# the package resolvable regardless
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 import pandas as pd
 
