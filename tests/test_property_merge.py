@@ -1,0 +1,121 @@
+"""Property-based (hypothesis) checks of the sketch monoid laws:
+serde round-trips, count conservation, merge associativity/commutativity
+(exact for HLL/CMS/Bloom states; within-ε estimates for quantile
+sketches), identity element behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from approximate_quantiles_ray.functions.hashing import hash_int64
+from approximate_quantiles_ray.sketches.bloom import BloomFilter
+from approximate_quantiles_ray.sketches.countmin import CountMinSketch
+from approximate_quantiles_ray.sketches.hll import HLL
+from approximate_quantiles_ray.sketches.kll import KLL
+from approximate_quantiles_ray.sketches.tdigest import TDigest
+
+floats = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False, width=64
+)
+float_lists = st.lists(floats, min_size=0, max_size=400)
+int_lists = st.lists(st.integers(min_value=0, max_value=1 << 40), min_size=0, max_size=400)
+
+
+def _arr(xs):
+    return np.asarray(xs, dtype=np.float64)
+
+
+@settings(max_examples=40, deadline=None)
+@given(float_lists, float_lists, float_lists)
+def test_tdigest_monoid(a, b, c):
+    def mk(xs):
+        sk = TDigest(delta=100, scale="k2")
+        if xs:
+            sk.update(_arr(xs))
+        return sk
+
+    left = mk(a).merge(mk(b)).merge(mk(c))
+    right = mk(a).merge(mk(b).merge(mk(c)))
+    assert left.count == right.count == len(a) + len(b) + len(c)
+    if left.count:
+        for q in (0.1, 0.5, 0.9):
+            lo, hi = sorted([left.est_value_at_quantile(q), right.est_value_at_quantile(q)])
+            span = max(1.0, abs(hi), abs(lo))
+            assert (hi - lo) / span < 0.1, q  # approximate associativity
+    # serde round-trip exact
+    rt = TDigest.from_bytes(left.to_bytes())
+    assert rt.count == left.count
+    if left.count:
+        assert rt.est_value_at_quantile(0.5) == left.est_value_at_quantile(0.5)
+
+
+@settings(max_examples=40, deadline=None)
+@given(float_lists, float_lists)
+def test_kll_merge_commutes_in_distribution(a, b):
+    def mk(xs):
+        sk = KLL(k=50, seed=7)
+        if xs:
+            sk.update(_arr(xs))
+        return sk
+
+    ab = mk(a).merge(mk(b))
+    ba = mk(b).merge(mk(a))
+    assert ab.count == ba.count == len(a) + len(b)
+    if ab.count:
+        allv = np.sort(_arr(a + b))
+        for q in (0.25, 0.75):
+            exact = allv[min(len(allv) - 1, int(q * len(allv)))]
+            spread = (allv[-1] - allv[0]) or 1.0
+            assert abs(ab.est_value_at_quantile(q) - exact) <= 0.35 * spread + 1e-9
+            assert abs(ba.est_value_at_quantile(q) - exact) <= 0.35 * spread + 1e-9
+    rt = KLL.from_bytes(ab.to_bytes())
+    assert rt.count == ab.count
+
+
+@settings(max_examples=40, deadline=None)
+@given(int_lists, int_lists, int_lists)
+def test_hll_state_associative_commutative_exact(a, b, c):
+    def mk(xs):
+        sk = HLL(p=10, seed=1)
+        if xs:
+            sk.update(hash_int64(np.asarray(xs, np.int64)))
+        return sk
+
+    x = mk(a).merge(mk(b)).merge(mk(c))
+    y = mk(c).merge(mk(a).merge(mk(b)))
+    np.testing.assert_array_equal(x.registers, y.registers)
+    rt = HLL.from_bytes(x.to_bytes())
+    np.testing.assert_array_equal(rt.registers, x.registers)
+
+
+@settings(max_examples=40, deadline=None)
+@given(int_lists, int_lists)
+def test_cms_and_bloom_states_exact(a, b):
+    cm_ab = CountMinSketch(width=256, depth=3, seed=2)
+    cm_ab.update(np.asarray(a + b, np.int64) if a + b else np.zeros(0, np.int64))
+    cm_merge = CountMinSketch(width=256, depth=3, seed=2)
+    cm_b = CountMinSketch(width=256, depth=3, seed=2)
+    if a:
+        cm_merge.update(np.asarray(a, np.int64))
+    if b:
+        cm_b.update(np.asarray(b, np.int64))
+    cm_merge.merge(cm_b)
+    np.testing.assert_array_equal(cm_ab.table, cm_merge.table)
+
+    bl_ab = BloomFilter(num_bits=1 << 12, num_hashes=3, seed=3)
+    bl_a = BloomFilter(num_bits=1 << 12, num_hashes=3, seed=3)
+    bl_b = BloomFilter(num_bits=1 << 12, num_hashes=3, seed=3)
+    if a + b:
+        bl_ab.update(np.asarray(a + b, np.int64))
+    if a:
+        bl_a.update(np.asarray(a, np.int64))
+    if b:
+        bl_b.update(np.asarray(b, np.int64))
+    bl_a.merge(bl_b)
+    np.testing.assert_array_equal(bl_ab.bits, bl_a.bits)
+    # no false negatives, ever
+    if a:
+        assert bl_a.contains(np.asarray(a, np.int64)).all()
