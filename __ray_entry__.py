@@ -62,6 +62,15 @@ def _role_len_sketch(sf_dir: str) -> pd.DataFrame:
     return grouped_text_len_by_role(te.transcripts_dir_for(sf_dir))
 
 
+def _tool_hh_cms(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.topk import heavy_hitters
+
+    ds = rd.read_parquet(te.transcripts_dir_for(sf_dir), columns=["tool"])
+    return heavy_hitters(ds, "tool", k=10)
+
+
 def _membership(sf_dir: str) -> pd.DataFrame:
     from approximate_quantiles_ray.pipelines.transcripts import conv_membership_check
 
@@ -83,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sketch suite (approximate → rows-only driver check; ε-bounds in tests/)
     q["transcript_sketch_report"] = _sketch_report
     q["transcript_role_len_sketch"] = _role_len_sketch
+    q["transcript_tool_hh_cms"] = _tool_hh_cms
     q["transcript_membership"] = _membership
     q["transcript_order_invariant"] = _order_invariant
     try:  # round-1 extensions registered as they land

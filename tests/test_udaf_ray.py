@@ -99,3 +99,25 @@ def test_empty_dataset(ray_session):
     merged = sketch_columns(ds, _value_specs())
     assert merged["v_td"].count == 0
     assert merged["u_hll"].estimate() == 0.0
+
+
+def test_heavy_hitters_matches_exact_topk(ray_session):
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.topk import heavy_hitters
+    from approximate_quantiles_ray.sources.transcripts import ensure_transcripts
+
+    table = ensure_transcripts(20_000, seed=13, n_shards=4)
+    ds = rd.read_parquet(table, columns=["tool"])
+    got = heavy_hitters(ds, "tool", k=10)
+
+    df = pads.dataset(table).to_table(columns=["tool"]).to_pandas().dropna()
+    exact = df["tool"].value_counts()
+    # Zipf tools: top-10 sets agree; CMS estimates are upper bounds
+    # within eN (e = e/width ~ 3e-4 of N)
+    assert set(got["value"]) == set(exact.head(10).index)
+    n = len(df)
+    for _, row in got.iterrows():
+        true = int(exact[row["value"]])
+        assert true <= row["est_count"] <= true + 0.01 * n, row["value"]
