@@ -121,3 +121,30 @@ def test_heavy_hitters_matches_exact_topk(ray_session):
     for _, row in got.iterrows():
         true = int(exact[row["value"]])
         assert true <= row["est_count"] <= true + 0.01 * n, row["value"]
+
+
+def test_tree_merge_matches_streaming_fold(ray_session):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.udaf import (
+        sketch_columns_streaming,
+        sketch_columns_tree,
+    )
+    from approximate_quantiles_ray.pipelines.transcripts import global_specs
+    from approximate_quantiles_ray.sources.transcripts import ensure_transcripts
+
+    table = ensure_transcripts(20_000, seed=13, n_shards=4)
+    cols = ["conv_id", "text", "tool"]
+    a = sketch_columns_streaming(rd.read_parquet(table, columns=cols), global_specs())
+    b = sketch_columns_tree(rd.read_parquet(table, columns=cols), global_specs())
+    assert a["text_len_tdigest"].count == b["text_len_tdigest"].count
+    # HLL/Bloom states are merge-order-invariant → identical
+    import numpy as np
+
+    np.testing.assert_array_equal(a["conv_hll"].registers, b["conv_hll"].registers)
+    np.testing.assert_array_equal(a["conv_bloom"].bits, b["conv_bloom"].bits)
+    # quantile estimates within sketch tolerance (merge order differs)
+    for key in ("text_len_tdigest", "text_len_kll"):
+        for q in (0.1, 0.5, 0.99):
+            x, y = a[key].est_value_at_quantile(q), b[key].est_value_at_quantile(q)
+            assert abs(x - y) / max(1.0, abs(x)) < 0.02, (key, q)
