@@ -15,9 +15,12 @@
   of dedup's hot-bucket machinery) + exact cosine verification of
   in-bucket candidate pairs.
 
-At 100 TB the per-batch top-k partials and signature blocking keep all
-wide stages bounded; an IVF (k-means coarse quantizer) variant would
-slot into the same probe-filter position.
+- **IVF ANN**: seeded Lloyd k-means coarse quantizer trained on a
+  driver-side sample, broadcast; probing keeps vectors assigned to the
+  nprobe centroids nearest a query (recall ≥0.9 on clustered data).
+
+At 100 TB the per-batch top-k partials and signature/centroid blocking
+keep all wide stages bounded.
 """
 
 from __future__ import annotations
@@ -319,3 +322,85 @@ QUERIES = {
     "embeddings_knn_lsh": embeddings_knn_lsh,
     "embeddings_near_dups": embeddings_near_dups,
 }
+
+
+# ------------------------------------------------------------------------- IVF
+
+
+def train_ivf_centroids(sample: np.ndarray, n_centroids: int = 16, iters: int = 10,
+                        seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd k-means on unit vectors (cosine ≡ dot after
+    normalization) — the IVF coarse quantizer, trained driver-side on a
+    small sample and broadcast to the probe stage."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, np.float64))
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def knn_ivf(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
+            n_centroids: int = 16, nprobe: int = 4, sample_size: int = 4096,
+            seed: int = 42, id_col: str = "vec_id", col: str = "embedding") -> pd.DataFrame:
+    """IVF ANN: score only vectors assigned to one of the ``nprobe``
+    centroids nearest to any query. Same probe-filter position as the
+    hyperplane LSH (knn_lsh); better candidate selectivity on clustered
+    embeddings. Candidate fraction ≈ nprobe / n_centroids."""
+    import ray
+
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[col] for r in sample_rows], np.float64)
+    centroids = train_ivf_centroids(sample, n_centroids, seed=seed)
+
+    qm = _normalize(np.asarray(query_matrix, np.float64))
+    qsims = qm @ centroids.T
+    probe_sets = np.argsort(-qsims, axis=1)[:, :nprobe]
+    probed = np.unique(probe_sets.ravel())
+    ref = ray.put({"qids": np.asarray(query_ids, np.int64), "matrix": query_matrix})
+    cref = ray.put({"centroids": centroids, "probed": probed})
+
+    class IVFProbeTopK(BatchTopK):
+        def __init__(self, queries_ref, k, id_col, col):
+            super().__init__(queries_ref, k, id_col, col)
+            c = ray.get(cref)
+            self.centroids = c["centroids"]
+            self.probed = set(int(x) for x in c["probed"])
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            emb = _embedding_matrix(tbl, self.col)
+            if not len(emb):
+                return super().__call__(tbl)
+            assign = np.argmax(_normalize(emb) @ self.centroids.T, axis=1)
+            keep = np.fromiter((int(a) in self.probed for a in assign), bool, len(assign))
+            return super().__call__(tbl.filter(pa.array(keep)))
+
+    parts = ds.map_batches(
+        IVFProbeTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "col": col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).to_pandas()
+    return _merge_topk(parts, k)
+
+
+def embeddings_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN over the test embeddings (rows-only; recall tested on
+    clustered synthetic data in pytest — the testdata embeddings are
+    isotropic, the LSH/IVF worst case)."""
+    import ray.data as rd
+
+    ids, mat = _load_queries(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_ivf(ds, ids, mat, k=_K, nprobe=8)
+    out["score"] = out["score"].round(4)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+QUERIES["embeddings_knn_ivf"] = embeddings_knn_ivf

@@ -22,12 +22,19 @@ class CountMinSketch:
 
     name = "countmin"
 
-    __slots__ = ("width", "depth", "seed", "table", "_count")
+    __slots__ = ("width", "depth", "seed", "table", "_count", "conservative")
 
-    def __init__(self, width: int = 8192, depth: int = 5, seed: int = 0):
+    def __init__(self, width: int = 8192, depth: int = 5, seed: int = 0,
+                 conservative: bool = False):
+        """``conservative=True`` enables conservative update (Estan &
+        Varghese 2002): only counters currently equal to the item's min
+        estimate are incremented — tighter (still never-underestimate)
+        point queries. Slightly order-sensitive; merge stays elementwise
+        add and stays a valid upper bound."""
         self.width = int(width)
         self.depth = int(depth)
         self.seed = int(seed)
+        self.conservative = bool(conservative)
         self.table = np.zeros((self.depth, self.width), dtype=np.int64)
         self._count = 0
 
@@ -60,9 +67,16 @@ class CountMinSketch:
             uh = hs[starts]
             uc = np.add.reduceat(cs, starts)
             self._count += int(counts.sum())
-        for i in range(self.depth):
-            idx = double_hash(uh, i, self.width)
-            np.add.at(self.table[i], idx, uc)
+        if self.conservative:
+            idxs = np.stack([double_hash(uh, i, self.width) for i in range(self.depth)])
+            cur = np.stack([self.table[i][idxs[i]] for i in range(self.depth)])
+            new = cur.min(axis=0) + uc  # raise each counter to at most min+count
+            for i in range(self.depth):
+                np.maximum.at(self.table[i], idxs[i], new)
+        else:
+            for i in range(self.depth):
+                idx = double_hash(uh, i, self.width)
+                np.add.at(self.table[i], idx, uc)
         return self
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
@@ -90,6 +104,7 @@ class CountMinSketch:
                 "seed": self.seed,
                 "table": self.table,
                 "count": self._count,
+                "conservative": self.conservative,
             },
         )
 
@@ -98,7 +113,8 @@ class CountMinSketch:
         name, st = unpack_state(data)
         if name != cls.name:
             raise ValueError(f"expected {cls.name} state, got {name}")
-        obj = cls(width=st["width"], depth=st["depth"], seed=st["seed"])
+        obj = cls(width=st["width"], depth=st["depth"], seed=st["seed"],
+                  conservative=st.get("conservative", False))
         obj.table = np.asarray(st["table"], dtype=np.int64)
         obj._count = st["count"]
         return obj

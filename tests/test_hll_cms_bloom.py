@@ -127,3 +127,24 @@ class TestBloom:
         back = BloomFilter.from_bytes(b.to_bytes())
         np.testing.assert_array_equal(back.bits, b.bits)
         assert back.contains(np.arange(100)).all()
+
+
+def test_cms_conservative_update_tighter_never_underestimates():
+    import numpy as np
+
+    from approximate_quantiles_ray.sketches.countmin import CountMinSketch
+
+    rng = np.random.default_rng(8)
+    # heavy collisions: tiny width forces overestimates in plain mode
+    data = rng.zipf(1.3, 50_000).astype(np.int64) % 5_000
+    vals, true = np.unique(data, return_counts=True)
+    plain = CountMinSketch(width=512, depth=4, seed=1)
+    cons = CountMinSketch(width=512, depth=4, seed=1, conservative=True)
+    plain.update(data)
+    cons.update(data)
+    ep, ec = plain.estimate(vals), cons.estimate(vals)
+    assert (ep >= true).all() and (ec >= true).all()  # upper bound law
+    assert ec.sum() <= ep.sum()  # conservative is tighter overall
+    assert (ec <= ep).mean() > 0.95
+    rt = CountMinSketch.from_bytes(cons.to_bytes())
+    assert rt.conservative and (rt.estimate(vals) == ec).all()

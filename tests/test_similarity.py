@@ -97,3 +97,34 @@ def test_embedding_near_dups_finds_planted(ray_session):
     assert all((i, 50 + i) in got for i in range(5)), got
     # no false positives among random vectors
     assert all(b - a == 50 for a, b in got), got
+
+
+def test_ivf_recall_on_clustered_data(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.similarity import knn_brute_force, knn_ivf
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((8, 32)) * 3
+    points = np.vstack([c + rng.standard_normal((200, 32)) for c in centers]).astype(np.float32)
+    ids = np.arange(len(points), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(points.ravel(), pa.float32()), 32
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    qids = ids[:3]
+    qmat = points[:3].astype(np.float64)
+    bf = knn_brute_force(rd.from_arrow(tbl), qids, qmat, k=10)
+    ann = knn_ivf(rd.from_arrow(tbl), qids, qmat, k=10, n_centroids=16, nprobe=3)
+    recalls = []
+    for q in qids:
+        t = set(bf[bf["query_id"] == q]["vec_id"])
+        g = set(ann[ann["query_id"] == q]["vec_id"])
+        recalls.append(len(t & g) / len(t))
+    assert np.mean(recalls) >= 0.9, recalls
