@@ -1,0 +1,114 @@
+"""Bucketed table layout: partition once by hash(key), reuse forever.
+
+The 100 TB play for key-local computations (SURVEY.md §7: "pick ONE
+partitioning key and reuse it across stages"): pay one explicit shuffle
+to write the table partitioned by ``hash(conv_id) % n_buckets``
+(``bucket=K/`` directories). Every later per-conversation computation —
+inter-turn latency, per-conv ordering checks, conv-grouped sketches —
+then runs as an embarrassingly parallel map over buckets: each task owns
+whole conversations, sorts locally, and reduces to KB-size sketch
+partials. No global range shuffle, no block-boundary stitching, and a
+failed run can recompute per bucket (the layout doubles as the resume
+unit).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from approximate_quantiles_ray.functions.hashing import hash_strings
+
+
+def write_bucketed(ds, out_dir: str, key: str = "conv_id", n_buckets: int = 32):
+    """One-time layout shuffle: append bucket = hash(key) % n, write
+    Parquet partitioned by bucket (out_dir/bucket=K/...)."""
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        h = hash_strings(tbl.column(key).combine_chunks())
+        return tbl.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32))
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed.write_parquet(out_dir, partition_cols=["bucket"])
+    return out_dir
+
+
+def bucket_dirs(root: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(root, "bucket=*")))
+
+
+class BucketLatencySketcher:
+    """map_batches task over bucket directories: read one bucket, local
+    (conv, turn) sort, vectorized gap diff, per-bucket sketch partials.
+
+    Buckets hold whole conversations by construction, so the gap
+    computation is complete without any cross-task reconciliation.
+    """
+
+    def __init__(self, spec_factories: dict, scale: float = 1e-6):
+        self.factories = spec_factories
+        self.scale = scale
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_keys, out_states = [], []
+        for d in batch.column("path").to_pylist():
+            tbl = pq.read_table(
+                d, columns=["conv_id", "turn_idx", "ts"], use_threads=False
+            )
+            conv = tbl.column("conv_id").combine_chunks().to_numpy(zero_copy_only=False)
+            turn = tbl.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False)
+            ts = tbl.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            order = np.lexsort((turn, conv))
+            conv, ts = conv[order], ts[order]
+            same = conv[1:] == conv[:-1]
+            gaps = (ts[1:] - ts[:-1])[same].astype(np.float64) * self.scale
+            for key, factory in self.factories.items():
+                sk = factory()
+                if len(gaps):
+                    sk.update(gaps)
+                out_keys.append(key)
+                out_states.append(sk.to_bytes())
+        return pa.table(
+            {
+                "sketch_key": pa.array(out_keys, pa.string()),
+                "state": pa.array(out_states, pa.binary()),
+            }
+        )
+
+
+def latency_sketches_bucketed(bucket_root: str, specs, scale: float = 1e-6):
+    """Per-conversation latency sketches over a bucketed layout — zero
+    shuffles (the layout already paid it). Returns {key: merged sketch}."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.sketches.base import sketch_from_bytes
+
+    dirs = bucket_dirs(bucket_root)
+    if not dirs:
+        raise ValueError(f"no bucket=* dirs under {bucket_root}")
+    factories = {s.key: s.factory for s in specs}
+    parts = rd.from_items([{"path": d} for d in dirs]).map_batches(
+        BucketLatencySketcher,
+        fn_constructor_kwargs={"spec_factories": factories, "scale": scale},
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=(1, 16),
+    )
+    merged: dict = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for key, state in zip(b.column("sketch_key").to_pylist(), b.column("state").to_pylist()):
+            sk = sketch_from_bytes(state)
+            merged[key] = merged[key].merge(sk) if key in merged else sk
+    for s in specs:
+        if s.key not in merged:
+            merged[s.key] = s.factory()
+    return merged

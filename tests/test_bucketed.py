@@ -1,0 +1,61 @@
+"""Bucketed layout: write partitioned by hash(conv), then shuffle-free
+latency sketches must agree with the sort-based segmented path."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+
+from approximate_quantiles_ray.sources.transcripts import ensure_transcripts
+
+
+@pytest.fixture(scope="module")
+def bucketed_root(ray_session):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.sources.bucketed import write_bucketed
+
+    src = ensure_transcripts(20_000, seed=13, n_shards=4)
+    out = "/tmp/aqr_bucketed_test"
+    shutil.rmtree(out, ignore_errors=True)
+    write_bucketed(rd.read_parquet(src), out, key="conv_id", n_buckets=8)
+    return src, out
+
+
+def test_buckets_hold_whole_conversations(bucketed_root):
+    import pyarrow.dataset as pads
+
+    src, out = bucketed_root
+    from approximate_quantiles_ray.sources.bucketed import bucket_dirs
+
+    dirs = bucket_dirs(out)
+    assert len(dirs) == 8
+    seen: dict[str, str] = {}
+    total = 0
+    for d in dirs:
+        convs = pads.dataset(d).to_table(columns=["conv_id"]).column("conv_id").to_pylist()
+        total += len(convs)
+        for c in set(convs):
+            assert seen.setdefault(c, d) == d, f"conv {c} split across buckets"
+    assert total == pads.dataset(src).count_rows()
+
+
+def test_bucketed_latency_matches_segmented(bucketed_root):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.transcripts import latency_sketches, latency_specs
+    from approximate_quantiles_ray.sources.bucketed import latency_sketches_bucketed
+
+    src, out = bucketed_root
+    sort_based = latency_sketches(
+        rd.read_parquet(src, columns=["conv_id", "turn_idx", "ts"]), latency_specs()
+    )
+    bucketed = latency_sketches_bucketed(out, latency_specs())
+    a, b = sort_based["latency_tdigest"], bucketed["latency_tdigest"]
+    assert a.count == b.count  # identical gap multisets
+    for q in (0.1, 0.5, 0.9, 0.99):
+        assert b.est_value_at_quantile(q) == pytest.approx(
+            a.est_value_at_quantile(q), rel=0.02, abs=0.05
+        ), q
