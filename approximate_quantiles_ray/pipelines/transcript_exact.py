@@ -138,6 +138,12 @@ def oracle_sql(sf_dir_for_oracle: str) -> dict[str, str]:
         for q in LATENCY_QS
     )
     return {
+        "transcript_conv_stats": f"""
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   SUM(LENGTH(text)) AS total_chars,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+            FROM read_parquet('{glob}') GROUP BY conv_id ORDER BY conv_id
+        """,
         "transcript_role_stats": f"""
             SELECT role, COUNT(*) AS n_turns,
                    COUNT(DISTINCT conv_id) AS n_convs,
@@ -158,3 +164,46 @@ QUERIES = {
     "transcript_tool_topk": tool_topk,
     "transcript_latency_quantiles": latency_quantiles_exact,
 }
+
+
+def conv_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation feature row (the conv-level table training-data
+    filters select on): turn count, total text chars, span duration.
+
+    One hash shuffle on conv_id of pre-projected narrow rows; all
+    outputs integer (counts, char sums, µs durations) → hash-stable vs
+    the DuckDB oracle.
+    """
+    ds = read_transcripts_ds(sf_dir, ["conv_id", "text", "ts"])
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "chars": pc.cast(pc.utf8_length(tbl.column("text")), pa.int64()),
+                "ts_us": tbl.column("ts").combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(Count(), Sum("chars"), Min("ts_us"), Max("ts_us"))
+        .rename_columns(
+            {
+                "count()": "n_turns",
+                "sum(chars)": "total_chars",
+                "min(ts_us)": "ts_min_us",
+                "max(ts_us)": "ts_max_us",
+            }
+        )
+        .to_pandas()
+    )
+    out["duration_us"] = (out["ts_max_us"] - out["ts_min_us"]).astype("int64")
+    out = out[["conv_id", "n_turns", "total_chars", "duration_us"]]
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+QUERIES["transcript_conv_stats"] = conv_stats
