@@ -78,3 +78,25 @@ def test_all_queries_run_and_oracles_match(contract, oracle_con):
         assert len(g) == len(e), f"{name}: row counts differ"
         e = e.astype({c: g[c].dtype for c in g.columns})
         pd.testing.assert_frame_equal(g, e, check_exact=True, obj=name)
+
+
+def test_broadcast_join_left_with_misses(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.broadcast import broadcast_join
+
+    big = rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "x": [10, 20, 30, 40]})).repartition(2)
+    small = pa.table({"kk": [2, 4], "label": ["two", "four"]})
+    out = (
+        broadcast_join(big, small, "k", "kk", how="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["label"].tolist() == [None, "two", None, "four"]
+    inner = broadcast_join(
+        rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "x": [10, 20, 30, 40]})),
+        small, "k", "kk", how="inner",
+    ).to_pandas()
+    assert sorted(inner["k"]) == [2, 4]
