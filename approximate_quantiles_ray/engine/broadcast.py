@@ -45,11 +45,15 @@ class BroadcastJoiner:
         self.index = pd.Index(keys)
         if not self.index.is_unique:
             raise ValueError(f"build-side key {right_key!r} must be unique for this join")
-        self.payload = small.drop_columns([right_key] if right_key not in (left_key,) else [])
-        if right_key in self.payload.column_names:
-            self.payload = self.payload.drop_columns([right_key])
+        self.payload = small.drop_columns([right_key])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        overlap = set(self.payload.column_names) & set(batch.column_names)
+        if overlap:  # fail fast, not duplicate-named columns downstream
+            raise ValueError(
+                f"broadcast_join: payload columns {sorted(overlap)} collide with "
+                "probe-side columns; rename one side before joining"
+            )
         probe = batch.column(self.left_key).combine_chunks().to_numpy(zero_copy_only=False)
         pos = self.index.get_indexer(probe)  # -1 = no match
         if self.how == "inner":

@@ -109,8 +109,20 @@ class StreamingWindowAggregator:
         return self._drain()
 
     def merge(self, other: "StreamingWindowAggregator") -> "StreamingWindowAggregator":
-        """Merge another partition's open state (partitioned streaming)."""
+        """Merge another partition's open state (partitioned streaming).
+
+        A window the receiver ALREADY finalized must not re-open (it was
+        emitted; re-emitting with the other partition's rows would
+        double-count downstream): its rows are routed to the late
+        counter, exactly like late single events. For loss-free
+        partitioned streaming, merge before draining — e.g. feed
+        partitions with auto-drain disabled (huge allowed_lateness) and
+        flush once after the merge.
+        """
         for w, state in other.open.items():
+            if w in self.finalized:
+                self.late_rows += other.open_counts[w]
+                continue
             mine = self.open.setdefault(w, {})
             for key, sk in state.items():
                 if key in mine:
@@ -118,6 +130,12 @@ class StreamingWindowAggregator:
                 else:
                     mine[key] = sk
             self.open_counts[w] = self.open_counts.get(w, 0) + other.open_counts[w]
+        # symmetric case: the OTHER side already emitted w → our open rows
+        # for w can no longer be merged into an emission; they are late
+        for w in [w for w in self.open if w in other.finalized]:
+            self.late_rows += self.open_counts.pop(w)
+            del self.open[w]
+        self.finalized |= other.finalized
         self.watermark = max(self.watermark, other.watermark)
         self.late_rows += other.late_rows
         self.total_rows += other.total_rows
@@ -143,6 +161,12 @@ def stream_windows(ds, specs, batch_size: int = 8192, **agg_kwargs) -> pd.DataFr
             elif getattr(sk, "name", "") == "hll":
                 row[f"{spec.key}_est"] = float(sk.estimate())
         out.append(row)
+    if not out:  # empty / all-late stream → empty frame, attrs intact
+        df = pd.DataFrame({"window_start_us": pd.Series(dtype=np.int64),
+                           "rows": pd.Series(dtype=np.int64)})
+        df.attrs["late_rows"] = agg.late_rows
+        df.attrs["total_rows"] = agg.total_rows
+        return df
     df = pd.DataFrame(out).sort_values("window_start_us").reset_index(drop=True)
     df.attrs["late_rows"] = agg.late_rows
     df.attrs["total_rows"] = agg.total_rows

@@ -60,17 +60,32 @@ def _polars_hash(arr) -> np.ndarray:
     return pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
 
 
+# Bump when the hash function family changes (e.g. the pandas-siphash →
+# polars-xxhash switch): checkpoint configs embed this so persisted sketch
+# states from a different hash generation are invalidated instead of being
+# silently merged with incompatible hashes.
+HASH_VERSION = 2
+
+
 def hash_strings(values, seed: int = 0) -> np.ndarray:
     """Hash a string (or arbitrary object) array to uint64.
 
     Accepts pyarrow string arrays/ChunkedArrays (fast Rust path — keep
     data in Arrow upstream!), numpy object arrays, pandas Series, and
-    python lists (all converted to Arrow first).
+    python lists. Non-string object arrays (ints, mixed, datetimes)
+    fall back to the pandas siphash path — the fallback is per-COLUMN
+    deterministic (depends on dtype, not values), so every batch of a
+    column hashes consistently.
     """
     if not isinstance(values, (pa.Array, pa.ChunkedArray)):
         if isinstance(values, pd.Series):
             values = values.to_numpy()
-        values = pa.array(np.asarray(values, dtype=object), type=pa.string())
+        arr = np.asarray(values, dtype=object)
+        try:
+            values = pa.array(arr, type=pa.string())
+        except (pa.ArrowTypeError, pa.ArrowInvalid):
+            h = pd.util.hash_array(arr, categorize=True)
+            return _seed_mix(h.astype(np.uint64), seed)
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     h = _polars_hash(values)

@@ -28,7 +28,11 @@ def _ensure_ray():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # address=None → honor RAY_ADDRESS / an existing cluster (the
+        # `ray job submit` case); starts local only when neither exists.
+        # address="local" would FORCE a fresh single-node instance and
+        # silently ignore the submitted cluster.
+        ray.init(address=None, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -85,7 +89,7 @@ def cmd_dedup(args) -> None:
     ds = rd.read_parquet(args.input)
     keep = exact_dedup(ds, id_col=args.id_col, text_col=args.text_col)
     keep_ids = keep.select_columns([args.id_col]).to_pandas()[args.id_col].to_numpy()
-    keep_ref = ray.put(set(int(x) for x in keep_ids))
+    keep_ref = ray.put(np.sort(keep_ids.astype(np.int64)))
 
     class KeepFilter:
         def __init__(self, ref):
@@ -93,8 +97,7 @@ def cmd_dedup(args) -> None:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t.column(args.id_col).combine_chunks().to_numpy(zero_copy_only=False)
-            mask = np.fromiter((int(i) in self.keep for i in ids), bool, len(ids))
-            return t.filter(pa.array(mask))
+            return t.filter(pa.array(np.isin(ids, self.keep)))
 
     deduped = rd.read_parquet(args.input).map_batches(
         KeepFilter,

@@ -212,13 +212,14 @@ def _hot_bucket_rows(band_ds, extra_cols: list[str] | None = None) -> pd.DataFra
     )
     if not len(counts):
         return pd.DataFrame(columns=["doc_id", "band", "bucket"] + (extra_cols or []))
-    hot = set(zip(counts["band"].astype(int), counts["bucket"].astype(int)))
+    # vectorized prefilter on bucket hash alone (np.isin) — buckets are
+    # 64-bit hashes, so a same-bucket-different-band false hit is a 2^-64
+    # event, and _hot_bucket_pairs regroups by (band, bucket) anyway
+    hot_buckets = np.unique(counts["bucket"].to_numpy())
 
     def pick(tbl: pa.Table) -> pa.Table:
-        band = tbl.column("band").combine_chunks().to_numpy(zero_copy_only=False)
         bucket = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
-        mask = np.fromiter(((b, u) in hot for b, u in zip(band, bucket)), bool, len(band))
-        return tbl.filter(pa.array(mask))
+        return tbl.filter(pa.array(np.isin(bucket, hot_buckets)))
 
     return band_ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
 
@@ -308,12 +309,11 @@ def minhash_lsh_dedup(
 
     texts_by_id: dict[int, str] = {}
     if len(cand):
-        needed = set(int(x) for x in pd.unique(pd.concat([cand["a"], cand["b"]])))
+        needed = np.unique(pd.concat([cand["a"], cand["b"]]).to_numpy().astype(np.int64))
 
         def pick(tbl: pa.Table) -> pa.Table:
             ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-            mask = np.fromiter((int(i) in needed for i in ids), bool, len(ids))
-            return tbl.filter(pa.array(mask))
+            return tbl.filter(pa.array(np.isin(ids, needed)))
 
         picked = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
         texts_by_id = dict(zip(picked[id_col].astype(int), picked[text_col]))

@@ -68,6 +68,8 @@ def exact_quantiles(
             .sum()
         )
     hist = hist.sort_values(col).reset_index(drop=True)
+    if not len(hist):  # empty input → empty result, not IndexError
+        return pd.DataFrame({"q": pd.Series(dtype=float), "value": pd.Series(dtype=float)})
     counts = hist["count()"].to_numpy()
     cum = np.cumsum(counts)
     n = int(cum[-1])

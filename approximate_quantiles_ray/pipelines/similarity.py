@@ -99,15 +99,25 @@ class BatchTopK:
         )
 
 
+_TOPK_EMPTY = {
+    "query_id": pd.Series(dtype="int64"),
+    "vec_id": pd.Series(dtype="int64"),
+    "score": pd.Series(dtype="float64"),
+    "rank": pd.Series(dtype="int64"),
+}
+
+
 def _merge_topk(parts: pd.DataFrame, k: int) -> pd.DataFrame:
     """Driver-side merge of per-batch top-k partials (heap per query)."""
     out = []
+    if not len(parts):  # empty corpus / nothing within probe radius
+        return pd.DataFrame(_TOPK_EMPTY)
     for qid, g in parts.groupby("query_id", sort=True):
         top = heapq.nsmallest(k, zip(-g["score"], g["vec_id"]))
         for rank, (negs, vid) in enumerate(top, 1):
             out.append({"query_id": int(qid), "vec_id": int(vid),
                         "score": -negs, "rank": rank})
-    return pd.DataFrame(out)
+    return pd.DataFrame(out) if out else pd.DataFrame(_TOPK_EMPTY)
 
 
 def knn_brute_force(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
@@ -230,12 +240,11 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.98, n_planes: int = 16,
         return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
                              "cosine": pd.Series(dtype=np.float64)})
 
-    needed = set(int(x) for x in pd.unique(pd.concat([cand["a"], cand["b"]])))
+    needed = np.unique(pd.concat([cand["a"], cand["b"]]).to_numpy().astype(np.int64))
 
     def pick(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-        mask = np.fromiter((int(i) in needed for i in ids), bool, len(ids))
-        return tbl.filter(pa.array(mask))
+        return tbl.filter(pa.array(np.isin(ids, needed)))
 
     picked = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
     batches = list(picked.iter_batches(batch_format="pyarrow"))
@@ -370,15 +379,14 @@ def knn_ivf(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
             super().__init__(queries_ref, k, id_col, col)
             c = ray.get(cref)
             self.centroids = c["centroids"]
-            self.probed = set(int(x) for x in c["probed"])
+            self.probed = np.asarray(c["probed"], np.int64)
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
             emb = _embedding_matrix(tbl, self.col)
             if not len(emb):
                 return super().__call__(tbl)
             assign = np.argmax(_normalize(emb) @ self.centroids.T, axis=1)
-            keep = np.fromiter((int(a) in self.probed for a in assign), bool, len(assign))
-            return super().__call__(tbl.filter(pa.array(keep)))
+            return super().__call__(tbl.filter(pa.array(np.isin(assign, self.probed))))
 
     parts = ds.map_batches(
         IVFProbeTopK,

@@ -117,6 +117,8 @@ def latency_quantiles_exact(sf_dir: str) -> pd.DataFrame:
     ds = read_transcripts_ds(sf_dir, ["conv_id", "turn_idx", "ts"])
     gaps, boundary = segmented_gaps(ds)
     out = exact_quantiles(gaps, "gap_us", LATENCY_QS, extra_values=boundary)
+    if not len(out):  # all conversations single-turn → no gaps
+        return pd.DataFrame({"q": pd.Series(dtype=float), "gap_us": pd.Series(dtype="int64")})
     out["gap_us"] = out["value"].astype("int64")
     return out[["q", "gap_us"]]
 

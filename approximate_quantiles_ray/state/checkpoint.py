@@ -44,7 +44,14 @@ PART_SCHEMA = pa.schema(
 
 
 def _config_hash(specs: list[SketchSpec]) -> str:
-    sig = json.dumps([(s.key, s.kind, s.on) for s in specs], sort_keys=True)
+    from approximate_quantiles_ray.functions.hashing import HASH_VERSION
+
+    # HASH_VERSION invalidates checkpoints written under a different hash
+    # family — merging old-hash HLL/Bloom/CMS states with new-hash partials
+    # would be silently wrong, not an error
+    sig = json.dumps(
+        [HASH_VERSION] + [(s.key, s.kind, s.on) for s in specs], sort_keys=False
+    )
     return hashlib.sha256(sig.encode()).hexdigest()[:16]
 
 

@@ -148,3 +148,19 @@ def test_cms_conservative_update_tighter_never_underestimates():
     assert (ec <= ep).mean() > 0.95
     rt = CountMinSketch.from_bytes(cons.to_bytes())
     assert rt.conservative and (rt.estimate(vals) == ec).all()
+
+
+def test_hash_any_on_non_string_object_arrays():
+    """Review regression: object arrays of ints/mixed values must hash
+    (pandas fallback), not raise ArrowTypeError."""
+    import numpy as np
+
+    from approximate_quantiles_ray.functions.hashing import hash_any, hash_strings
+    from approximate_quantiles_ray.sketches.hll import HLL
+
+    obj_ints = np.array([1, 2, 3, 1], dtype=object)
+    h = hash_strings(obj_ints)
+    assert h.dtype == np.uint64 and h[0] == h[3] and h[0] != h[1]
+    sk = HLL(p=10, seed=1)
+    sk.update(obj_ints)  # routes through hash_any → must not crash
+    assert 2 <= sk.estimate() <= 5

@@ -28,7 +28,7 @@ def _arr(xs):
     return np.asarray(xs, dtype=np.float64)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(float_lists, float_lists, float_lists)
 def test_tdigest_monoid(a, b, c):
     def mk(xs):
@@ -60,7 +60,7 @@ def test_tdigest_monoid(a, b, c):
         assert rt.est_value_at_quantile(0.5) == left.est_value_at_quantile(0.5)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(float_lists, float_lists)
 def test_kll_merge_commutes_in_distribution(a, b):
     def mk(xs):
@@ -83,7 +83,7 @@ def test_kll_merge_commutes_in_distribution(a, b):
     assert rt.count == ab.count
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(int_lists, int_lists, int_lists)
 def test_hll_state_associative_commutative_exact(a, b, c):
     def mk(xs):
@@ -99,7 +99,7 @@ def test_hll_state_associative_commutative_exact(a, b, c):
     np.testing.assert_array_equal(rt.registers, x.registers)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(int_lists, int_lists)
 def test_cms_and_bloom_states_exact(a, b):
     cm_ab = CountMinSketch(width=256, depth=3, seed=2)

@@ -97,3 +97,20 @@ def test_partitioned_streaming_merge():
         assert ra["v_td"].est_value_at_quantile(0.5) == pytest.approx(
             rw["v_td"].est_value_at_quantile(0.5), rel=0.02
         )
+
+
+def test_merge_never_double_emits_finalized_windows():
+    """Review regression: merging a partition that still holds rows for
+    a window the receiver already emitted must route those rows to the
+    late counter, not re-open and re-emit the window."""
+    a = StreamingWindowAggregator(_specs(), window_us=WINDOW, allowed_lateness_us=LATE)
+    emitted = a.push(_batch([100_000, 200_000], [1.0, 2.0], [1, 2]))
+    emitted += a.push(_batch([2_600_000], [5.0], [3]))  # finalizes window 0
+    assert [r["window_start_us"] for r in emitted] == [0]
+
+    b = StreamingWindowAggregator(_specs(), window_us=WINDOW, allowed_lateness_us=LATE)
+    b.push(_batch([300_000, 400_000, 500_000], [7.0, 8.0, 9.0], [5, 6, 7]))  # window 0 open
+    a.merge(b)
+    assert a.late_rows == 3  # b's window-0 rows cannot merge into an emission
+    tail = a.flush()
+    assert 0 not in {r["window_start_us"] for r in tail}  # never re-emitted
