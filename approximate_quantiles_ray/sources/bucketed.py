@@ -112,3 +112,67 @@ def latency_sketches_bucketed(bucket_root: str, specs, scale: float = 1e-6):
         if s.key not in merged:
             merged[s.key] = s.factory()
     return merged
+
+
+class BucketGroupedSketcher:
+    """map_batches task over bucket dirs: per-group sketches WITHOUT a
+    shuffle — groups are wholly contained in their bucket (bucket key =
+    hash(group key)), so a local pyarrow group_by + per-group sketch
+    build inside the bucket is globally correct."""
+
+    def __init__(self, group_key: str, specs, columns: list[str]):
+        self.group_key = group_key
+        self.specs = specs
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"group": [], "sketch_key": [], "state": []}
+        for d in batch.column("path").to_pylist():
+            tbl = pq.read_table(d, columns=self.columns, use_threads=False)
+            keys = tbl.column(self.group_key).combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(keys, kind="stable")
+            sorted_tbl = tbl.take(pa.array(order))
+            skeys = keys[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], skeys[1:] != skeys[:-1]))
+            )
+            ends = np.append(starts[1:], len(skeys))
+            for s, e in zip(starts, ends):
+                group_tbl = sorted_tbl.slice(int(s), int(e - s))
+                cache: dict = {}
+                for spec in self.specs:
+                    sk = spec.build(group_tbl, cache)
+                    out["group"].append(skeys[s])
+                    out["sketch_key"].append(spec.key)
+                    out["state"].append(sk.to_bytes())
+        return pa.table(
+            {
+                "group": pa.array(out["group"], pa.string()),
+                "sketch_key": pa.array(out["sketch_key"], pa.string()),
+                "state": pa.array(out["state"], pa.binary()),
+            }
+        )
+
+
+def grouped_sketches_bucketed(bucket_root: str, group_key: str, specs,
+                              columns: list[str]):
+    """Per-group sketches over a layout bucketed BY THE GROUP KEY —
+    zero shuffles (vs grouped_sketches' hash shuffle). Returns a pandas
+    DataFrame [group, <spec.key state bytes>...]. Groups never straddle
+    buckets, so no cross-task merge is needed at all."""
+    import pandas as pd
+    import ray.data as rd
+
+    dirs = bucket_dirs(bucket_root)
+    if not dirs:
+        raise ValueError(f"no bucket=* dirs under {bucket_root}")
+    parts = rd.from_items([{"path": d} for d in dirs]).map_batches(
+        BucketGroupedSketcher,
+        fn_constructor_kwargs={"group_key": group_key, "specs": specs, "columns": columns},
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=(1, 16),
+    ).to_pandas()
+    wide = parts.pivot(index="group", columns="sketch_key", values="state").reset_index()
+    wide.columns.name = None
+    return wide.rename(columns={"group": group_key})

@@ -59,3 +59,35 @@ def test_bucketed_latency_matches_segmented(bucketed_root):
         assert b.est_value_at_quantile(q) == pytest.approx(
             a.est_value_at_quantile(q), rel=0.02, abs=0.05
         ), q
+
+
+def test_bucketed_grouped_sketches_match_shuffle_grouped(bucketed_root):
+    import numpy as np
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.udaf import SketchSpec, grouped_sketches
+    from approximate_quantiles_ray.sketches.base import sketch_from_bytes
+    from approximate_quantiles_ray.sketches.tdigest import TDigest
+    from approximate_quantiles_ray.sources.bucketed import grouped_sketches_bucketed
+
+    src, out = bucketed_root
+    spec = SketchSpec(key="turn_td", factory=lambda: TDigest(delta=200), on="turn_idx")
+    shuffled = (
+        grouped_sketches(
+            rd.read_parquet(src, columns=["conv_id", "turn_idx"]), "conv_id", [spec]
+        )
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    bucketed = grouped_sketches_bucketed(
+        out, "conv_id", [spec], columns=["conv_id", "turn_idx"]
+    ).set_index("conv_id")
+    assert sorted(shuffled.index) == sorted(bucketed.index)
+    rng = np.random.default_rng(0)
+    for conv in rng.choice(shuffled.index.to_numpy(), size=20, replace=False):
+        a = sketch_from_bytes(shuffled.loc[conv, "turn_td"])
+        b = sketch_from_bytes(bucketed.loc[conv, "turn_td"])
+        assert a.count == b.count
+        assert b.est_value_at_quantile(0.5) == pytest.approx(
+            a.est_value_at_quantile(0.5), rel=0.02, abs=1.0
+        ), conv
