@@ -160,19 +160,26 @@ def run_scaling(sf_dir: str) -> dict:
     a pure-CPU multiprocess probe of the same machine (this VM's
     advertised 32 cores deliver ~11 effective under full load; the
     probe separates host contention from engine overhead)."""
-    runs = {}
-    for cpus in SCALING_CPUS:
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(cpus),
-            GRAFT_SF_DIR=sf_dir,
-            AQR_SCALING_TURNS=str(SCALING_TURNS),
-        )
-        out = subprocess.run(
-            [sys.executable, __file__, "--scaling-level"],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    runs: dict[int, dict] = {}
+    # interleave the levels and keep each level's best sample: host-VM
+    # noise drifts on the minutes scale, so measuring 2 then 8 in one
+    # sweep can attribute a host slowdown to the cpu level; alternating
+    # sweeps decorrelate that
+    for _sweep in range(2):
+        for cpus in SCALING_CPUS:
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(cpus),
+                GRAFT_SF_DIR=sf_dir,
+                AQR_SCALING_TURNS=str(SCALING_TURNS),
+            )
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling-level"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            sample = json.loads(out.stdout.strip().splitlines()[-1])
+            if cpus not in runs or sample["turns_per_sec"] > runs[cpus]["turns_per_sec"]:
+                runs[cpus] = sample
     lo, hi = SCALING_CPUS
     thr_lo = runs[lo]["turns_per_sec"]
     thr_hi = runs[hi]["turns_per_sec"]
