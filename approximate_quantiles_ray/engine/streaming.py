@@ -161,9 +161,16 @@ def stream_windows(ds, specs, batch_size: int = 8192, **agg_kwargs) -> pd.DataFr
             elif getattr(sk, "name", "") == "hll":
                 row[f"{spec.key}_est"] = float(sk.estimate())
         out.append(row)
-    if not out:  # empty / all-late stream → empty frame, attrs intact
-        df = pd.DataFrame({"window_start_us": pd.Series(dtype=np.int64),
-                           "rows": pd.Series(dtype=np.int64)})
+    if not out:  # empty / all-late stream → empty frame, SAME schema
+        cols = {"window_start_us": pd.Series(dtype=np.int64),
+                "rows": pd.Series(dtype=np.int64)}
+        for spec in specs:
+            probe = spec.factory()
+            if hasattr(probe, "est_value_at_quantile"):
+                cols[f"{spec.key}_p50"] = pd.Series(dtype=float)
+            elif getattr(probe, "name", "") == "hll":
+                cols[f"{spec.key}_est"] = pd.Series(dtype=float)
+        df = pd.DataFrame(cols)
         df.attrs["late_rows"] = agg.late_rows
         df.attrs["total_rows"] = agg.total_rows
         return df

@@ -72,20 +72,29 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
 
     Accepts pyarrow string arrays/ChunkedArrays (fast Rust path — keep
     data in Arrow upstream!), numpy object arrays, pandas Series, and
-    python lists. Non-string object arrays (ints, mixed, datetimes)
-    fall back to the pandas siphash path — the fallback is per-COLUMN
-    deterministic (depends on dtype, not values), so every batch of a
-    column hashes consistently.
+    python lists. Non-string object arrays route by Arrow's INFERRED
+    type: numeric → splitmix64 (identical to native int/float columns),
+    strings → polars, anything else (incl. mixed batches) → pandas
+    siphash. A column whose batches mix strings with non-strings has no
+    batch-local stable family — don't feed such columns to sketches.
     """
     if not isinstance(values, (pa.Array, pa.ChunkedArray)):
         if isinstance(values, pd.Series):
             values = values.to_numpy()
         arr = np.asarray(values, dtype=object)
         try:
-            values = pa.array(arr, type=pa.string())
+            inferred = pa.array(arr)
         except (pa.ArrowTypeError, pa.ArrowInvalid):
             h = pd.util.hash_array(arr, categorize=True)
             return _seed_mix(h.astype(np.uint64), seed)
+        if pa.types.is_integer(inferred.type) or pa.types.is_floating(inferred.type):
+            return hash_int64(inferred.to_numpy(zero_copy_only=False), seed)
+        if not pa.types.is_string(inferred.type) and not pa.types.is_large_string(
+            inferred.type
+        ):
+            h = pd.util.hash_array(arr, categorize=True)
+            return _seed_mix(h.astype(np.uint64), seed)
+        values = inferred
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     h = _polars_hash(values)

@@ -89,7 +89,8 @@ def cmd_dedup(args) -> None:
     ds = rd.read_parquet(args.input)
     keep = exact_dedup(ds, id_col=args.id_col, text_col=args.text_col)
     keep_ids = keep.select_columns([args.id_col]).to_pandas()[args.id_col].to_numpy()
-    keep_ref = ray.put(np.sort(keep_ids.astype(np.int64)))
+    # keep the column's native dtype: np.isin(str_ids, int_ids) is all-False
+    keep_ref = ray.put(np.unique(keep_ids))
 
     class KeepFilter:
         def __init__(self, ref):

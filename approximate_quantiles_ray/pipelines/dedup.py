@@ -239,7 +239,7 @@ def jaccard_pairs(texts_by_id: dict, pairs: pd.DataFrame, k: int = 5) -> pd.Data
 
     scores = []
     for a, b in zip(pairs["a"], pairs["b"]):
-        sa, sb = sh(int(a)), sh(int(b))
+        sa, sb = sh(a), sh(b)
         union = len(sa | sb) or 1
         scores.append(len(sa & sb) / union)
     res = pairs.copy()
@@ -251,14 +251,15 @@ def _connected_components(pairs: pd.DataFrame) -> dict[int, int]:
     """Union-find over the (small, verified) duplicate-pair set."""
     parent: dict[int, int] = {}
 
-    def find(x: int) -> int:
+    def find(x):
         while parent.setdefault(x, x) != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
         return x
 
+    # ids stay in their native type; min/max need only a total order
     for a, b in zip(pairs["a"], pairs["b"]):
-        ra, rb = find(int(a)), find(int(b))
+        ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {x: find(x) for x in parent}
@@ -309,14 +310,14 @@ def minhash_lsh_dedup(
 
     texts_by_id: dict[int, str] = {}
     if len(cand):
-        needed = np.unique(pd.concat([cand["a"], cand["b"]]).to_numpy().astype(np.int64))
+        needed = np.unique(pd.concat([cand["a"], cand["b"]]).to_numpy())  # native dtype
 
         def pick(tbl: pa.Table) -> pa.Table:
             ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
             return tbl.filter(pa.array(np.isin(ids, needed)))
 
         picked = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-        texts_by_id = dict(zip(picked[id_col].astype(int), picked[text_col]))
+        texts_by_id = dict(zip(picked[id_col], picked[text_col]))
 
     if len(cand):
         verified = jaccard_pairs(texts_by_id, cand, shingle_k)
@@ -325,13 +326,13 @@ def minhash_lsh_dedup(
         dup_pairs = pd.DataFrame({"a": [], "b": []})
     comp = _connected_components(dup_pairs)
 
-    all_ids = ds.select_columns([id_col]).to_pandas()[id_col].astype(int)
+    all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
     cluster = all_ids.map(lambda i: comp.get(i, i))
     return (
         pd.DataFrame(
             {
                 "doc_id": all_ids,
-                "cluster_id": cluster.astype(int),
+                "cluster_id": cluster,
                 "is_kept": (all_ids == cluster).astype(bool),
             }
         )

@@ -129,6 +129,8 @@ class BucketGroupedSketcher:
         out = {"group": [], "sketch_key": [], "state": []}
         for d in batch.column("path").to_pylist():
             tbl = pq.read_table(d, columns=self.columns, use_threads=False)
+            if tbl.num_rows == 0:  # stale/empty bucket dir
+                continue
             keys = tbl.column(self.group_key).combine_chunks().to_numpy(zero_copy_only=False)
             order = np.argsort(keys, kind="stable")
             sorted_tbl = tbl.take(pa.array(order))
@@ -147,7 +149,8 @@ class BucketGroupedSketcher:
                     out["state"].append(sk.to_bytes())
         return pa.table(
             {
-                "group": pa.array(out["group"], pa.string()),
+                # inferred type: group keys may be int64, string, ...
+                "group": pa.array(out["group"]),
                 "sketch_key": pa.array(out["sketch_key"], pa.string()),
                 "state": pa.array(out["state"], pa.binary()),
             }

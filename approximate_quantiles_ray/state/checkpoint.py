@@ -44,15 +44,27 @@ PART_SCHEMA = pa.schema(
 
 
 def _config_hash(specs: list[SketchSpec]) -> str:
-    from approximate_quantiles_ray.functions.hashing import HASH_VERSION
+    """Checkpoint compatibility key. Includes:
 
-    # HASH_VERSION invalidates checkpoints written under a different hash
-    # family — merging old-hash HLL/Bloom/CMS states with new-hash partials
-    # would be silently wrong, not an error
-    sig = json.dumps(
-        [HASH_VERSION] + [(s.key, s.kind, s.on) for s in specs], sort_keys=False
-    )
-    return hashlib.sha256(sig.encode()).hexdigest()[:16]
+    - each spec's EMPTY serialized state — which encodes every sketch
+      parameter (delta, p, width/depth, seeds, compaction mode), so a
+      precision or seed change invalidates old part files;
+    - HASH_VERSION plus a runtime probe hash of a known string — so a
+      change in the string-hash family (including a polars upgrade that
+      alters xxhash output) also invalidates, instead of silently
+      merging states built under incompatible hashes.
+    """
+    import pyarrow as _pa
+
+    from approximate_quantiles_ray.functions.hashing import HASH_VERSION, hash_strings
+
+    probe = int(hash_strings(_pa.array(["aqr-hash-probe"]))[0])
+    h = hashlib.sha256()
+    h.update(json.dumps([HASH_VERSION, probe]).encode())
+    for s in specs:
+        h.update(json.dumps([s.key, s.kind, s.on, s.dedup_per_batch]).encode())
+        h.update(s.factory().to_bytes())
+    return h.hexdigest()[:16]
 
 
 def _merge_deterministic(states: list[bytes]):
