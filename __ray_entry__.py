@@ -33,6 +33,33 @@ if _REPO_ROOT not in sys.path:
 
 import pandas as pd
 
+
+def _register_package_by_value() -> None:
+    """Ray workers import UDF modules BY NAME; if the driver's cwd isn't
+    the repo root (file-path import), workers raise ModuleNotFoundError
+    for our package. Registering every submodule with cloudpickle's
+    by-value serializer ships the code inside each task spec instead —
+    cwd-independent. No-op if anything is unavailable."""
+    try:
+        import importlib
+        import pkgutil
+
+        from ray import cloudpickle as _cp
+
+        import approximate_quantiles_ray as _pkg
+
+        _cp.register_pickle_by_value(_pkg)
+        for info in pkgutil.walk_packages(_pkg.__path__, _pkg.__name__ + "."):
+            try:
+                _cp.register_pickle_by_value(importlib.import_module(info.name))
+            except Exception:
+                pass
+    except Exception:
+        pass
+
+
+_register_package_by_value()
+
 from approximate_quantiles_ray.pipelines import relational, textstats
 from approximate_quantiles_ray.pipelines import transcript_exact as te
 from approximate_quantiles_ray.pipelines.transcripts import (
