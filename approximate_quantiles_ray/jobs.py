@@ -111,6 +111,20 @@ def cmd_dedup(args) -> None:
     _emit({"kept": int(len(keep_ids)), "output": args.output}, None)
 
 
+def cmd_bucketize(args) -> None:
+    """One-time layout shuffle: write the table partitioned by
+    hash(key) % n-buckets so key-local ops run shuffle-free after."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from approximate_quantiles_ray.sources.bucketed import write_bucketed
+
+    out = write_bucketed(
+        rd.read_parquet(args.input), args.output, key=args.key, n_buckets=args.n_buckets
+    )
+    _emit({"output": out, "key": args.key, "n_buckets": args.n_buckets}, None)
+
+
 def cmd_synth(args) -> None:
     from approximate_quantiles_ray.sources.transcripts import generate_transcripts
 
@@ -142,6 +156,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
     d.set_defaults(fn=cmd_dedup)
+
+    b = sub.add_parser("bucketize", help="write a hash(key)-partitioned bucket layout")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--key", default="conv_id")
+    b.add_argument("--n-buckets", type=int, default=32)
+    b.set_defaults(fn=cmd_bucketize)
 
     s = sub.add_parser("synth", help="generate the deterministic synthetic transcript table")
     s.add_argument("--out", required=True)
