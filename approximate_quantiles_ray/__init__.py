@@ -18,6 +18,7 @@ mapping); the execution architecture is Ray Data, not a port.
 
 from approximate_quantiles_ray.sketches.tdigest import TDigest
 from approximate_quantiles_ray.sketches.kll import KLL
+from approximate_quantiles_ray.sketches.kll_fixed import KLLFixed
 from approximate_quantiles_ray.sketches.hll import HLL
 from approximate_quantiles_ray.sketches.countmin import CountMinSketch
 from approximate_quantiles_ray.sketches.bloom import BloomFilter
@@ -26,6 +27,7 @@ from approximate_quantiles_ray.sketches.exact import ExactDigest
 __all__ = [
     "TDigest",
     "KLL",
+    "KLLFixed",
     "HLL",
     "CountMinSketch",
     "BloomFilter",

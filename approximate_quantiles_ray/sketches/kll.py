@@ -233,7 +233,7 @@ class KLL:
         more-compacted section parameters, re-compress until every level
         fits. Symmetric in (self, other) so pairwise merge is exactly
         commutative (seeded coin + canonical sort)."""
-        if other.k != self.k:
+        if (other.k, other.compaction, other.fast) != (self.k, self.compaction, self.fast):
             raise ValueError("cannot merge KLL sketches with different k")
         self._sorted_cache = None
         while len(self._levels) < len(other._levels):
@@ -312,7 +312,17 @@ class KLL:
         return values[order], weights[order]
 
     def quantiles(self, qs) -> np.ndarray:
-        return np.array([self.est_value_at_quantile(q) for q in np.atleast_1d(qs)])
+        """Vectorized multi-quantile sweep: one flatten/sort/cumsum pass
+        for the whole grid (not one per q — accuracy harnesses sweep
+        hundreds of quantiles per sketch)."""
+        qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+        values, weights = self._weighted_values()
+        if not len(values):
+            return np.full(len(qs), np.nan)
+        cum = np.cumsum(weights)
+        targets = qs * float(self._count)
+        idx = np.searchsorted(cum, targets, side="right")  # same convention
+        return values[np.minimum(idx, len(values) - 1)]    # as the scalar query
 
     # ------------------------------------------------------------------ serde
 

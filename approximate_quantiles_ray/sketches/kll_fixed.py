@@ -51,10 +51,10 @@ class KLLFixed:
 
     @staticmethod
     def calc_buffer_size(input_length: int, k: int) -> int:
-        if input_length >= k:
-            logterm = int(np.ceil(np.log2(max(1.0, input_length / k))))
-        else:
-            logterm = 0
+        # integer division first — matches the reference's usize division
+        # (rc_sketch.rs:102-111); 300/200 → 1 → log term 0 → floor 2k
+        ratio = input_length // k if k else 0
+        logterm = int(np.ceil(np.log2(ratio))) if ratio >= 1 else 0
         return max(2 * k * logterm, 2 * k)
 
     # ------------------------------------------------------------------ state
@@ -84,6 +84,11 @@ class KLLFixed:
 
     def _compact_index(self, rc_index: int) -> int:
         if self.fast:
+            # counter still advances: the coin must be fresh per
+            # compaction (a constant coin drops the same parity every
+            # time → one-sided rank drift; reference redraws per
+            # compaction, rc_sketch.rs:255-257)
+            self.compaction_counters[rc_index] += 1
             return self.buffer_size // 2
         ci = len(self._buffers[rc_index]) - (
             _trailing_ones(self.compaction_counters[rc_index]) + 1
@@ -99,8 +104,8 @@ class KLLFixed:
             n_pairs = len(upper) // 2
             return upper[: 2 * n_pairs].reshape(n_pairs, 2).mean(axis=1)
         # deterministic coin (replaces thread_rng): keyed on seed, level,
-        # pre-increment compaction counter
-        counter = self.compaction_counters[rc_index] if not self.fast else 0
+        # pre-increment compaction counter (fresh every compaction)
+        counter = self.compaction_counters[rc_index]
         chosen = _splitmix64_scalar(self.seed ^ (rc_index * 0x9E3779B97F4A7C15) ^ counter) & 1
         return upper[chosen::2]
 
@@ -122,8 +127,11 @@ class KLLFixed:
         """Concat per-level buffers then let the cascade re-compact
         (same strategy as the lazy KLL's native merge; the reference
         declared but never implemented merge)."""
-        if other.k != self.k:
-            raise ValueError("cannot merge KLLFixed with different k")
+        if (other.k, other.input_length) != (self.k, self.input_length):
+            raise ValueError(
+                "cannot merge KLLFixed with different (k, input_length): the "
+                "a-priori buffer sizing the error bound depends on differs"
+            )
         for lvl, buf in enumerate(other._buffers):
             if buf:
                 self._insert_batch(np.asarray(buf, dtype=np.float64), lvl)
@@ -140,7 +148,9 @@ class KLLFixed:
         return rank
 
     def est_quantile_at_value(self, item: float) -> float:
-        return self.interpolate_rank(item) / self._count if self._count else 0.0
+        if not self._count:
+            return float("nan")  # consistent with KLL/TDigest/ExactDigest
+        return self.interpolate_rank(item) / self._count
 
     def est_value_at_quantile(self, q: float) -> float:
         values, weights = self._weighted_values()

@@ -61,14 +61,19 @@ def inv_k2_asym(s: float, delta: float, n: float) -> float:
     return inv_k2(s, delta * 2.0, n) * 2.0
 
 
+def _k2n_delta(delta: float, n: float) -> float:
+    # log10(1)**2 == 0 would zero the effective delta (k2 then divides by
+    # it) — floor at the raw delta for tiny n (scale_functions.rs:69-91
+    # never hits this: the reference only exercises n ≥ 10)
+    return max(delta / 10.0 * math.log10(max(n, 1.0)) ** 2.0, delta / 10.0)
+
+
 def k2n(q: float, delta: float, n: float) -> float:
-    mod_delta = delta / 10.0 * math.log10(n) ** 2.0
-    return k2(q, mod_delta, n)
+    return k2(q, _k2n_delta(delta, n), n)
 
 
 def inv_k2n(s: float, delta: float, n: float) -> float:
-    mod_delta = delta / 10.0 * math.log10(n) ** 2.0
-    return inv_k2(s, mod_delta, n)
+    return inv_k2(s, _k2n_delta(delta, n), n)
 
 
 def k3(q: float, delta: float, n: float) -> float:

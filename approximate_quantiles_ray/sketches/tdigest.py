@@ -159,6 +159,8 @@ class TDigest:
     def merge(self, other: "TDigest") -> "TDigest":
         """Merge another t-digest into this one (commutative up to the
         algorithm's published ε; validated by merge-permutation tests)."""
+        if (other.delta, other.scale) != (self.delta, self.scale):
+            raise ValueError("cannot merge t-digests with different (delta, scale)")
         other._flush()
         self._flush()
         if other._count == 0:
@@ -295,9 +297,10 @@ class TDigest:
         if weights[-1] > 1.0 and total - ti <= weights[-1] / 2.0:
             # reference omits the `* (max - last.mean)` factor
             # (t_digest.rs:231-236); we keep it (documented deviation).
-            return self.max - (total - ti - 1.0) / (weights[-1] / 2.0 - 1.0) * (
-                self.max - means[-1]
-            )
+            denom = weights[-1] / 2.0 - 1.0
+            if denom <= 0.0:  # weight exactly 2: reference's 0/0 edge → max
+                return self.max
+            return self.max - (total - ti - 1.0) / denom * (self.max - means[-1])
 
         if n == 1:
             return float(means[0])

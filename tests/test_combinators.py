@@ -121,3 +121,34 @@ def test_kll_fast_mode(uniform_data):
         ), q
     rt = KLL.from_bytes(sk.to_bytes())
     assert rt.fast and rt.est_value_at_quantile(0.5) == sk.est_value_at_quantile(0.5)
+
+
+def test_merge_config_mismatch_raises():
+    """Third-review regression: every sketch rejects config-mismatched
+    merges instead of silently absorbing them."""
+    from approximate_quantiles_ray.sketches.kll_fixed import KLLFixed
+
+    with pytest.raises(ValueError):
+        TDigest(delta=1000, scale="k2").merge(TDigest(delta=50, scale="k1"))
+    with pytest.raises(ValueError):
+        KLL(k=200).merge(KLL(k=200, compaction="average"))
+    with pytest.raises(ValueError):
+        KLL(k=200).merge(KLL(k=200, fast=True))
+    with pytest.raises(ValueError):
+        KLLFixed(10_000, k=64).merge(KLLFixed(100_000, k=64))
+
+
+def test_tdigest_weight2_last_centroid_no_nan():
+    """Third-review regression: weight-2 last centroid produced NaN via
+    0/0 in the upper-tail branch."""
+    sk = TDigest(delta=20, scale="k1")
+    sk.update(np.arange(100, dtype=np.float64))
+    for q in (0.97, 0.99, 0.999, 1.0):
+        v = sk.est_value_at_quantile(q)
+        assert np.isfinite(v) and 0 <= v <= 99, (q, v)
+
+
+def test_k2n_single_value_no_crash():
+    sk = TDigest(delta=100, scale="k2n")
+    sk.update(np.array([5.0]))
+    assert sk.est_value_at_quantile(0.5) == 5.0
