@@ -230,7 +230,11 @@ def sketch_columns_streaming(ds, specs: list[SketchSpec], batch_size: int = 6553
         batch_size=batch_size,
         zero_copy_batch=True,
     )
-    return merge_partial_rows(partials.iter_batches(batch_format="pyarrow"))
+    merged = merge_partial_rows(partials.iter_batches(batch_format="pyarrow"))
+    for s in specs:  # empty dataset → empty sketches, like the other drivers
+        if s.key not in merged:
+            merged[s.key] = s.factory()
+    return merged
 
 
 # ------------------------------------------------------------------ transforms

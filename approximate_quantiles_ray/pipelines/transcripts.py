@@ -216,12 +216,12 @@ def _order_checksum_batch(tbl: pa.Table) -> pa.Table:
     text_h = hash_strings(text)
     with np.errstate(over="ignore"):
         row_h = conv_h * np.uint64(0x9E3779B97F4A7C15) ^ text_h ^ turn.astype(np.uint64)
-        checksum = np.uint64(0)
-        for v in (np.bitwise_xor.reduce(row_h), np.sum(row_h, dtype=np.uint64)):
-            checksum = checksum * np.uint64(31) + v
+        xor_sum = np.bitwise_xor.reduce(row_h)
+        add_sum = np.sum(row_h, dtype=np.uint64)
 
-    # sortedness within the batch (global sortedness is the sort stage's
-    # contract; batches of a sorted ds are internally sorted ranges)
+    # sortedness within the batch; cross-batch boundaries are attested by
+    # the driver from the emitted first/last keys (a batch-boundary
+    # inversion would otherwise be invisible)
     order_ok = True
     if len(conv) > 1:
         same = conv[1:] == conv[:-1]
@@ -230,10 +230,14 @@ def _order_checksum_batch(tbl: pa.Table) -> pa.Table:
         order_ok = order_ok and bool(np.all(prev_le))
     return pa.Table.from_pydict(
         {
-            "xor_sum": pa.array([int(np.bitwise_xor.reduce(row_h))], type=pa.uint64()),
-            "add_sum": pa.array([int(np.sum(row_h, dtype=np.uint64))], type=pa.uint64()),
+            "xor_sum": pa.array([int(xor_sum)], type=pa.uint64()),
+            "add_sum": pa.array([int(add_sum)], type=pa.uint64()),
             "n": pa.array([len(conv)], type=pa.int64()),
             "sorted_ok": pa.array([order_ok]),
+            "first_conv": pa.array([str(conv[0])], type=pa.string()),
+            "first_turn": pa.array([int(turn[0])], type=pa.int64()),
+            "last_conv": pa.array([str(conv[-1])], type=pa.string()),
+            "last_turn": pa.array([int(turn[-1])], type=pa.int64()),
         }
     )
 
@@ -252,12 +256,26 @@ def order_invariant_summary(ds) -> dict[str, Any]:
     add = np.uint64(0)
     n = 0
     ok = True
+    bounds = []
     for b in parts.iter_batches(batch_format="pyarrow"):
         with np.errstate(over="ignore"):
             xor ^= np.bitwise_xor.reduce(b.column("xor_sum").to_numpy().astype(np.uint64))
             add += np.sum(b.column("add_sum").to_numpy().astype(np.uint64), dtype=np.uint64)
         n += int(np.sum(b.column("n").to_numpy()))
         ok = ok and bool(np.all(b.column("sorted_ok").to_numpy()))
+        bounds.extend(
+            zip(
+                b.column("first_conv").to_pylist(), b.column("first_turn").to_pylist(),
+                b.column("last_conv").to_pylist(), b.column("last_turn").to_pylist(),
+            )
+        )
+    # cross-batch attestation: batches are contiguous sorted ranges, so
+    # ordering them by their first key must give last_i ≤ first_{i+1}
+    bounds.sort(key=lambda t: (t[0], t[1]))
+    for (fc, ft, lc, lt), (fc2, ft2, _, _) in zip(bounds, bounds[1:]):
+        if (lc, lt) > (fc2, ft2):
+            ok = False
+            break
     return {"xor": int(xor), "add": int(add), "rows": n, "sorted_ok": ok}
 
 
@@ -267,8 +285,6 @@ def conv_membership_check(table_dir: str, n_probes: int = 200, seed: int = 42) -
     no false negatives) and synthetic absent ids (hit rate estimates the
     false-positive rate)."""
     import pyarrow.dataset as pads
-
-    from approximate_quantiles_ray.sketches.bloom import BloomFilter
 
     spec = global_specs(seed=seed)
     bloom_spec = [s for s in spec if s.key == "conv_bloom"]

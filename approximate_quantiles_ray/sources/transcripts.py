@@ -150,7 +150,9 @@ def generate_transcripts(
     Atomic: writes to a temp dir then renames, so readers never see a
     partial table and a crashed generation restarts cleanly.
     """
-    tmp = out_dir + ".tmp"
+    # per-process tmp: two concurrent generators must not rmtree each
+    # other's half-written shards and rename a truncated table into place
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
@@ -170,7 +172,13 @@ def generate_transcripts(
     else:
         for shard in range(n_shards):
             _write_shard((shard, per_shard, seed, tmp))
-    os.rename(tmp, out_dir)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        if os.path.isdir(out_dir):  # a concurrent generator won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
     return out_dir
 
 

@@ -63,8 +63,27 @@ def _config_hash(specs: list[SketchSpec]) -> str:
     h.update(json.dumps([HASH_VERSION, probe]).encode())
     for s in specs:
         h.update(json.dumps([s.key, s.kind, s.on, s.dedup_per_batch]).encode())
+        h.update(_transform_sig(s.transform).encode())
         h.update(s.factory().to_bytes())
     return h.hexdigest()[:16]
+
+
+def _transform_sig(transform) -> str:
+    """Best-effort signature of a derived-metric transform: code bytes +
+    closure cell values, so editing the derivation (e.g. char length →
+    byte length, or the source column captured in the closure)
+    invalidates old checkpoints instead of silently merging two
+    different metrics."""
+    if transform is None:
+        return "none"
+    try:
+        code = transform.__code__
+        cells = tuple(
+            repr(getattr(c, "cell_contents", None)) for c in (transform.__closure__ or ())
+        )
+        return hashlib.sha256(code.co_code + repr(cells).encode()).hexdigest()[:16]
+    except Exception:
+        return getattr(transform, "__qualname__", repr(type(transform)))
 
 
 def _merge_deterministic(states: list[bytes]):
@@ -121,11 +140,17 @@ class CheckpointedSketchJob:
                     if not line.strip():
                         continue
                     entry = json.loads(line)
+                    sid = entry["shard_id"]
                     if (
                         entry.get("config_hash") == self.cfg_hash
-                        and os.path.exists(self._part_path(entry["shard_id"]))
+                        and sid < len(self.shards)
+                        # lineage must match the CURRENT shard composition:
+                        # a changed files_per_shard or input list would
+                        # otherwise silently skip data
+                        and entry.get("files") == self.shards[sid]
+                        and os.path.exists(self._part_path(sid))
                     ):
-                        done[entry["shard_id"]] = entry
+                        done[sid] = entry
         return done
 
     def _run_shard(self, shard_id: int, files: list[str]) -> None:
@@ -230,6 +255,12 @@ class CheckpointedSketchJob:
         merged: dict[str, Any] = {}
         for shard_id in done:
             tbl = pq.read_table(self._part_path(shard_id))
+            # the part file's own embedded config hash is authoritative
+            # (an interleaved job with another config may have
+            # overwritten the file after our manifest line was written)
+            cfgs = set(tbl.column("config_hash").to_pylist())
+            if cfgs != {self.cfg_hash}:
+                continue
             for key, state in zip(
                 tbl.column("sketch_key").to_pylist(), tbl.column("state").to_pylist()
             ):
