@@ -211,6 +211,19 @@ def _order_checksum_batch(tbl: pa.Table) -> pa.Table:
     conv = tbl.column("conv_id").combine_chunks().to_numpy(zero_copy_only=False)
     turn = column_as_numpy(tbl, "turn_idx", drop_nulls=False).astype(np.int64)
     text = tbl.column("text").combine_chunks().to_numpy(zero_copy_only=False)
+    if len(conv) == 0:  # empty fragment: zero row, no boundary keys
+        return pa.Table.from_pydict(
+            {
+                "xor_sum": pa.array([0], type=pa.uint64()),
+                "add_sum": pa.array([0], type=pa.uint64()),
+                "n": pa.array([0], type=pa.int64()),
+                "sorted_ok": pa.array([True]),
+                "first_conv": pa.array([None], type=pa.string()),
+                "first_turn": pa.array([0], type=pa.int64()),
+                "last_conv": pa.array([None], type=pa.string()),
+                "last_turn": pa.array([0], type=pa.int64()),
+            }
+        )
 
     conv_h = hash_strings(conv)
     text_h = hash_strings(text)
@@ -264,14 +277,17 @@ def order_invariant_summary(ds) -> dict[str, Any]:
         n += int(np.sum(b.column("n").to_numpy()))
         ok = ok and bool(np.all(b.column("sorted_ok").to_numpy()))
         bounds.extend(
-            zip(
+            t for t in zip(
                 b.column("first_conv").to_pylist(), b.column("first_turn").to_pylist(),
                 b.column("last_conv").to_pylist(), b.column("last_turn").to_pylist(),
-            )
+            ) if t[0] is not None  # skip empty-batch sentinel rows
         )
     # cross-batch attestation: batches are contiguous sorted ranges, so
     # ordering them by their first key must give last_i ≤ first_{i+1}
-    bounds.sort(key=lambda t: (t[0], t[1]))
+    # tie-break on the LAST key too: batches tying on first key (duplicate
+    # boundary rows) must order narrow-before-wide or the chain check
+    # false-positives on correctly sorted data
+    bounds.sort(key=lambda t: (t[0], t[1], t[2], t[3]))
     for (fc, ft, lc, lt), (fc2, ft2, _, _) in zip(bounds, bounds[1:]):
         if (lc, lt) > (fc2, ft2):
             ok = False

@@ -234,7 +234,9 @@ class KLL:
         fits. Symmetric in (self, other) so pairwise merge is exactly
         commutative (seeded coin + canonical sort)."""
         if (other.k, other.compaction, other.fast) != (self.k, self.compaction, self.fast):
-            raise ValueError("cannot merge KLL sketches with different k")
+            raise ValueError(
+                "cannot merge KLL sketches with different (k, compaction, fast) configuration"
+            )
         self._sorted_cache = None
         while len(self._levels) < len(other._levels):
             self._grow()

@@ -127,10 +127,12 @@ class KLLFixed:
         """Concat per-level buffers then let the cascade re-compact
         (same strategy as the lazy KLL's native merge; the reference
         declared but never implemented merge)."""
-        if (other.k, other.input_length) != (self.k, self.input_length):
+        if (other.k, other.input_length, other.fast, other.compaction) != (
+            self.k, self.input_length, self.fast, self.compaction
+        ):
             raise ValueError(
-                "cannot merge KLLFixed with different (k, input_length): the "
-                "a-priori buffer sizing the error bound depends on differs"
+                "cannot merge KLLFixed with different "
+                "(k, input_length, fast, compaction) configuration"
             )
         for lvl, buf in enumerate(other._buffers):
             if buf:

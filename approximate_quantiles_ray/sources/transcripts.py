@@ -152,6 +152,15 @@ def generate_transcripts(
     """
     # per-process tmp: two concurrent generators must not rmtree each
     # other's half-written shards and rename a truncated table into place
+    import glob as _glob
+    import time as _time
+
+    for orphan in _glob.glob(f"{out_dir}.tmp.*"):  # crashed-run leftovers
+        try:
+            if _time.time() - os.path.getmtime(orphan) > 7200:
+                shutil.rmtree(orphan, ignore_errors=True)
+        except OSError:
+            pass
     tmp = f"{out_dir}.tmp.{os.getpid()}"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -175,10 +184,24 @@ def generate_transcripts(
     try:
         os.rename(tmp, out_dir)
     except OSError:
-        if os.path.isdir(out_dir):  # a concurrent generator won the rename
+        # out_dir already exists: only treat it as a concurrent generator
+        # winning the race if it holds the SAME shard layout — otherwise
+        # (stale table with different params) surface the conflict rather
+        # than silently discarding the fresh data
+        existing = (
+            sorted(os.path.basename(f) for f in _glob.glob(f"{out_dir}/part-*.parquet"))
+            if os.path.isdir(out_dir)
+            else []
+        )
+        expected = [f"part-{i:05d}.parquet" for i in range(n_shards)]
+        shutil_ok = existing == expected
+        if shutil_ok:
             shutil.rmtree(tmp, ignore_errors=True)
         else:
-            raise
+            raise FileExistsError(
+                f"{out_dir} exists with a different layout; remove it or "
+                "choose another output path"
+            )
     return out_dir
 
 

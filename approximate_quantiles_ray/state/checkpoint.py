@@ -81,7 +81,10 @@ def _transform_sig(transform) -> str:
         cells = tuple(
             repr(getattr(c, "cell_contents", None)) for c in (transform.__closure__ or ())
         )
-        return hashlib.sha256(code.co_code + repr(cells).encode()).hexdigest()[:16]
+        # co_names/co_consts matter: pc.utf8_length → pc.binary_length or a
+        # changed constant leaves co_code identical
+        sig = code.co_code + repr((code.co_names, code.co_consts, cells)).encode()
+        return hashlib.sha256(sig).hexdigest()[:16]
     except Exception:
         return getattr(transform, "__qualname__", repr(type(transform)))
 
@@ -149,9 +152,20 @@ class CheckpointedSketchJob:
                         # otherwise silently skip data
                         and entry.get("files") == self.shards[sid]
                         and os.path.exists(self._part_path(sid))
+                        # the part FILE's embedded hash is authoritative (an
+                        # interleaved job with another config may have
+                        # overwritten it) — mismatch ⇒ not done ⇒ re-run
+                        and self._part_config_ok(sid)
                     ):
                         done[sid] = entry
         return done
+
+    def _part_config_ok(self, shard_id: int) -> bool:
+        try:
+            col = pq.read_table(self._part_path(shard_id), columns=["config_hash"])
+            return set(col.column("config_hash").to_pylist()) == {self.cfg_hash}
+        except Exception:
+            return False
 
     def _run_shard(self, shard_id: int, files: list[str]) -> None:
         import ray.data as rd
@@ -255,12 +269,14 @@ class CheckpointedSketchJob:
         merged: dict[str, Any] = {}
         for shard_id in done:
             tbl = pq.read_table(self._part_path(shard_id))
-            # the part file's own embedded config hash is authoritative
-            # (an interleaved job with another config may have
-            # overwritten the file after our manifest line was written)
             cfgs = set(tbl.column("config_hash").to_pylist())
-            if cfgs != {self.cfg_hash}:
-                continue
+            if cfgs != {self.cfg_hash}:  # gated in completed_shards; a
+                # mismatch here means the file changed mid-collect —
+                # raising beats returning silently-partial results
+                raise RuntimeError(
+                    f"checkpoint part {shard_id} config hash changed during "
+                    "collect(); another job is writing this checkpoint dir"
+                )
             for key, state in zip(
                 tbl.column("sketch_key").to_pylist(), tbl.column("state").to_pylist()
             ):

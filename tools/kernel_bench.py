@@ -35,6 +35,11 @@ def bench_one(factory, data, trials: int = 3) -> float:
         sk = factory()
         t0 = time.perf_counter()
         sk.update(data)
+        # force any internal buffer to materialize (t-digest defers
+        # compaction to a 64k flush; timing update alone would measure a
+        # list append for small n)
+        if hasattr(sk, "est_value_at_quantile"):
+            sk.est_value_at_quantile(0.5)
         best = min(best, time.perf_counter() - t0)
     return len(data) / best
 
