@@ -1,0 +1,59 @@
+"""jobs CLI entrypoints driven through main(argv) (the ray-job-submit
+surface): synth, report, checkpointed resume, dedup write, bucketize."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pyarrow.dataset as pads
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cli_table(ray_session, tmp_path_factory):
+    from approximate_quantiles_ray import jobs
+
+    root = tmp_path_factory.mktemp("cli")
+    out = str(root / "table")
+    jobs.main(["synth", "--out", out, "--n-turns", "8000", "--n-shards", "4"])
+    return root, out
+
+
+def test_synth_and_report(cli_table, capsys):
+    from approximate_quantiles_ray import jobs
+
+    root, table = cli_table
+    assert pads.dataset(table).count_rows() >= 8000
+    out_json = str(root / "report.json")
+    jobs.main(["report", "--input", table, "--output", out_json, "--no-latency"])
+    rep = json.load(open(out_json))
+    assert rep["turns_count"] >= 8000
+    assert rep["text_len_p50_tdigest"] > 0
+
+
+def test_checkpointed_resume(cli_table, capsys):
+    from approximate_quantiles_ray import jobs
+
+    root, table = cli_table
+    ck = str(root / "ckpt")
+    jobs.main(["checkpointed", "--input", table, "--checkpoint-dir", ck, "--max-shards", "2"])
+    capsys.readouterr()
+    jobs.main(["checkpointed", "--input", table, "--checkpoint-dir", ck,
+               "--output", str(root / "ck.json")])
+    res = json.load(open(root / "ck.json"))
+    assert res["metrics"]["shards_done"] == 4
+    assert res["turns"] == pads.dataset(table).count_rows()
+
+
+def test_bucketize(cli_table, capsys):
+    from approximate_quantiles_ray import jobs
+    from approximate_quantiles_ray.sources.bucketed import bucket_dirs
+
+    root, table = cli_table
+    out = str(root / "buckets")
+    shutil.rmtree(out, ignore_errors=True)
+    jobs.main(["bucketize", "--input", table, "--output", out, "--n-buckets", "4"])
+    dirs = bucket_dirs(out)
+    assert len(dirs) == 4
+    assert sum(pads.dataset(d).count_rows() for d in dirs) == pads.dataset(table).count_rows()
