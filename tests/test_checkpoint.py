@@ -87,3 +87,50 @@ def test_stale_config_invalidates(ray_session, input_files, tmp_path):
     other = [SketchSpec(key="other_td", factory=lambda: TDigest(), on="turn_idx")]
     job = CheckpointedSketchJob(input_files[:2], other, d)
     assert job.completed_shards() == {}
+
+
+def test_resume_reshards_when_composition_changes(ray_session, tmp_path):
+    """Fourth-review regression: changing files_per_shard between runs
+    must re-run everything (stale manifest entries no longer match the
+    new shard composition) — never silently skip data."""
+    import glob
+
+    from approximate_quantiles_ray.sources.transcripts import ensure_transcripts
+    from approximate_quantiles_ray.state.checkpoint import CheckpointedSketchJob
+
+    table = ensure_transcripts(8_000, seed=21, n_shards=4)
+    files = sorted(glob.glob(table + "/*.parquet"))
+    ck = str(tmp_path / "ck")
+
+    job1 = CheckpointedSketchJob(files, _specs(), ck, files_per_shard=1)
+    job1.run(max_shards=2)
+    assert len(job1.completed_shards()) == 2
+
+    job2 = CheckpointedSketchJob(files, _specs(), ck, files_per_shard=2)
+    assert job2.completed_shards() == {}  # stale lineage rejected
+    merged = job2.run()
+    import pyarrow.dataset as pads
+
+    assert merged["len_td"].count == pads.dataset(table).count_rows()
+
+
+def test_resume_invalidated_by_sketch_param_change(ray_session, tmp_path):
+    """Changing a sketch parameter (encoded in the empty state) must
+    invalidate old part files via the config hash."""
+    import glob
+
+    from approximate_quantiles_ray.engine.udaf import SketchSpec
+    from approximate_quantiles_ray.sketches.tdigest import TDigest
+    from approximate_quantiles_ray.sources.transcripts import ensure_transcripts
+    from approximate_quantiles_ray.state.checkpoint import CheckpointedSketchJob
+
+    table = ensure_transcripts(8_000, seed=21, n_shards=4)
+    files = sorted(glob.glob(table + "/*.parquet"))
+    ck = str(tmp_path / "ck2")
+
+    s1 = [SketchSpec(key="td", factory=lambda: TDigest(delta=100), on="turn_idx")]
+    CheckpointedSketchJob(files, s1, ck).run(max_shards=2)
+
+    s2 = [SketchSpec(key="td", factory=lambda: TDigest(delta=500), on="turn_idx")]
+    job2 = CheckpointedSketchJob(files, s2, ck)
+    assert job2.completed_shards() == {}  # different delta → different hash
