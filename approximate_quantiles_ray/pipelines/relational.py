@@ -218,15 +218,15 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n_rows,
-               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
     "orders_by_segment": """
         SELECT c_mktsegment,
                COUNT(*) AS n_orders,
-               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_cents
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -280,7 +280,7 @@ def supplier_region_stats(sf_dir: str) -> pd.DataFrame:
 ORACLE_SQL["supplier_region_stats"] = """
     SELECT r_name,
            COUNT(*) AS n_suppliers,
-           SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS acctbal_cents
+           CAST(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey

@@ -142,14 +142,14 @@ def oracle_sql(sf_dir_for_oracle: str) -> dict[str, str]:
     return {
         "transcript_conv_stats": f"""
             SELECT conv_id, COUNT(*) AS n_turns,
-                   SUM(LENGTH(text)) AS total_chars,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
                    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
             FROM read_parquet('{glob}') GROUP BY conv_id ORDER BY conv_id
         """,
         "transcript_role_stats": f"""
             SELECT role, COUNT(*) AS n_turns,
                    COUNT(DISTINCT conv_id) AS n_convs,
-                   SUM(LENGTH(text)) AS text_chars
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars
             FROM read_parquet('{glob}') GROUP BY role ORDER BY role
         """,
         "transcript_tool_topk": f"""

@@ -28,7 +28,9 @@ from approximate_quantiles_ray.sketches.tdigest import TDigest
 def add_window_column(tbl: pa.Table, ts_col: str, unit: str, name: str = "window_start") -> pa.Table:
     """Append the tumbling-window start (ts floored to ``unit``:
     'hour' | 'day' | 'week' ...)."""
-    w = pc.floor_temporal(tbl.column(ts_col), unit=unit)
+    # cast to µs so the pandas dtype (datetime64[us]) matches DuckDB's
+    # date_trunc output exactly — the driver's value hash is dtype-aware
+    w = pc.floor_temporal(tbl.column(ts_col), unit=unit).cast(pa.timestamp("us"))
     return tbl.append_column(name, w)
 
 
@@ -64,6 +66,9 @@ def events_hourly_stats(sf_dir: str) -> pd.DataFrame:
     )
     out = base.merge(dist, on=["window_start", "event_type"])
     out = out[["window_start", "event_type", "n_events", "n_users", "value_min", "value_max"]]
+    # Ray's hash-groupby round-trips timestamps through [s]; restore µs
+    # so the pandas dtype matches DuckDB date_trunc (dtype-aware hash)
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
 
 

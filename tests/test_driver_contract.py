@@ -76,7 +76,13 @@ def test_all_queries_run_and_oracles_match(contract, oracle_con):
         g, e = _norm(got), _norm(exp)
         assert list(g.columns) == list(e.columns), f"{name}: column names differ"
         assert len(g) == len(e), f"{name}: row counts differ"
-        e = e.astype({c: g[c].dtype for c in g.columns})
+        # DTYPE-STRICT: the driver's value hash is dtype-sensitive
+        # (round 1: DuckDB SUM→HUGEINT→float64 vs engine int64 hashed
+        # differently despite equal values). No coercion allowed here.
+        assert [str(t) for t in g.dtypes] == [str(t) for t in e.dtypes], (
+            f"{name}: dtypes differ — engine {dict(g.dtypes.astype(str))} "
+            f"vs oracle {dict(e.dtypes.astype(str))}"
+        )
         pd.testing.assert_frame_equal(g, e, check_exact=True, obj=name)
 
 
