@@ -141,6 +141,82 @@ def segmented_gaps(
     return gaps_ds, _stitch_boundaries(bnd)
 
 
+def segmented_gap_hist(
+    ds,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+):
+    """Fused exact-quantile path: sort → ONE map_batches that computes
+    in-block gaps AND reduces them to per-block distinct (gap_us, n)
+    value counts, plus the 2-per-block boundary rows. The tagged stream
+    is block-level partials — raw gap rows never exist as a dataset —
+    so the ``materialize()`` that splits the two consumers pins only
+    per-block histograms (≤ block distinct values each), not row-scale
+    data. Returns (distributed (gap_us, n) histogram Dataset with
+    globally distinct values, stitched boundary-gap ndarray).
+    """
+    schema = pa.schema(
+        [
+            pa.field("kind", pa.int8()),
+            pa.field("gap_us", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int64()),
+            pa.field("ts_us", pa.int64()),
+        ]
+    )
+    block_gaps = make_block_gaps(key_col, order_col, ts_col)
+
+    def block_fn(tbl: pa.Table) -> pa.Table:
+        tagged = block_gaps(tbl)
+        if tagged.num_rows == 0:
+            return schema.empty_table()
+        kinds = tagged.column("kind").to_numpy(zero_copy_only=False)
+        gaps = tagged.column("gap_us").to_numpy(zero_copy_only=False)[kinds == GAP]
+        vals, cnts = np.unique(gaps, return_counts=True) if len(gaps) else (
+            np.zeros(0, np.int64), np.zeros(0, np.int64))
+        bnd = tagged.filter(pa.compute.greater(tagged.column("kind"), 0))
+        nb = bnd.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate([np.zeros(len(vals), np.int8),
+                                         bnd.column("kind").to_numpy(zero_copy_only=False)]),
+                         pa.int8()),
+                pa.array(np.concatenate([vals.astype(np.int64), np.zeros(nb, np.int64)]),
+                         pa.int64()),
+                pa.array(np.concatenate([cnts.astype(np.int64), np.zeros(nb, np.int64)]),
+                         pa.int64()),
+                pa.array([None] * len(vals) + bnd.column("conv_id").to_pylist(), pa.string()),
+                pa.array(np.concatenate(
+                    [np.zeros(len(vals), np.int64),
+                     bnd.column("turn_idx").to_numpy(zero_copy_only=False)]), pa.int64()),
+                pa.array(np.concatenate(
+                    [np.zeros(len(vals), np.int64),
+                     bnd.column("ts_us").to_numpy(zero_copy_only=False)]), pa.int64()),
+            ],
+            schema=schema,
+        )
+
+    sorted_ds = ds.sort([key_col, order_col])
+    tagged = sorted_ds.map_batches(
+        block_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()  # block-level partials only — deliberate, spillable
+    bnd = tagged.filter(expr="kind > 0").select_columns(
+        ["kind", "conv_id", "turn_idx", "ts_us"]
+    ).to_pandas()
+    from ray.data.aggregate import Sum
+
+    hist = (
+        tagged.filter(expr="kind == 0")
+        .select_columns(["gap_us", "n"])
+        .groupby("gap_us")
+        .aggregate(Sum("n"))
+        .rename_columns({"sum(n)": "n"})
+    )
+    return hist, _stitch_boundaries(bnd)
+
+
 def segmented_gap_sketches(
     ds,
     specs,

@@ -5,10 +5,11 @@ Four dedup families, each expressed shuffle-light:
 - **exact**: 64-bit content hash → groupby(hash) keep MIN(id). Only
   (hash, id) pairs shuffle, never text. Oracle-matched vs DuckDB.
 - **MinHash + LSH near-dup**: per-batch vectorized char-shingle minhash
-  signatures (actor pool) → band buckets → C++ groupby-count finds hot
-  buckets (no per-bucket Python) → candidate pairs from hot buckets →
-  exact shingle-Jaccard verification of candidates only → union-find
-  on verified pairs → keep min-id per cluster.
+  signatures (actor pool) → band buckets → per-bucket MIN-id aggregate →
+  distributed star edges (distinct via groupby; member rows never reach
+  the driver) → exact shingle-Jaccard verification of candidates only →
+  union-find on verified pairs → broadcast component map + vectorized
+  distributed cluster assignment (keep min-id per cluster).
 - **SimHash**: 64-bit simhash of token hashes (fully vectorized via
   segment cumsums); near-dup = Hamming ≤ 3 via 4 × 16-bit band
   blocking (pigeonhole), verified by true Hamming distance.
@@ -200,9 +201,21 @@ def _hot_bucket_pairs(rows: pd.DataFrame, extra_cols: list[str] | None = None,
     return pd.DataFrame(d).drop_duplicates(subset=["a", "b"])
 
 
-def _hot_bucket_rows(band_ds, extra_cols: list[str] | None = None) -> pd.DataFrame:
+def _hot_bucket_rows(
+    band_ds, extra_cols: list[str] | None = None, per_batch_cap: int = 256
+) -> pd.DataFrame:
     """Find buckets with ≥2 members via a C++ groupby-count (no Python
-    per group), then pull ONLY those buckets' member rows."""
+    per group), then pull ONLY those buckets' member rows.
+
+    Driver-transfer bound: besides keeping only hot-bucket members, each
+    batch contributes at most ``per_batch_cap`` rows per (band, bucket)
+    (vectorized cumcount), so a degenerate spam bucket ships ≤
+    cap × #blocks rows instead of its full membership. Downstream pair
+    generation truncates to its own ``cap`` anyway, so the extra rows
+    would be discarded — this just stops them from reaching the driver.
+    The star-edge path (_star_edges) never collects member rows at all;
+    this collector serves the pairwise verifiers (simhash, embeddings).
+    """
     counts = (
         band_ds.groupby(["band", "bucket"])
         .count()
@@ -219,9 +232,69 @@ def _hot_bucket_rows(band_ds, extra_cols: list[str] | None = None) -> pd.DataFra
 
     def pick(tbl: pa.Table) -> pa.Table:
         bucket = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
-        return tbl.filter(pa.array(np.isin(bucket, hot_buckets)))
+        picked = tbl.filter(pa.array(np.isin(bucket, hot_buckets)))
+        if len(picked) > per_batch_cap:
+            df = picked.select(["band", "bucket"]).to_pandas()
+            keep = df.groupby(["band", "bucket"]).cumcount().to_numpy() < per_batch_cap
+            if not keep.all():
+                picked = picked.filter(pa.array(keep))
+        return picked
 
     return band_ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+
+
+def _star_edges(band_ds, id_col: str = "doc_id") -> pd.DataFrame:
+    """Distributed star-edge candidate generation (the scale path).
+
+    One groupby aggregate finds each hot bucket's MIN(id) — the result
+    is one row per hot bucket, the only thing that touches the driver
+    before the (small) verified-pair stage. That table is broadcast via
+    ``ray.put`` and resolved once per actor; each batch of band rows
+    merges against it (vectorized) and emits (root, member) edges.
+    Edges are made distinct by a distributed groupby BEFORE they reach
+    the driver, so the transfer is one row per unique candidate pair —
+    linear in the number of near-duplicate documents, with NO per-bucket
+    membership cap (star edges are linear in run size, so truncation
+    would only lose recall; cf. round-1 ADVICE.md item 3).
+    """
+    from ray.data.aggregate import Count, Min
+
+    hot = (
+        band_ds.groupby(["band", "bucket"])
+        .aggregate(Min(id_col), Count())
+        .rename_columns({f"min({id_col})": "root", "count()": "n"})
+        .filter(expr="n > 1")
+        .drop_columns(["n"])
+        .to_pandas()
+    )
+    if not len(hot):
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+
+    import ray
+
+    hot_ref = ray.put(hot)
+
+    class EdgeEmitter:
+        def __init__(self, ref):
+            self.hot = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            df = tbl.select([id_col, "band", "bucket"]).to_pandas()
+            m = df.merge(self.hot, on=["band", "bucket"], how="inner")
+            m = m[m[id_col] != m["root"]]
+            return pa.table({"a": pa.array(m["root"].to_numpy()), "b": pa.array(m[id_col].to_numpy())})
+
+    edges = band_ds.map_batches(
+        EdgeEmitter,
+        fn_constructor_args=(hot_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    # distributed distinct: same pair found in several bands collapses
+    # in the shuffle, not on the driver
+    uniq = edges.groupby(["a", "b"]).count().to_pandas()
+    return uniq[["a", "b"]].reset_index(drop=True)
 
 
 # -------------------------------------------------------------------- jaccard
@@ -274,12 +347,17 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
-) -> pd.DataFrame:
-    """MinHash-LSH near-dup clustering → (doc_id, cluster_id, is_kept).
+):
+    """MinHash-LSH near-dup clustering → Dataset(doc_id, cluster_id, is_kept).
 
-    Stages: signatures (actor pool) → band explode → groupby-count hot
-    buckets → candidate pairs → exact-Jaccard verify (candidate texts
-    fetched by broadcast-filter) → union-find → keep min-id/cluster.
+    Stages: signatures (actor pool) → band explode → per-bucket MIN-id
+    aggregate → distributed star edges (distinct via groupby; no member
+    rows on the driver) → exact-Jaccard verify of candidates only
+    (texts fetched by broadcast-filter) → union-find over verified
+    pairs (driver; O(#near-dup docs)) → broadcast the component map and
+    assign cluster ids in a vectorized map_batches (searchsorted), so
+    the full corpus never materializes on the driver and the result can
+    be written distributedly.
     """
     sigs = ds.map_batches(
         MinHasher,
@@ -306,7 +384,7 @@ def minhash_lsh_dedup(
     # p≈0.94, J=0.5 → p≈6% (few false candidates); star edges bound the
     # per-bucket pair count at n−1 (union-find restores full clusters)
     bands = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    cand = _hot_bucket_pairs(_hot_bucket_rows(bands), star=True)
+    cand = _star_edges(bands, id_col=id_col)
 
     texts_by_id: dict[int, str] = {}
     if len(cand):
@@ -325,19 +403,56 @@ def minhash_lsh_dedup(
     else:
         dup_pairs = pd.DataFrame({"a": [], "b": []})
     comp = _connected_components(dup_pairs)
+    return assign_clusters(ds, comp, id_col=id_col)
 
-    all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
-    cluster = all_ids.map(lambda i: comp.get(i, i))
-    return (
-        pd.DataFrame(
-            {
-                "doc_id": all_ids,
-                "cluster_id": cluster,
-                "is_kept": (all_ids == cluster).astype(bool),
-            }
-        )
-        .sort_values("doc_id")
-        .reset_index(drop=True)
+
+def assign_clusters(ds, comp: dict, id_col: str = "doc_id"):
+    """Broadcast a (small) id→cluster-root map and tag every row with
+    its cluster id, distributed + vectorized.
+
+    The map covers only ids that belong to some duplicate pair, so it
+    is O(#near-dup docs) — broadcast once via ``ray.put``, resolved per
+    actor in ``__init__`` as two sorted numpy arrays; each batch does a
+    ``searchsorted`` lookup (ids absent from the map are their own
+    cluster). Output is a Dataset: write it with ``write_parquet`` —
+    nothing corpus-sized touches the driver.
+    """
+    import ray
+
+    if comp:
+        keys = np.sort(np.array(list(comp.keys())))
+        vals = np.array([comp[k] for k in keys])
+    else:
+        keys = np.zeros(0, np.int64)
+        vals = np.zeros(0, np.int64)
+    map_ref = ray.put((keys, vals))
+
+    class AssignCluster:
+        def __init__(self, ref):
+            self.keys, self.vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+            if len(self.keys) and len(ids):
+                idx = np.clip(np.searchsorted(self.keys, ids), 0, len(self.keys) - 1)
+                hit = self.keys[idx] == ids
+                cluster = np.where(hit, self.vals[idx], ids)
+            else:
+                cluster = ids
+            return pa.table(
+                {
+                    id_col: tbl.column(id_col),
+                    "cluster_id": pa.array(cluster),
+                    "is_kept": pa.array(ids == cluster),
+                }
+            )
+
+    return ds.select_columns([id_col]).map_batches(
+        AssignCluster,
+        fn_constructor_args=(map_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
     )
 
 
@@ -469,7 +584,9 @@ def docs_minhash_clusters(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_dedup(ds)
+    # the pipeline returns a distributed Dataset; materialize the small
+    # per-doc verdict table only for the correctness gate
+    return minhash_lsh_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:

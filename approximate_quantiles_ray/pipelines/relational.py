@@ -44,41 +44,190 @@ def int_cents(tbl: pa.Table, src: str, dst: str) -> pa.Table:
 # --------------------------------------------------------------- exact quantile
 
 
+def _block_value_counts(col: str):
+    """map_batches fn: per-block distinct (value, n) — the partial
+    histogram that combines before any shuffle."""
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        vc = tbl.column(col).combine_chunks().drop_null().value_counts()
+        return pa.table({col: vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    return fn
+
+
+def value_histogram(ds, col: str):
+    """Distributed distinct-value histogram Dataset (col, n): per-block
+    value counts (``_block_value_counts``) reduce each block to its
+    distinct values BEFORE the hash shuffle, then one groupby sums the
+    partials. Every value appears in exactly one output row."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(_block_value_counts(col), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .aggregate(Sum("n"))
+        .rename_columns({"sum(n)": "n"})
+    )
+
+
+def quantiles_from_histogram(
+    hist_ds, col: str, qs: tuple[float, ...], extra_values: np.ndarray | None = None
+) -> pd.DataFrame:
+    """quantile_disc over a distributed distinct-value histogram with
+    driver memory O(#blocks + #qs + len(extra_values)).
+
+    Plan: range-sort the histogram by value and ``materialize()`` it —
+    a DELIBERATE distributed staging (spillable object-store blocks,
+    never the driver) reused by the two tiny consumers below:
+
+    1. per-block summaries (vmin, vmax, count) via batch_size=None —
+       O(#blocks) rows to the driver. Because the histogram is
+       globally distinct, sorted blocks have disjoint value ranges.
+    2. for each q the driver walks block summaries (+ the small
+       ``extra_values`` array interleaved by value) to locate the
+       block holding index ``max(0, ceil(q*n)-1)``, then fetches ONLY
+       the needed blocks by value range and finishes the walk locally.
+
+    Exact because quantile_disc is element *selection* — no float
+    arithmetic to diverge on. ``extra_values`` (e.g. block-boundary
+    gaps from segmented lag, O(#blocks) of them) never enter the
+    shuffle; they are counted into the walk at their sorted positions.
+    """
+    empty = pd.DataFrame({"q": pd.Series(dtype=float), "value": pd.Series(dtype=float)})
+    extras = (
+        np.sort(np.asarray(extra_values))
+        if extra_values is not None and len(extra_values)
+        else np.zeros(0, np.float64)
+    )
+
+    H = hist_ds.sort(col).materialize()
+
+    def summary(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"vmin": pa.array([], pa.float64()), "vmax": pa.array([], pa.float64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        v = tbl.column(col)
+        return pa.table(
+            {
+                "vmin": pa.array([pc.min(v).as_py()], pa.float64()),
+                "vmax": pa.array([pc.max(v).as_py()], pa.float64()),
+                "cnt": pa.array([pc.sum(tbl.column("n")).as_py()], pa.int64()),
+            }
+        )
+
+    summ = H.map_batches(
+        summary, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).to_pandas()
+    if "vmin" not in summ.columns:  # fully empty histogram → no batches ran
+        summ = pd.DataFrame({"vmin": [], "vmax": [], "cnt": []})
+    summ = summ.sort_values(["vmin", "vmax"]).reset_index(drop=True)
+    vmin = summ["vmin"].to_numpy()
+    vmax = summ["vmax"].to_numpy()
+    cnt = summ["cnt"].to_numpy()
+    nblocks = len(summ)
+    if nblocks == 0 and not len(extras):
+        return empty
+
+    # cumulative items with value < vmin_j (C = block counts before j,
+    # e_before = extras strictly below block j's range)
+    C = np.concatenate([[0], np.cumsum(cnt)])
+    e_before = np.searchsorted(extras, vmin, side="left") if nblocks else np.zeros(0, np.int64)
+    e_through = np.searchsorted(extras, vmax, side="right") if nblocks else np.zeros(0, np.int64)
+    n_total = int(C[-1]) + len(extras)
+    if n_total == 0:
+        return empty
+
+    # locate each target: extras run before a block, inside a block, or
+    # the trailing extras run
+    targets = [max(0, math.ceil(q * n_total) - 1) for q in qs]
+    where: list[tuple[str, int, int]] = []  # ("extra", extra_idx, _) | ("block", j, local_idx_base)
+    for idx in targets:
+        placed = False
+        for j in range(nblocks):
+            A_j = int(C[j]) + int(e_before[j])        # items with value < vmin_j
+            T_j = int(C[j + 1]) + int(e_through[j])   # items with value <= vmax_j
+            if idx < A_j:  # in the extras run before block j
+                prev_T = int(C[j]) + (int(e_through[j - 1]) if j else 0)
+                run_start = int(e_through[j - 1]) if j else 0
+                where.append(("extra", run_start + (idx - prev_T), 0))
+                placed = True
+                break
+            if idx < T_j:  # inside block j (merged with in-range extras)
+                where.append(("block", j, idx - A_j))
+                placed = True
+                break
+        if not placed:  # trailing extras after the last block
+            T_last = int(C[-1]) + (int(e_through[-1]) if nblocks else 0)
+            run_start = int(e_through[-1]) if nblocks else 0
+            where.append(("extra", run_start + (idx - T_last), 0))
+
+    needed = sorted({j for kind, j, _ in where if kind == "block"})
+    fetched: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    if needed:
+        lo = vmin[needed]
+        hi = vmax[needed]
+
+        def pick(tbl: pa.Table) -> pa.Table:
+            v = tbl.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+            keep = np.zeros(len(v), bool)
+            for a, b in zip(lo, hi):
+                keep |= (v >= a) & (v <= b)
+            return tbl.filter(pa.array(keep))
+
+        rows = (
+            H.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+            .sort_values(col)
+        )
+        fv = rows[col].to_numpy()
+        fn_ = rows["n"].to_numpy()
+        for j in needed:
+            sel = (fv >= vmin[j]) & (fv <= vmax[j])
+            bv, bn = fv[sel].astype(np.float64), fn_[sel].astype(np.int64)
+            # interleave extras that fall inside this block's range
+            ex = extras[int(e_before[j]): int(e_through[j])].astype(np.float64)
+            if len(ex):
+                xv, xn = np.unique(ex, return_counts=True)
+                av = np.concatenate([bv, xv])
+                an = np.concatenate([bn, xn])
+                order = np.argsort(av, kind="stable")
+                av, an = av[order], an[order]
+                # merge duplicate values created by the interleave
+                uniq = np.ones(len(av), bool)
+                uniq[1:] = av[1:] != av[:-1]
+                grp = np.cumsum(uniq) - 1
+                bv = av[uniq]
+                bn = np.bincount(grp, weights=an).astype(np.int64)
+            fetched[j] = (bv, np.cumsum(bn))
+
+    rows_out = []
+    for q, idx, (kind, j, local) in zip(qs, targets, where):
+        if kind == "extra":
+            rows_out.append({"q": float(q), "value": float(extras[j])})
+        else:
+            bv, bcum = fetched[j]
+            pos = int(np.searchsorted(bcum, local + 1))
+            rows_out.append({"q": float(q), "value": float(bv[pos])})
+    return pd.DataFrame(rows_out)
+
+
 def exact_quantiles(
     ds, col: str, qs: tuple[float, ...], extra_values: np.ndarray | None = None
 ) -> pd.DataFrame:
     """Exact quantile_disc: value at sorted index ``max(0, ceil(q*n)-1)``.
 
-    Distributed plan: ``groupby(col).count()`` reduces the dataset to
-    its distinct-value histogram (partial per-block counts combine
-    before the hash shuffle, so only (value, count) rows move); the
-    driver walks the tiny histogram. Exact because quantile_disc is
-    element *selection* — no float arithmetic to diverge on.
-
-    Scale path: fine whenever #distinct ≪ #rows (ints, discretized
-    metrics). For truly continuous columns at 100 TB use the t-digest /
-    KLL sketches instead (pipelines/transcripts.py).
+    Scale-safe distributed plan (round-2 rework): per-block value
+    counts → one groupby → distributed distinct-value histogram →
+    ``quantiles_from_histogram`` selection. The driver never holds the
+    histogram — only O(#blocks) summaries plus the handful of blocks
+    the targets land in — so near-continuous columns (µs gaps) no
+    longer ship ~1 row per input row to the driver. The t-digest / KLL
+    sketches remain the approximate alternative when even one shuffle
+    is too much.
     """
-    hist = ds.groupby(col).count().to_pandas()
-    if extra_values is not None and len(extra_values):
-        vals, cnts = np.unique(np.asarray(extra_values), return_counts=True)
-        hist = (
-            pd.concat([hist, pd.DataFrame({col: vals, "count()": cnts})])
-            .groupby(col, as_index=False)["count()"]
-            .sum()
-        )
-    hist = hist.sort_values(col).reset_index(drop=True)
-    if not len(hist):  # empty input → empty result, not IndexError
-        return pd.DataFrame({"q": pd.Series(dtype=float), "value": pd.Series(dtype=float)})
-    counts = hist["count()"].to_numpy()
-    cum = np.cumsum(counts)
-    n = int(cum[-1])
-    rows = []
-    for q in qs:
-        idx = max(0, math.ceil(q * n) - 1)
-        pos = int(np.searchsorted(cum, idx + 1))
-        rows.append({"q": float(q), "value": float(hist[col].iloc[pos])})
-    return pd.DataFrame(rows)
+    return quantiles_from_histogram(value_histogram(ds, col), col, qs, extra_values)
 
 
 # ------------------------------------------------------------------- pipelines

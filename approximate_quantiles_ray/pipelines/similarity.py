@@ -249,10 +249,15 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.98, n_planes: int = 16,
     picked = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
     batches = list(picked.iter_batches(batch_format="pyarrow"))
     tbl = pa.concat_tables(batches)
-    ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+    ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     emb = _normalize(_embedding_matrix(tbl, col))
-    by_id = {int(i): emb[j] for j, i in enumerate(ids)}
-    cos = np.array([float(by_id[int(a)] @ by_id[int(b)]) for a, b in zip(cand["a"], cand["b"])])
+    # vectorized candidate verify: searchsorted id→row indexer, then one
+    # batched row-wise dot (einsum) — no per-pair Python loop
+    order = np.argsort(ids)
+    sorted_ids = ids[order]
+    ia = order[np.searchsorted(sorted_ids, cand["a"].to_numpy().astype(np.int64))]
+    ib = order[np.searchsorted(sorted_ids, cand["b"].to_numpy().astype(np.int64))]
+    cos = np.einsum("ij,ij->i", emb[ia], emb[ib])
     out = pd.DataFrame({"a": cand["a"].astype(np.int64).to_numpy(),
                         "b": cand["b"].astype(np.int64).to_numpy(), "cosine": cos})
     return (
@@ -336,6 +341,37 @@ QUERIES = {
 # ------------------------------------------------------------------------- IVF
 
 
+def _hash_sample(ds, sample_size: int, seed: int = 42,
+                 id_col: str = "vec_id", col: str = "embedding") -> np.ndarray:
+    """Deterministic UNBIASED corpus sample: keep the ``sample_size``
+    rows with the smallest splitmix64(id ^ seed) — a seeded uniform
+    draw that provably spans every fragment (unlike ``limit()``, which
+    reads only the first files). Each batch emits only its own
+    smallest-``sample_size`` partial, so the driver merge is
+    O(#blocks × sample_size), never the corpus.
+    """
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return tbl.select([id_col, col]).append_column("_h", pa.array([], pa.int64()))
+        h = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+        take = np.argsort(h, kind="stable")[:sample_size]
+        out = tbl.select([id_col, col]).take(pa.array(np.sort(take)))
+        return out.append_column("_h", pa.array(h[np.sort(take)].astype(np.int64)))
+
+    parts = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if not len(parts):
+        return np.zeros((0, 0))
+    h = parts.column("_h").to_numpy(zero_copy_only=False).astype(np.uint64)
+    keep = np.argsort(h, kind="stable")[:sample_size]
+    return _embedding_matrix(parts.take(pa.array(np.sort(keep))), col)
+
+
 def train_ivf_centroids(sample: np.ndarray, n_centroids: int = 16, iters: int = 10,
                         seed: int = 42) -> np.ndarray:
     """Seeded Lloyd k-means on unit vectors (cosine ≡ dot after
@@ -363,8 +399,7 @@ def knn_ivf(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
     embeddings. Candidate fraction ≈ nprobe / n_centroids."""
     import ray
 
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.asarray([r[col] for r in sample_rows], np.float64)
+    sample = _hash_sample(ds, sample_size, seed=seed, id_col=id_col, col=col)
     centroids = train_ivf_centroids(sample, n_centroids, seed=seed)
 
     qm = _normalize(np.asarray(query_matrix, np.float64))

@@ -108,15 +108,18 @@ def latency_quantiles_exact(sf_dir: str) -> pd.DataFrame:
     """Element-exact quantiles of inter-turn latency (µs).
 
     Plan: narrow projection at the read → one (conv_id, turn_idx) range
-    sort → vectorized segmented lag with boundary stitching
-    (engine/segmented.py — no per-group Python calls) → distinct-value-
-    count quantile reduction with the stitched boundary gaps folded in.
+    sort → fused segmented lag + per-block gap value counts with
+    boundary stitching (engine/segmented.py segmented_gap_hist — no
+    per-group Python calls, no row-scale intermediate) → distributed
+    histogram quantile selection (relational.quantiles_from_histogram)
+    with the stitched boundary gaps folded into the driver walk.
     """
-    from approximate_quantiles_ray.engine.segmented import segmented_gaps
+    from approximate_quantiles_ray.engine.segmented import segmented_gap_hist
+    from approximate_quantiles_ray.pipelines.relational import quantiles_from_histogram
 
     ds = read_transcripts_ds(sf_dir, ["conv_id", "turn_idx", "ts"])
-    gaps, boundary = segmented_gaps(ds)
-    out = exact_quantiles(gaps, "gap_us", LATENCY_QS, extra_values=boundary)
+    hist, boundary = segmented_gap_hist(ds)
+    out = quantiles_from_histogram(hist, "gap_us", LATENCY_QS, extra_values=boundary)
     if not len(out):  # all conversations single-turn → no gaps
         return pd.DataFrame({"q": pd.Series(dtype=float), "gap_us": pd.Series(dtype="int64")})
     out["gap_us"] = out["value"].astype("int64")

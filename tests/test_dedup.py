@@ -59,7 +59,7 @@ def test_exact_dedup(corpus_ds):
 def test_minhash_lsh_dedup_clusters(corpus_ds):
     from approximate_quantiles_ray.pipelines.dedup import minhash_lsh_dedup
 
-    out = minhash_lsh_dedup(corpus_ds, threshold=0.5).set_index("doc_id")
+    out = minhash_lsh_dedup(corpus_ds, threshold=0.5).to_pandas().set_index("doc_id").sort_index()
     # exact dups cluster with their originals
     for i in range(5):
         assert out.loc[60 + i, "cluster_id"] == out.loc[i, "cluster_id"] == i
@@ -78,9 +78,11 @@ def test_minhash_merge_is_partition_independent(ray_session):
 
     from approximate_quantiles_ray.pipelines.dedup import minhash_lsh_dedup
 
-    a = minhash_lsh_dedup(rd.from_arrow(_corpus()).repartition(2), threshold=0.5)
-    b = minhash_lsh_dedup(rd.from_arrow(_corpus()).repartition(7), threshold=0.5)
-    pd.testing.assert_frame_equal(a, b)
+    def run(n_parts):
+        out = minhash_lsh_dedup(rd.from_arrow(_corpus()).repartition(n_parts), threshold=0.5)
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(2), run(7))
 
 
 def test_simhash_near_dup_pairs(corpus_ds):

@@ -1,0 +1,85 @@
+"""Property tests for the distributed quantile_disc selection
+(relational.value_histogram + quantiles_from_histogram): many random
+datasets × partitionings × extras placements must match the plain
+numpy definition value[ max(0, ceil(q*n)-1) ] over sorted(data+extras).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+QS = (0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+
+
+def _reference(values: np.ndarray, qs) -> list[float]:
+    s = np.sort(values)
+    n = len(s)
+    return [float(s[max(0, math.ceil(q * n) - 1)]) for q in qs]
+
+
+def _run(ray_session, data: np.ndarray, extras: np.ndarray | None, n_parts: int):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.relational import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    ds = rd.from_items([{"v": float(x)} for x in data]).repartition(n_parts)
+    out = quantiles_from_histogram(value_histogram(ds, "v"), "v", QS, extra_values=extras)
+    combined = np.concatenate([data, extras]) if extras is not None and len(extras) else data
+    exp = _reference(combined, QS)
+    assert out["q"].tolist() == [float(q) for q in QS]
+    assert out["value"].tolist() == exp
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n_parts", [1, 3, 8])
+def test_matches_numpy_continuous(ray_session, seed, n_parts):
+    rng = np.random.default_rng(seed)
+    data = rng.standard_normal(400).round(3)  # some duplicates via rounding
+    _run(ray_session, data, None, n_parts)
+
+
+def test_extras_interleave_everywhere(ray_session):
+    rng = np.random.default_rng(7)
+    data = rng.integers(100, 200, 300).astype(float)
+    # extras below, inside (incl. exact duplicates of data values), and above
+    extras = np.array([1.0, 2.0, 150.0, 150.0, float(data[0]), 500.0, 501.0])
+    _run(ray_session, data, extras, 4)
+
+
+def test_extras_only(ray_session):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.relational import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    ds = rd.from_items([{"v": 1.0}]).filter(lambda r: False)  # empty dataset
+    extras = np.array([3.0, 1.0, 2.0])
+    out = quantiles_from_histogram(value_histogram(ds, "v"), "v", (0.0, 0.5, 1.0), extras)
+    assert out["value"].tolist() == [1.0, 2.0, 3.0]
+
+
+def test_empty_everything(ray_session):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.relational import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    ds = rd.from_items([{"v": 1.0}]).filter(lambda r: False)
+    out = quantiles_from_histogram(value_histogram(ds, "v"), "v", (0.5,), None)
+    assert len(out) == 0
+
+
+def test_heavy_duplicates(ray_session):
+    # one hot value dominating (skew) + a tail
+    data = np.concatenate([np.full(500, 42.0), np.arange(10, dtype=float)])
+    _run(ray_session, data, np.array([42.0, 41.0]), 6)
