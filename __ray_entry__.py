@@ -147,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         sqls.update(dedup.ORACLE_SQL)
         sqls.update(similarity.ORACLE_SQL)
         sqls.update(windows.ORACLE_SQL)
+        sqls.update(windows.oracle_sql(_ORACLE_SF_DIR))
         sqls.update(sessions.ORACLE_SQL)
     except ImportError:
         pass

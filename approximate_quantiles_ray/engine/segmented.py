@@ -25,6 +25,10 @@ import pandas as pd
 import pyarrow as pa
 
 GAP, HEAD, TAIL = 0, 1, 2
+# single-row block: its head and tail are the SAME physical row — emit
+# one HEADTAIL row that pairs on both sides (kind 3 is reserved by
+# segmented_gap_sketches for sketch-partial rows)
+HEADTAIL = 4
 
 _SCHEMA = pa.schema(
     [
@@ -64,14 +68,18 @@ def make_block_gaps(key_col: str, order_col: str, ts_col: str, keep_gap_keys: bo
         same = conv[1:] == conv[:-1]
         gaps = (ts[1:] - ts[:-1])[same]
 
-        kind = np.concatenate([np.zeros(len(gaps), np.int8), np.int8([HEAD, TAIL])])
-        gap_col = np.concatenate([gaps, [0, 0]]).astype(np.int64)
+        if n == 1:  # head and tail are the same row → one HEADTAIL
+            bkinds, bturns, bts = np.int8([HEADTAIL]), np.int64([turn[0]]), [ts[0]]
+            bconvs = [conv[0]]
+        else:
+            bkinds, bturns, bts = np.int8([HEAD, TAIL]), np.int64([turn[0], turn[-1]]), [ts[0], ts[-1]]
+            bconvs = [conv[0], conv[-1]]
+        kind = np.concatenate([np.zeros(len(gaps), np.int8), bkinds])
+        gap_col = np.concatenate([gaps, np.zeros(len(bkinds))]).astype(np.int64)
         gap_keys = conv[1:][same] if keep_gap_keys else np.full(len(gaps), None, object)
-        conv_col = np.concatenate([gap_keys, [conv[0], conv[-1]]])
-        turn_col = np.concatenate(
-            [np.zeros(len(gaps), np.int64), np.int64([turn[0], turn[-1]])]
-        )
-        ts_col_out = np.concatenate([np.zeros(len(gaps), np.int64), [ts[0], ts[-1]]])
+        conv_col = np.concatenate([gap_keys, bconvs])
+        turn_col = np.concatenate([np.zeros(len(gaps), np.int64), bturns])
+        ts_col_out = np.concatenate([np.zeros(len(gaps), np.int64), bts])
         return pa.Table.from_arrays(
             [
                 pa.array(kind, pa.int8()),
@@ -92,11 +100,27 @@ def _stitch_boundaries_keyed(bnd: pd.DataFrame) -> pd.DataFrame:
     an adjacent-block pair → one gap. Returns (gap_us, conv_id) rows."""
     if not len(bnd):
         return pd.DataFrame({"gap_us": pd.Series(dtype=np.int64), "conv_id": pd.Series(dtype=object)})
-    b = bnd.sort_values(["conv_id", "turn_idx", "kind"]).reset_index(drop=True)
+    # ties on (conv, turn) must sort TAIL-before-HEAD: a block-straddling
+    # pair whose tail and head share the order key would otherwise sort
+    # HEAD-first and the gap would be silently dropped (ADVICE r1 item 2).
+    # Single-row blocks emit HEADTAIL (pairs on both sides) and rank
+    # between the two, so they chain correctly: T → HT → H.
+    rank = np.select(
+        [bnd["kind"].to_numpy() == TAIL, bnd["kind"].to_numpy() == HEADTAIL],
+        [0, 1],
+        default=2,  # HEAD
+    )
+    b = (
+        bnd.assign(_rank=rank)
+        .sort_values(["conv_id", "turn_idx", "_rank"])
+        .reset_index(drop=True)
+    )
     kind = b["kind"].to_numpy()
     conv = b["conv_id"].to_numpy()
     ts = b["ts_us"].to_numpy()
-    is_pair = (kind[:-1] == TAIL) & (kind[1:] == HEAD) & (conv[:-1] == conv[1:])
+    tailish = np.isin(kind, (TAIL, HEADTAIL))
+    headish = np.isin(kind, (HEAD, HEADTAIL))
+    is_pair = tailish[:-1] & headish[1:] & (conv[:-1] == conv[1:])
     return pd.DataFrame(
         {"gap_us": (ts[1:] - ts[:-1])[is_pair].astype(np.int64), "conv_id": conv[1:][is_pair]}
     )

@@ -193,7 +193,73 @@ def docs_lang_id(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_STOP_RE = r"(?i)\b(" + "|".join(sorted({w for ws in STOPWORDS.values() for w in ws})) + r")\b"
+
+
+def docs_quality_features(sf_dir: str) -> pd.DataFrame:
+    """The INTEGER evidence columns behind the quality score, oracle-
+    matched vs DuckDB regexp counts (the float ratios/score stay in
+    docs_quality_report — division results are deterministic too, but
+    integer counts are the hash-stable contract surface)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def features(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_tokens": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+                "n_alpha": pc.cast(pc.count_substring_regex(text, "[a-zA-Z]"), pa.int64()),
+                "n_stop": pc.cast(pc.count_substring_regex(text, _STOP_RE), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(features, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_lang_stopword_hits(sf_dir: str) -> pd.DataFrame:
+    """Per-doc per-language stopword hit counts — the integer evidence
+    the LanguageID heuristic votes on, oracle-matched vs DuckDB."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    langs = sorted(STOPWORDS)
+
+    def hits(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        cols = {"doc_id": tbl.column("doc_id")}
+        for lang in langs:
+            rx = r"(?i)\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+            cols[f"hits_{lang}"] = pc.cast(pc.count_substring_regex(text, rx), pa.int64())
+        return pa.table(cols)
+
+    out = ds.map_batches(hits, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_stop_re(words: list[str]) -> str:
+    return r"(?i)\b(" + "|".join(words) + r")\b"
+
+
 ORACLE_SQL = {
+    "docs_quality_features": rf"""
+        SELECT doc_id,
+               LENGTH(text) AS n_chars,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+               len(regexp_extract_all(text, '{_sql_stop_re(sorted({w for ws in STOPWORDS.values() for w in ws}))}')) AS n_stop
+        FROM documents ORDER BY doc_id
+    """,
+    "docs_lang_stopword_hits": "SELECT doc_id, "
+    + ", ".join(
+        rf"len(regexp_extract_all(text, '{_sql_stop_re(STOPWORDS[lang])}')) AS hits_{lang}"
+        for lang in sorted(STOPWORDS)
+    )
+    + " FROM documents ORDER BY doc_id",
     "docs_token_stats": r"""
         SELECT doc_id,
                len(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -207,4 +273,6 @@ QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_quality_report": docs_quality_report,
     "docs_lang_id": docs_lang_id,
+    "docs_quality_features": docs_quality_features,
+    "docs_lang_stopword_hits": docs_lang_stopword_hits,
 }

@@ -42,11 +42,19 @@ def read_transcripts_ds(sf_dir: str, columns: list[str] | None = None):
 
 
 def role_stats(sf_dir: str) -> pd.DataFrame:
-    """Per role: turn count, distinct conversations, total text chars."""
+    """Per role: turn count, distinct conversations, total text chars.
+
+    ONE pass over the data (round-2 fusion, halves the round-1 cost):
+    each block reduces to its distinct (role, conv_id) pairs carrying
+    partial (n_turns, chars) sums via an Arrow C++ group_by, so only
+    ~#convs rows reach the first shuffle; a second shuffle over those
+    per-conv rows (tiny: one row per (role, conv)) produces the final
+    per-role counts, distinct-conv counts, and char sums.
+    """
     ds = read_transcripts_ds(sf_dir, ["role", "conv_id", "text"])
 
-    def project(tbl: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
             [
                 tbl.column("role"),
                 tbl.column("conv_id"),
@@ -54,31 +62,25 @@ def role_stats(sf_dir: str) -> pd.DataFrame:
             ],
             names=["role", "conv_id", "chars"],
         )
+        agg = t.group_by(["role", "conv_id"]).aggregate([("chars", "sum"), ("chars", "count")])
+        return agg.rename_columns(["role", "conv_id", "chars", "n_turns"])
 
     from ray.data.aggregate import Count, Sum
 
-    narrow = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-    base = (
-        narrow.groupby("role")
-        .aggregate(Count(), Sum("chars"))
-        .rename_columns({"count()": "n_turns", "sum(chars)": "text_chars"})
-        .to_pandas()
-    )
-    def block_unique_pairs(t: pa.Table) -> pa.Table:
-        # per-block dedup before the shuffle: only distinct (role, conv)
-        # pairs leave the block (~#convs rows instead of #turns)
-        return t.select(["role", "conv_id"]).group_by(["role", "conv_id"]).aggregate([])
-
-    dist = (
-        narrow.map_batches(block_unique_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    per_conv = (
+        ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["role", "conv_id"])
-        .count()
-        .groupby("role")
-        .count()
-        .rename_columns({"count()": "n_convs"})
-        .to_pandas()
+        .aggregate(Sum("n_turns"), Sum("chars"))
+        .rename_columns({"sum(n_turns)": "n_turns", "sum(chars)": "chars"})
     )
-    out = base.merge(dist, on="role")[["role", "n_turns", "n_convs", "text_chars"]]
+    out = (
+        per_conv.groupby("role")
+        .aggregate(Count(), Sum("n_turns"), Sum("chars"))
+        .rename_columns(
+            {"count()": "n_convs", "sum(n_turns)": "n_turns", "sum(chars)": "text_chars"}
+        )
+        .to_pandas()[["role", "n_turns", "n_convs", "text_chars"]]
+    )
     return out.sort_values("role").reset_index(drop=True)
 
 

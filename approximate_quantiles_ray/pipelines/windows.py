@@ -12,6 +12,7 @@ watermarks needed for bounded (batch) data.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -103,6 +104,97 @@ def transcript_daily_text_len(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("window_start").reset_index(drop=True)
 
 
+def grouped_quantile_disc(ds, key_col: str, val_col: str, qs: tuple[float, ...]) -> pd.DataFrame:
+    """Exact per-group quantile_disc + count + sum for a DISCRETE value
+    column, in one pass.
+
+    Plan: per-block Arrow ``group_by((key, val)).count`` reduces each
+    block to its distinct (key, value) pairs → one Ray groupby sums the
+    partials → the (small) per-group histograms come to the driver for
+    the cumulative walk. Driver size is #groups × #distinct-values —
+    the right plan when the value space is discrete (string lengths,
+    token counts); for near-continuous values use
+    relational.quantiles_from_histogram per group instead.
+
+    Returns one row per key: (key, n, total, q_<q> ...) — counts and
+    the value sum fall out of the same histogram (Σ v·n), so no second
+    pass over the data.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def block_counts(tbl: pa.Table) -> pa.Table:
+        agg = tbl.select([key_col, val_col]).group_by([key_col, val_col]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns([key_col, val_col, "n"])
+
+    hist = (
+        ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, val_col])
+        .aggregate(Sum("n"))
+        .rename_columns({"sum(n)": "n"})
+        .to_pandas()
+        .sort_values([key_col, val_col])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for key, g in hist.groupby(key_col, sort=True):
+        vals = g[val_col].to_numpy()
+        cnt = g["n"].to_numpy()
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        row = {key_col: key, "n": n, "total": int((vals * cnt).sum())}
+        for q in qs:
+            idx = max(0, math.ceil(q * n) - 1)
+            row[f"q{q}"] = vals[int(np.searchsorted(cum, idx + 1))]
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def transcript_daily_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact per-day turn count, total chars, and p50/p99 text length —
+    the oracle-matched twin of transcript_daily_text_len's sketch path
+    (DuckDB: date_trunc + CAST(SUM(...) AS BIGINT) + quantile_disc)."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.transcript_exact import transcripts_dir_for
+
+    ds = rd.read_parquet(transcripts_dir_for(sf_dir), columns=["ts", "text"]).map_batches(
+        lambda t: add_window_column(t, "ts", "day")
+        .append_column("len", pc.cast(pc.utf8_length(t.column("text")), pa.int64()))
+        .drop_columns(["ts", "text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = grouped_quantile_disc(ds, "window_start", "len", (0.5, 0.99))
+    out = out.rename(
+        columns={"n": "n_turns", "total": "total_chars", "q0.5": "len_p50", "q0.99": "len_p99"}
+    )
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out = out[["window_start", "n_turns", "total_chars", "len_p50", "len_p99"]]
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+def oracle_sql(sf_dir: str) -> dict[str, str]:
+    """sf-dir-dependent oracles (the transcript table lives under /tmp,
+    not in the driver's pre-registered views)."""
+    from approximate_quantiles_ray.pipelines.transcript_exact import _tdir_glob
+
+    return {
+        "transcript_daily_exact": f"""
+            SELECT date_trunc('day', ts) AS window_start,
+                   COUNT(*) AS n_turns,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+                   quantile_disc(LENGTH(text), 0.5) AS len_p50,
+                   quantile_disc(LENGTH(text), 0.99) AS len_p99
+            FROM read_parquet('{_tdir_glob(sf_dir)}')
+            GROUP BY 1 ORDER BY 1
+        """,
+    }
+
+
 ORACLE_SQL = {
     "events_hourly_stats": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -116,4 +208,5 @@ ORACLE_SQL = {
 QUERIES = {
     "events_hourly_stats": events_hourly_stats,
     "transcript_daily_text_len": transcript_daily_text_len,
+    "transcript_daily_exact": transcript_daily_exact,
 }

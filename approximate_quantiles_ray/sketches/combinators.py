@@ -105,13 +105,17 @@ class SymDigest:
         return 0.5 * (lo_est + hi_est)
 
     def est_quantile_at_value(self, value: float) -> float:
+        """Reference-exact side selection (sym_digest.rs:39-52): branch
+        on the AVERAGE of the two rank estimates vs 0.5 — low side when
+        avg < 0.5, high side when avg > 0.5, the average on a tie."""
         lo_rank = self.low.est_quantile_at_value(value)
         hi_rank = 1.0 - self.high.est_quantile_at_value(-value)
-        if lo_rank < 0.5 and hi_rank < 0.5:
+        avg = 0.5 * (lo_rank + hi_rank)
+        if avg < 0.5:
             return lo_rank
-        if lo_rank > 0.5 and hi_rank > 0.5:
+        if avg > 0.5:
             return hi_rank
-        return 0.5 * (lo_rank + hi_rank)
+        return avg
 
 
 class MultiDigest:

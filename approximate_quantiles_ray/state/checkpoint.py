@@ -76,10 +76,34 @@ def _transform_sig(transform) -> str:
     different metrics."""
     if transform is None:
         return "none"
+
+    def cell_sig(value, depth: int = 0) -> str:
+        """Deterministic signature for a closure cell. Plain repr is NOT
+        process-stable for functions / default-repr instances (their
+        repr embeds a memory address), which would change the config
+        hash on every run and silently re-run every shard (ADVICE r1
+        item 4). Callables recurse into their own code; objects with
+        the default object.__repr__ fall back to their type's qualname."""
+        if depth > 4:
+            return "max-depth"
+        if callable(value) and hasattr(value, "__code__"):
+            c = value.__code__
+            inner = tuple(
+                cell_sig(getattr(cc, "cell_contents", None), depth + 1)
+                for cc in (value.__closure__ or ())
+            )
+            return hashlib.sha256(
+                c.co_code + repr((c.co_names, c.co_consts, inner)).encode()
+            ).hexdigest()[:16]
+        r = repr(value)
+        if " at 0x" in r:  # default object repr → address-bearing, unstable
+            return f"instance:{type(value).__module__}.{type(value).__qualname__}"
+        return r
+
     try:
         code = transform.__code__
         cells = tuple(
-            repr(getattr(c, "cell_contents", None)) for c in (transform.__closure__ or ())
+            cell_sig(getattr(c, "cell_contents", None)) for c in (transform.__closure__ or ())
         )
         # co_names/co_consts matter: pc.utf8_length → pc.binary_length or a
         # changed constant leaves co_code identical

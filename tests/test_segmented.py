@@ -41,6 +41,48 @@ def test_segmented_gaps_exact_with_boundaries(small_table):
     np.testing.assert_array_equal(np.sort(got), exp)
 
 
+def test_single_row_blocks_chain_correctly(ray_session):
+    """Blocks of 1 row emit HEADTAIL rows that must pair on BOTH sides
+    (T → HT → H chain), never self-pair into spurious 0 gaps."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.segmented import segmented_gaps
+
+    n = 9  # one conversation, 9 turns, 1-row blocks via repartition(9)
+    ts = pa.array(np.arange(n) * 1_000_000 * np.array([1, 2, 3, 1, 2, 3, 1, 2, 3]),
+                  pa.timestamp("us"))
+    tbl = pa.table({"conv_id": ["c"] * n, "turn_idx": np.arange(n, dtype=np.int64), "ts": ts})
+    ds = rd.from_arrow(tbl).repartition(n)
+    gaps_ds, boundary = segmented_gaps(ds)
+    interior = gaps_ds.to_pandas()["gap_us"].to_numpy().astype(np.int64)
+    got = np.sort(np.concatenate([interior, boundary]))
+    t = ts.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    exp = np.sort(np.diff(t))  # gaps in turn order (ts is not monotone)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_boundary_tie_order_keeps_gap(ray_session):
+    """Duplicate order keys across a block boundary (tail and head tie
+    on (conv, turn_idx) but differ in ts) must still stitch the gap —
+    the round-1 ADVICE latent-data-loss edge."""
+    import pyarrow as pa
+
+    from approximate_quantiles_ray.engine.segmented import HEAD, TAIL, _stitch_boundaries
+    import pandas as pd
+
+    bnd = pd.DataFrame(
+        {
+            "kind": np.array([TAIL, HEAD], np.int8),
+            "conv_id": ["c", "c"],
+            "turn_idx": np.array([5, 5], np.int64),  # tie on the order key
+            "ts_us": np.array([100, 250], np.int64),
+        }
+    )
+    gaps = _stitch_boundaries(bnd)
+    np.testing.assert_array_equal(gaps, np.array([150], np.int64))
+
+
 def test_fused_gap_sketches_match_unfused(small_table):
     import ray.data as rd
 
