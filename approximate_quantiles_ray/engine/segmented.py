@@ -177,8 +177,8 @@ def segmented_gap_hist(
     is block-level partials — raw gap rows never exist as a dataset —
     so the ``materialize()`` that splits the two consumers pins only
     per-block histograms (≤ block distinct values each), not row-scale
-    data. Returns (distributed (gap_us, n) histogram Dataset with
-    globally distinct values, stitched boundary-gap ndarray).
+    data. Returns (distributed PARTIAL (gap_us, n) histogram Dataset —
+    block-level distinct — plus the stitched boundary-gap ndarray).
     """
     schema = pa.schema(
         [
@@ -229,15 +229,12 @@ def segmented_gap_hist(
     bnd = tagged.filter(expr="kind > 0").select_columns(
         ["kind", "conv_id", "turn_idx", "ts_us"]
     ).to_pandas()
-    from ray.data.aggregate import Sum
-
-    hist = (
-        tagged.filter(expr="kind == 0")
-        .select_columns(["gap_us", "n"])
-        .groupby("gap_us")
-        .aggregate(Sum("n"))
-        .rename_columns({"sum(n)": "n"})
-    )
+    # PARTIAL histogram (block-level distinct, values may repeat across
+    # blocks): the consumer (quantiles_from_histogram pre_grouped=False)
+    # combines on the driver under its cap, or inserts the Ray groupby
+    # only on the truly-huge path — skipping the all-to-all entirely at
+    # moderate scale.
+    hist = tagged.filter(expr="kind == 0").select_columns(["gap_us", "n"])
     return hist, _stitch_boundaries(bnd)
 
 

@@ -274,23 +274,17 @@ def _star_edges(band_ds, id_col: str = "doc_id") -> pd.DataFrame:
 
     hot_ref = ray.put(hot)
 
-    class EdgeEmitter:
-        def __init__(self, ref):
-            self.hot = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def emit_edges(tbl: pa.Table) -> pa.Table:
+        # broadcast resolve: ray.get on a plasma ref is a zero-copy
+        # shared-memory read, cached per worker process — a plain task
+        # fn avoids actor-pool spin-up for this cheap stage
+        hot_df = ray.get(hot_ref)
+        df = tbl.select([id_col, "band", "bucket"]).to_pandas()
+        m = df.merge(hot_df, on=["band", "bucket"], how="inner")
+        m = m[m[id_col] != m["root"]]
+        return pa.table({"a": pa.array(m["root"].to_numpy()), "b": pa.array(m[id_col].to_numpy())})
 
-        def __call__(self, tbl: pa.Table) -> pa.Table:
-            df = tbl.select([id_col, "band", "bucket"]).to_pandas()
-            m = df.merge(self.hot, on=["band", "bucket"], how="inner")
-            m = m[m[id_col] != m["root"]]
-            return pa.table({"a": pa.array(m["root"].to_numpy()), "b": pa.array(m[id_col].to_numpy())})
-
-    edges = band_ds.map_batches(
-        EdgeEmitter,
-        fn_constructor_args=(hot_ref,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
+    edges = band_ds.map_batches(emit_edges, batch_format="pyarrow", zero_copy_batch=True)
     # distributed distinct: same pair found in several bands collapses
     # in the shuffle, not on the driver
     uniq = edges.groupby(["a", "b"]).count().to_pandas()
@@ -382,8 +376,13 @@ def minhash_lsh_dedup(
 
     # 16 bands × 8 rows: band-collision prob J^8 — J=0.8 → ≥1 collision
     # p≈0.94, J=0.5 → p≈6% (few false candidates); star edges bound the
-    # per-bucket pair count at n−1 (union-find restores full clusters)
-    bands = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    # per-bucket pair count at n−1 (union-find restores full clusters).
+    # materialize(): band rows (3 int cols/doc/band) are consumed twice
+    # (hot-bucket aggregate + edge emit) — staging them is far cheaper
+    # than recomputing the minhash signature stage, the dominant compute
+    bands = sigs.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     cand = _star_edges(bands, id_col=id_col)
 
     texts_by_id: dict[int, str] = {}
@@ -427,32 +426,25 @@ def assign_clusters(ds, comp: dict, id_col: str = "doc_id"):
         vals = np.zeros(0, np.int64)
     map_ref = ray.put((keys, vals))
 
-    class AssignCluster:
-        def __init__(self, ref):
-            self.keys, self.vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, tbl: pa.Table) -> pa.Table:
-            ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-            if len(self.keys) and len(ids):
-                idx = np.clip(np.searchsorted(self.keys, ids), 0, len(self.keys) - 1)
-                hit = self.keys[idx] == ids
-                cluster = np.where(hit, self.vals[idx], ids)
-            else:
-                cluster = ids
-            return pa.table(
-                {
-                    id_col: tbl.column(id_col),
-                    "cluster_id": pa.array(cluster),
-                    "is_kept": pa.array(ids == cluster),
-                }
-            )
+    def assign(tbl: pa.Table) -> pa.Table:
+        mkeys, mvals = ray.get(map_ref)  # zero-copy plasma read per task
+        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        if len(mkeys) and len(ids):
+            idx = np.clip(np.searchsorted(mkeys, ids), 0, len(mkeys) - 1)
+            hit = mkeys[idx] == ids
+            cluster = np.where(hit, mvals[idx], ids)
+        else:
+            cluster = ids
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "cluster_id": pa.array(cluster),
+                "is_kept": pa.array(ids == cluster),
+            }
+        )
 
     return ds.select_columns([id_col]).map_batches(
-        AssignCluster,
-        fn_constructor_args=(map_ref,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        assign, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -542,7 +534,11 @@ def simhash_near_dup_pairs(
             }
         )
 
-    band_ds = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    # consumed twice by _hot_bucket_rows (count + pick) — stage the tiny
+    # (4 rows × 4 int cols)/doc band table instead of recomputing simhash
+    band_ds = sigs.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     rows = _hot_bucket_rows(band_ds, extra_cols=["simhash"])
     pairs = _hot_bucket_pairs(rows, extra_cols=["simhash"])
     if not len(pairs):

@@ -71,7 +71,12 @@ def value_histogram(ds, col: str):
 
 
 def quantiles_from_histogram(
-    hist_ds, col: str, qs: tuple[float, ...], extra_values: np.ndarray | None = None
+    hist_ds,
+    col: str,
+    qs: tuple[float, ...],
+    extra_values: np.ndarray | None = None,
+    driver_cap: int = 1 << 22,
+    pre_grouped: bool = True,
 ) -> pd.DataFrame:
     """quantile_disc over a distributed distinct-value histogram with
     driver memory O(#blocks + #qs + len(extra_values)).
@@ -100,7 +105,53 @@ def quantiles_from_histogram(
         else np.zeros(0, np.float64)
     )
 
-    H = hist_ds.sort(col).materialize()
+    # Adaptive plan: the materialized histogram's row count (free
+    # metadata) bounds driver memory. Below ``driver_cap`` rows
+    # (default 4M ≈ 64 MB of (value, n)) the distributed groupby +
+    # sort + summary + fetch machinery costs more in stage latency
+    # than it saves — pull the (possibly still per-block-partial)
+    # histogram, combine with one vectorized pandas groupby, and walk
+    # locally. Above the cap, run the fully distributed selection,
+    # inserting the Ray groupby first when ``pre_grouped=False``
+    # (selection requires globally distinct values). The partial row
+    # count over-estimates the distinct count, so the cap check stays
+    # conservative.
+    H0 = hist_ds.materialize()
+    if H0.count() <= driver_cap:
+        hist = H0.to_pandas()
+        if col not in hist.columns:  # fully empty histogram → no schema
+            hist = pd.DataFrame({col: [], "n": []})
+        if not pre_grouped and len(hist):
+            hist = hist.groupby(col, as_index=False)["n"].sum()
+        if len(extras):
+            xv, xn = np.unique(extras, return_counts=True)
+            hist = (
+                pd.concat([hist, pd.DataFrame({col: xv, "n": xn})])
+                .groupby(col, as_index=False)["n"]
+                .sum()
+            )
+        hist = hist.sort_values(col).reset_index(drop=True)
+        if not len(hist):
+            return empty
+        cum = np.cumsum(hist["n"].to_numpy())
+        n = int(cum[-1])
+        vals = hist[col].to_numpy()
+        rows = []
+        for q in qs:
+            idx = max(0, math.ceil(q * n) - 1)
+            rows.append({"q": float(q), "value": float(vals[int(np.searchsorted(cum, idx + 1))])})
+        return pd.DataFrame(rows)
+
+    if not pre_grouped:
+        from ray.data.aggregate import Sum
+
+        H0 = (
+            H0.groupby(col)
+            .aggregate(Sum("n"))
+            .rename_columns({"sum(n)": "n"})
+            .materialize()
+        )
+    H = H0.sort(col).materialize()
 
     def summary(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -214,7 +265,11 @@ def quantiles_from_histogram(
 
 
 def exact_quantiles(
-    ds, col: str, qs: tuple[float, ...], extra_values: np.ndarray | None = None
+    ds,
+    col: str,
+    qs: tuple[float, ...],
+    extra_values: np.ndarray | None = None,
+    driver_cap: int = 1 << 22,
 ) -> pd.DataFrame:
     """Exact quantile_disc: value at sorted index ``max(0, ceil(q*n)-1)``.
 
@@ -227,7 +282,12 @@ def exact_quantiles(
     sketches remain the approximate alternative when even one shuffle
     is too much.
     """
-    return quantiles_from_histogram(value_histogram(ds, col), col, qs, extra_values)
+    part = ds.map_batches(
+        _block_value_counts(col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return quantiles_from_histogram(
+        part, col, qs, extra_values, driver_cap=driver_cap, pre_grouped=False
+    )
 
 
 # ------------------------------------------------------------------- pipelines

@@ -234,7 +234,9 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.98, n_planes: int = 16,
             }
         )
 
-    band_ds = sigged.map_batches(as_band_rows, batch_format="pyarrow", zero_copy_batch=True)
+    band_ds = sigged.map_batches(
+        as_band_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice by _hot_bucket_rows (count + pick)
     cand = _hot_bucket_pairs(_hot_bucket_rows(band_ds))
     if not len(cand):
         return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),

@@ -121,7 +121,9 @@ def latency_quantiles_exact(sf_dir: str) -> pd.DataFrame:
 
     ds = read_transcripts_ds(sf_dir, ["conv_id", "turn_idx", "ts"])
     hist, boundary = segmented_gap_hist(ds)
-    out = quantiles_from_histogram(hist, "gap_us", LATENCY_QS, extra_values=boundary)
+    out = quantiles_from_histogram(
+        hist, "gap_us", LATENCY_QS, extra_values=boundary, pre_grouped=False
+    )
     if not len(out):  # all conversations single-turn → no gaps
         return pd.DataFrame({"q": pd.Series(dtype=float), "gap_us": pd.Series(dtype="int64")})
     out["gap_us"] = out["value"].astype("int64")

@@ -24,16 +24,27 @@ def _run(ray_session, data: np.ndarray, extras: np.ndarray | None, n_parts: int)
     import ray.data as rd
 
     from approximate_quantiles_ray.pipelines.relational import (
+        exact_quantiles,
         quantiles_from_histogram,
         value_histogram,
     )
 
     ds = rd.from_items([{"v": float(x)} for x in data]).repartition(n_parts)
-    out = quantiles_from_histogram(value_histogram(ds, "v"), "v", QS, extra_values=extras)
     combined = np.concatenate([data, extras]) if extras is not None and len(extras) else data
     exp = _reference(combined, QS)
-    assert out["q"].tolist() == [float(q) for q in QS]
-    assert out["value"].tolist() == exp
+    # driver_cap=0 forces the fully distributed sort+summary+fetch path;
+    # the default cap exercises the small-histogram local walk — both
+    # must match the numpy definition exactly, through both the
+    # pre-grouped histogram API and the partial-histogram entry
+    # (exact_quantiles, pre_grouped=False)
+    for cap in (0, 1 << 22):
+        out = quantiles_from_histogram(
+            value_histogram(ds, "v"), "v", QS, extra_values=extras, driver_cap=cap
+        )
+        assert out["q"].tolist() == [float(q) for q in QS]
+        assert out["value"].tolist() == exp, f"driver_cap={cap}"
+        out2 = exact_quantiles(ds, "v", QS, extra_values=extras, driver_cap=cap)
+        assert out2["value"].tolist() == exp, f"exact_quantiles driver_cap={cap}"
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
