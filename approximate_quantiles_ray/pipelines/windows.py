@@ -130,15 +130,22 @@ def grouped_quantile_disc(ds, key_col: str, val_col: str, qs: tuple[float, ...])
         )
         return agg.rename_columns([key_col, val_col, "n"])
 
-    hist = (
-        ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key_col, val_col])
-        .aggregate(Sum("n"))
-        .rename_columns({"sum(n)": "n"})
-        .to_pandas()
-        .sort_values([key_col, val_col])
-        .reset_index(drop=True)
-    )
+    # adaptive: per-block partials are bounded by #groups × #distinct
+    # values; below the driver cap a pandas groupby beats Ray's
+    # all-to-all by an order of magnitude in stage latency
+    part = ds.map_batches(
+        block_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if part.count() <= (1 << 22):
+        hist = part.to_pandas().groupby([key_col, val_col], as_index=False)["n"].sum()
+    else:
+        hist = (
+            part.groupby([key_col, val_col])
+            .aggregate(Sum("n"))
+            .rename_columns({"sum(n)": "n"})
+            .to_pandas()
+        )
+    hist = hist.sort_values([key_col, val_col]).reset_index(drop=True)
     rows = []
     for key, g in hist.groupby(key_col, sort=True):
         vals = g[val_col].to_numpy()
