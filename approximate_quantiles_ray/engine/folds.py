@@ -1,0 +1,121 @@
+"""Adaptive grouped aggregation over per-block partials.
+
+Measured on this sandbox (BASELINE.md §5.4): Ray's hash
+``groupby().aggregate()`` pays ~11 s of all-to-all stage latency per
+1M partial rows at 200 blocks — an order of magnitude over a pandas
+fold of the same partials on the driver. Every exact grouped pipeline
+therefore reduces each block to its distinct-key partial rows first
+(Arrow C++ group_by inside map_batches — this is the part that MUST be
+distributed), then picks the combine plan by the materialized partial's
+row count (free metadata):
+
+- ≤ ``cap`` rows (default 4M ≈ bounded driver memory): one vectorized
+  pandas groupby on the driver — no shuffle at all;
+- above the cap: Ray's distributed groupby — the 100 TB path, where
+  partial rows are ∝ #groups × #blocks and a driver fold would not fit.
+
+The cap check is conservative: partial rows over-count distinct groups.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+_PANDAS_AGG = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def adaptive_grouped_agg(
+    part_ds,
+    keys: list[str],
+    spec: dict[str, str],
+    cap: int = 1 << 22,
+) -> pd.DataFrame:
+    """Combine per-block partial rows into final per-group aggregates.
+
+    ``spec`` maps column → "sum" | "min" | "max" ("count" partials are
+    summed — counting happened in the per-block reduction). Returns a
+    pandas DataFrame with columns ``keys + list(spec)``.
+    """
+    part = part_ds.materialize()
+    if part.count() <= cap:
+        df = part.to_pandas()
+        if not len(df):
+            return df
+        agg = df.groupby(keys, as_index=False).agg(
+            {c: _PANDAS_AGG[kind] for c, kind in spec.items()}
+        )
+        return agg[keys + list(spec)]
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ray_aggs = []
+    renames = {}
+    for c, kind in spec.items():
+        if kind in ("sum", "count"):
+            ray_aggs.append(Sum(c))
+            renames[f"sum({c})"] = c
+        elif kind == "min":
+            ray_aggs.append(Min(c))
+            renames[f"min({c})"] = c
+        else:
+            ray_aggs.append(Max(c))
+            renames[f"max({c})"] = c
+    out = part.groupby(keys).aggregate(*ray_aggs).rename_columns(renames).to_pandas()
+    return out[keys + list(spec)]
+
+
+def adaptive_distinct_stats(
+    part_ds,
+    group_keys: list[str],
+    distinct_key: str,
+    spec: dict[str, str],
+    cap: int = 1 << 22,
+) -> pd.DataFrame:
+    """Per-group aggregates PLUS an exact distinct count, from per-block
+    partial rows keyed by (group_keys…, distinct_key).
+
+    Level 1 combines partials per (group, distinct) — the wide step;
+    level 2 collapses to one row per group, counting level-1 rows as
+    ``n_distinct``. Below ``cap`` both levels are pandas on the driver
+    (no shuffle); above it both run as Ray groupbys and only the final
+    per-group rows (tiny) reach the driver.
+    """
+    all_keys = group_keys + [distinct_key]
+    part = part_ds.materialize()
+    if part.count() <= cap:
+        df = part.to_pandas()
+        if not len(df):
+            return df
+        pagg = {c: _PANDAS_AGG[k] for c, k in spec.items()}
+        lvl1 = df.groupby(all_keys, as_index=False).agg(pagg)
+        out = lvl1.groupby(group_keys, as_index=False).agg(pagg)
+        out["n_distinct"] = lvl1.groupby(group_keys).size().to_numpy()
+        return out[group_keys + list(spec) + ["n_distinct"]]
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def mk(col, kind):
+        if kind in ("sum", "count"):
+            return Sum(col), f"sum({col})"
+        if kind == "min":
+            return Min(col), f"min({col})"
+        return Max(col), f"max({col})"
+
+    aggs1, ren1 = [], {}
+    for c, k in spec.items():
+        a, name = mk(c, k)
+        aggs1.append(a)
+        ren1[name] = c
+    lvl1 = part.groupby(all_keys).aggregate(*aggs1).rename_columns(ren1)
+    aggs2, ren2 = [], {}
+    for c, k in spec.items():
+        a, name = mk(c, k)
+        aggs2.append(a)
+        ren2[name] = c
+    out = (
+        lvl1.groupby(group_keys)
+        .aggregate(*aggs2, Count())
+        .rename_columns({**ren2, "count()": "n_distinct"})
+        .to_pandas()
+    )
+    return out[group_keys + list(spec) + ["n_distinct"]]

@@ -301,21 +301,23 @@ def events_type_stats(sf_dir: str) -> pd.DataFrame:
     HLL sketch is the 100 TB alternative.
     """
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
-    from ray.data.aggregate import Count, Max, Min
+    from approximate_quantiles_ray.engine.folds import adaptive_distinct_stats
 
-    base = ds.groupby("event_type").aggregate(Count(), Min("value"), Max("value")).to_pandas()
-    dist = (
-        ds.select_columns(["event_type", "user_id"])
-        .groupby(["event_type", "user_id"])
-        .count()
-        .groupby("event_type")
-        .count()
-        .to_pandas()
-        .rename(columns={"count()": "n_users"})
-    )
-    out = base.rename(
-        columns={"count()": "n_events", "min(value)": "value_min", "max(value)": "value_max"}
-    ).merge(dist, on="event_type")
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["event_type", "user_id"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        return agg.rename_columns(
+            ["event_type", "user_id", "n_events", "value_min", "value_max"]
+        )
+
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_distinct_stats(
+        part,
+        ["event_type"],
+        "user_id",
+        {"n_events": "sum", "value_min": "min", "value_max": "max"},
+    ).rename(columns={"n_distinct": "n_users"})
     out = out[["event_type", "n_events", "n_users", "value_min", "value_max"]]
     return out.sort_values("event_type").reset_index(drop=True)
 

@@ -47,10 +47,12 @@ def role_stats(sf_dir: str) -> pd.DataFrame:
     ONE pass over the data (round-2 fusion, halves the round-1 cost):
     each block reduces to its distinct (role, conv_id) pairs carrying
     partial (n_turns, chars) sums via an Arrow C++ group_by, so only
-    ~#convs rows reach the first shuffle; a second shuffle over those
-    per-conv rows (tiny: one row per (role, conv)) produces the final
-    per-role counts, distinct-conv counts, and char sums.
+    ~#convs rows leave any block; the adaptive two-level fold
+    (engine/folds.py) combines them — pandas on the driver below the
+    cap, two Ray groupbys above it.
     """
+    from approximate_quantiles_ray.engine.folds import adaptive_distinct_stats
+
     ds = read_transcripts_ds(sf_dir, ["role", "conv_id", "text"])
 
     def block_partials(tbl: pa.Table) -> pa.Table:
@@ -62,25 +64,14 @@ def role_stats(sf_dir: str) -> pd.DataFrame:
             ],
             names=["role", "conv_id", "chars"],
         )
-        agg = t.group_by(["role", "conv_id"]).aggregate([("chars", "sum"), ("chars", "count")])
-        return agg.rename_columns(["role", "conv_id", "chars", "n_turns"])
+        agg = t.group_by(["role", "conv_id"]).aggregate([("chars", "count"), ("chars", "sum")])
+        return agg.rename_columns(["role", "conv_id", "n_turns", "chars"])
 
-    from ray.data.aggregate import Count, Sum
-
-    per_conv = (
-        ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["role", "conv_id"])
-        .aggregate(Sum("n_turns"), Sum("chars"))
-        .rename_columns({"sum(n_turns)": "n_turns", "sum(chars)": "chars"})
-    )
-    out = (
-        per_conv.groupby("role")
-        .aggregate(Count(), Sum("n_turns"), Sum("chars"))
-        .rename_columns(
-            {"count()": "n_convs", "sum(n_turns)": "n_turns", "sum(chars)": "text_chars"}
-        )
-        .to_pandas()[["role", "n_turns", "n_convs", "text_chars"]]
-    )
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_distinct_stats(
+        part, ["role"], "conv_id", {"n_turns": "sum", "chars": "sum"}
+    ).rename(columns={"n_distinct": "n_convs", "chars": "text_chars"})
+    out = out[["role", "n_turns", "n_convs", "text_chars"]]
     return out.sort_values("role").reset_index(drop=True)
 
 
@@ -95,15 +86,15 @@ def tool_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
             {"tool": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
-    from ray.data.aggregate import Sum
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
 
-    counts = (
-        ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("tool")
-        .aggregate(Sum("n"))
-        .rename_columns({"sum(n)": "n_uses"})
+    part = ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+    counts = adaptive_grouped_agg(part, ["tool"], {"n": "sum"}).rename(columns={"n": "n_uses"})
+    return (
+        counts.sort_values(["n_uses", "tool"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
     )
-    return counts.sort(["n_uses", "tool"], descending=[True, False]).limit(k).to_pandas()
 
 
 def latency_quantiles_exact(sf_dir: str) -> pd.DataFrame:
@@ -179,38 +170,36 @@ def conv_stats(sf_dir: str) -> pd.DataFrame:
     """Per-conversation feature row (the conv-level table training-data
     filters select on): turn count, total text chars, span duration.
 
-    One hash shuffle on conv_id of pre-projected narrow rows; all
-    outputs integer (counts, char sums, µs durations) → hash-stable vs
-    the DuckDB oracle.
+    Each block reduces to its distinct convs first (Arrow C++ group_by
+    — partial count/sum/min/max per conv per block), then the adaptive
+    fold combines partials (pandas below the driver cap, Ray groupby
+    above — engine/folds.py). All outputs integer (counts, char sums,
+    µs durations) → hash-stable vs the DuckDB oracle.
     """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
     ds = read_transcripts_ds(sf_dir, ["conv_id", "text", "ts"])
 
-    def project(tbl: pa.Table) -> pa.Table:
-        return pa.table(
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
             {
                 "conv_id": tbl.column("conv_id"),
                 "chars": pc.cast(pc.utf8_length(tbl.column("text")), pa.int64()),
                 "ts_us": tbl.column("ts").combine_chunks().cast(pa.int64()),
             }
         )
-
-    from ray.data.aggregate import Count, Max, Min, Sum
-
-    out = (
-        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("conv_id")
-        .aggregate(Count(), Sum("chars"), Min("ts_us"), Max("ts_us"))
-        .rename_columns(
-            {
-                "count()": "n_turns",
-                "sum(chars)": "total_chars",
-                "min(ts_us)": "ts_min_us",
-                "max(ts_us)": "ts_max_us",
-            }
+        agg = t.group_by(["conv_id"]).aggregate(
+            [("chars", "count"), ("chars", "sum"), ("ts_us", "min"), ("ts_us", "max")]
         )
-        .to_pandas()
+        return agg.rename_columns(["conv_id", "n_turns", "total_chars", "ts_min", "ts_max"])
+
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(
+        part,
+        ["conv_id"],
+        {"n_turns": "sum", "total_chars": "sum", "ts_min": "min", "ts_max": "max"},
     )
-    out["duration_us"] = (out["ts_max_us"] - out["ts_min_us"]).astype("int64")
+    out["duration_us"] = (out["ts_max"] - out["ts_min"]).astype("int64")
     out = out[["conv_id", "n_turns", "total_chars", "duration_us"]]
     return out.sort_values("conv_id").reset_index(drop=True)
 

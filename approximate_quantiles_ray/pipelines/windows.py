@@ -39,35 +39,30 @@ def events_hourly_stats(sf_dir: str) -> pd.DataFrame:
     """Per (hour, event_type): count, distinct users, min/max value —
     exact, bit-identical to the DuckDB date_trunc oracle."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min
+
+    from approximate_quantiles_ray.engine.folds import adaptive_distinct_stats
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        t = add_window_column(tbl, "ts", "hour").drop_columns(["ts"])
+        agg = t.group_by(["window_start", "event_type", "user_id"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        return agg.rename_columns(
+            ["window_start", "event_type", "user_id", "n_events", "value_min", "value_max"]
+        )
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id", "value"]
-    ).map_batches(
-        lambda t: add_window_column(t, "ts", "hour").drop_columns(["ts"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
     )
-    base = (
-        ds.groupby(["window_start", "event_type"])
-        .aggregate(Count(), Min("value"), Max("value"))
-        .rename_columns(
-            {"count()": "n_events", "min(value)": "value_min", "max(value)": "value_max"}
-        )
-        .to_pandas()
-    )
-    dist = (
-        ds.select_columns(["window_start", "event_type", "user_id"])
-        .groupby(["window_start", "event_type", "user_id"])
-        .count()
-        .groupby(["window_start", "event_type"])
-        .count()
-        .rename_columns({"count()": "n_users"})
-        .to_pandas()
-    )
-    out = base.merge(dist, on=["window_start", "event_type"])
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_distinct_stats(
+        part,
+        ["window_start", "event_type"],
+        "user_id",
+        {"n_events": "sum", "value_min": "min", "value_max": "max"},
+    ).rename(columns={"n_distinct": "n_users"})
     out = out[["window_start", "event_type", "n_events", "n_users", "value_min", "value_max"]]
-    # Ray's hash-groupby round-trips timestamps through [s]; restore µs
+    # a Ray-groupby fold round-trips timestamps through [s]; restore µs
     # so the pandas dtype matches DuckDB date_trunc (dtype-aware hash)
     out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
