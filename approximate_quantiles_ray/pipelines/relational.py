@@ -325,10 +325,21 @@ def events_type_stats(sf_dir: str) -> pd.DataFrame:
 def events_user_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Top-k users by event count (ties → lower user_id). Grouped count
     reduces to one row per user before the driver-side k-selection."""
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
     ds = _read(sf_dir, "events", ["user_id"])
-    counts = ds.groupby("user_id").count().rename_columns({"count()": "n_events"})
-    top = counts.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
-    return top.to_pandas()
+
+    def block_counts(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["user_id"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["user_id", "n_events"])
+
+    part = ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+    counts = adaptive_grouped_agg(part, ["user_id"], {"n_events": "sum"})
+    return (
+        counts.sort_values(["n_events", "user_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
 def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
@@ -344,23 +355,25 @@ def lineitem_pricing_summary(sf_dir: str) -> pd.DataFrame:
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
 
-    def project(tbl: pa.Table) -> pa.Table:
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
         tbl = int_cents(tbl, "l_extendedprice", "price_cents")
         qty = pc.cast(pc.round(tbl.column("l_quantity")), pa.int64())
         tbl = tbl.append_column("qty", qty)
-        return tbl.select(["l_returnflag", "l_linestatus", "qty", "price_cents"])
-
-    from ray.data.aggregate import Count, Sum
-
-    agg = (
-        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Count(), Sum("qty"), Sum("price_cents"))
-        .rename_columns(
-            {"count()": "n_rows", "sum(qty)": "sum_qty", "sum(price_cents)": "sum_price_cents"}
+        agg = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [([], "count_all"), ("qty", "sum"), ("price_cents", "sum")]
         )
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_rows", "sum_qty", "sum_price_cents"]
+        )
+
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(
+        part,
+        ["l_returnflag", "l_linestatus"],
+        {"n_rows": "sum", "sum_qty": "sum", "sum_price_cents": "sum"},
     )
-    out = agg.to_pandas()
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
@@ -377,13 +390,17 @@ def orders_by_segment(sf_dir: str) -> pd.DataFrame:
     )
     customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     joined = broadcast_join(orders, customer, "o_custkey", "c_custkey", how="inner")
-    from ray.data.aggregate import Count, Sum
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
 
-    out = (
-        joined.groupby("c_mktsegment")
-        .aggregate(Count(), Sum("total_cents"))
-        .rename_columns({"count()": "n_orders", "sum(total_cents)": "total_cents"})
-        .to_pandas()
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["c_mktsegment"]).aggregate(
+            [([], "count_all"), ("total_cents", "sum")]
+        )
+        return agg.rename_columns(["c_mktsegment", "n_orders", "total_cents"])
+
+    part = joined.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(
+        part, ["c_mktsegment"], {"n_orders": "sum", "total_cents": "sum"}
     )
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
@@ -477,13 +494,15 @@ def supplier_region_stats(sf_dir: str) -> pd.DataFrame:
     joined = broadcast_join(suppliers, nation, "s_nationkey", "n_nationkey")
     joined = broadcast_join(joined, region, "n_regionkey", "r_regionkey")
 
-    from ray.data.aggregate import Count, Sum
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
 
-    out = (
-        joined.groupby("r_name")
-        .aggregate(Count(), Sum("acctbal_cents"))
-        .rename_columns({"count()": "n_suppliers", "sum(acctbal_cents)": "acctbal_cents"})
-        .to_pandas()
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["r_name"]).aggregate([([], "count_all"), ("acctbal_cents", "sum")])
+        return agg.rename_columns(["r_name", "n_suppliers", "acctbal_cents"])
+
+    part = joined.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(
+        part, ["r_name"], {"n_suppliers": "sum", "acctbal_cents": "sum"}
     )
     return out.sort_values("r_name").reset_index(drop=True)
 

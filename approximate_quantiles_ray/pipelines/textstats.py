@@ -241,6 +241,42 @@ def docs_lang_stopword_hits(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_quality_ratios(sf_dir: str) -> pd.DataFrame:
+    """The float feature columns of the quality score, oracle-matched:
+    each ratio is ONE IEEE-754 double division of two integer counts —
+    bit-identical between numpy and DuckDB (no reduction, no libm), so
+    even float columns hash-stable. The composite score stays out: it
+    uses log1p/clip whose libm implementations may differ in ulp."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def ratios(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        chars = pc.cast(pc.utf8_length(text), pa.float64()).to_numpy(zero_copy_only=False)
+        toks = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        alpha = pc.cast(pc.count_substring_regex(text, "[a-zA-Z]"), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        stop = pc.cast(pc.count_substring_regex(text, _STOP_RE), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pa.table(
+                {
+                    "doc_id": tbl.column("doc_id"),
+                    "alpha_ratio": pa.array(np.where(chars > 0, alpha / chars, 0.0)),
+                    "stopword_ratio": pa.array(np.where(toks > 0, stop / toks, 0.0)),
+                    "mean_token_len": pa.array(np.where(toks > 0, chars / toks, 0.0)),
+                }
+            )
+
+    out = ds.map_batches(ratios, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _sql_stop_re(words: list[str]) -> str:
     return r"(?i)\b(" + "|".join(words) + r")\b"
 
@@ -260,6 +296,55 @@ ORACLE_SQL = {
         for lang in sorted(STOPWORDS)
     )
     + " FROM documents ORDER BY doc_id",
+    "docs_quality_ratios": rf"""
+        SELECT doc_id,
+               CASE WHEN LENGTH(text) > 0
+                    THEN CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE)
+                         / CAST(LENGTH(text) AS DOUBLE)
+                    ELSE 0.0 END AS alpha_ratio,
+               CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                    THEN CAST(len(regexp_extract_all(text, '{_sql_stop_re(sorted({w for ws in STOPWORDS.values() for w in ws}))}')) AS DOUBLE)
+                         / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+                    ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                    THEN CAST(LENGTH(text) AS DOUBLE)
+                         / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+                    ELSE 0.0 END AS mean_token_len
+        FROM documents ORDER BY doc_id
+    """,
+    # the full language-ID vote, replicated in SQL: per-language scores
+    # are single IEEE divisions (deterministic), the argmax tie rules
+    # (first-max alphabetical, en preference, unknown on zero, CJK
+    # short-circuit) become an ordered CASE — so even the heuristic
+    # classifier is oracle-checkable end-to-end
+    "docs_lang_id": "WITH f AS (SELECT doc_id, lang, "
+    + ", ".join(
+        rf"""CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+              THEN CAST(len(regexp_extract_all(text, '{_sql_stop_re(STOPWORDS[lang])}')) AS DOUBLE)
+                   / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+              ELSE 0.0 END AS s_{lang}"""
+        for lang in sorted(STOPWORDS)
+    )
+    + r""", CASE WHEN LENGTH(text) > 0
+             THEN CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE)
+                  / CAST(LENGTH(text) AS DOUBLE)
+             ELSE 0.0 END AS cjk_ratio
+        FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+                    WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0.0 THEN 'unknown'
+                    WHEN s_en >= GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
+               (CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+                    WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0.0 THEN 'unknown'
+                    WHEN s_en >= GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END) = lang AS match
+        FROM f ORDER BY doc_id
+    """,
     "docs_token_stats": r"""
         SELECT doc_id,
                len(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -275,4 +360,5 @@ QUERIES = {
     "docs_lang_id": docs_lang_id,
     "docs_quality_features": docs_quality_features,
     "docs_lang_stopword_hits": docs_lang_stopword_hits,
+    "docs_quality_ratios": docs_quality_ratios,
 }
