@@ -5,14 +5,18 @@ Media travel as opaque ``binary`` payload columns with typed metadata
 ``map_batches`` stages sized for large payloads (small ``batch_size``,
 bounded ``concurrency`` — a batch × pool must fit worker heap).
 
-The actual codecs (PIL/libjpeg, ffmpeg, soundfile) are NOT in this
-container, so the decode kernels are **clearly-marked deterministic
-stubs**: ``decode_image_stub`` derives pixels from a seeded hash of the
-payload bytes (same bytes → same pixels, any partition/actor/retry).
-Everything around the stub — schemas, tensor (FixedSizeList) output
-layout, actor signatures, resize/frame-sample/feature math — is real
-and is what a codec drop-in would plug into: replace the ``*_stub``
-functions with real decoders and nothing else changes.
+Decode is REAL for the formats implementable without native libs
+(functions/codecs.py): 24-bit BMP and P6 PPM images, PCM16 WAV audio,
+and the AQV BMP-frame video container — payload bytes are sniffed and
+decoded exactly, round-trip-tested. Formats that require the absent
+native codecs (JPEG/PNG/MP3/H.264) fall back to the clearly-marked
+deterministic stub (pixels from a seeded hash of the payload — same
+bytes → same pixels on any partition/actor/retry), and every stage
+emits a ``codec`` column ("bmp"/"ppm"/"wav"/"aqv"/"stub") so stub
+output is never mistaken for decoded media. Dropping in a native
+decoder means adding one sniff branch; the schemas, tensor
+(FixedSizeList) layouts, actor signatures and resize/frame-sample/
+feature math do not change.
 """
 
 from __future__ import annotations
@@ -20,6 +24,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from approximate_quantiles_ray.functions import codecs
+from approximate_quantiles_ray.functions.codecs import UnsupportedCodec
 from approximate_quantiles_ray.functions.hashing import splitmix64
 
 MEDIA_SCHEMA = pa.schema(
@@ -35,18 +41,37 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus (payload bytes from seeded RNG)."""
+def synth_media_table(n: int = 64, seed: int = 42, real_payloads: bool = False) -> pa.Table:
+    """Deterministic synthetic media corpus.
+
+    ``real_payloads=True`` encodes actual BMP / PCM16-WAV / AQV bytes
+    (functions/codecs.py) so the pipeline exercises the REAL decode
+    path end-to-end; ``False`` keeps opaque seeded bytes that route to
+    the stub decoder (the unsupported-codec fallback path)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], object)[np.arange(n) % 3]
     payloads, width, height, rate, frames = [], [], [], [], []
     for i in range(n):
-        size = int(rng.integers(256, 4096))
-        payloads.append(rng.integers(0, 256, size, dtype=np.uint8).tobytes())
-        width.append(int(rng.integers(16, 64)))
-        height.append(int(rng.integers(16, 64)))
+        w = int(rng.integers(16, 64))
+        h = int(rng.integers(16, 64))
+        nf = int(rng.integers(4, 32))
+        if real_payloads:
+            if kinds[i] == "image":
+                payloads.append(codecs.encode_bmp(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+            elif kinds[i] == "audio":
+                payloads.append(codecs.encode_wav(rng.uniform(-1, 1, 4096), 16000))
+            else:
+                payloads.append(
+                    codecs.encode_aqv(rng.integers(0, 256, (nf, 8, 8, 3), dtype=np.uint8))
+                )
+                w = h = 8
+        else:
+            size = int(rng.integers(256, 4096))
+            payloads.append(rng.integers(0, 256, size, dtype=np.uint8).tobytes())
+        width.append(w)
+        height.append(h)
         rate.append(16000)
-        frames.append(int(rng.integers(4, 32)))
+        frames.append(nf)
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -103,6 +128,45 @@ def decode_video_frames_stub(payload: bytes, width: int, height: int, n_frames: 
     )
 
 
+# ------------------------------------------------------------ sniffing decode
+
+
+def decode_image(payload: bytes, width: int, height: int) -> tuple[np.ndarray, str]:
+    """Real decode (BMP/PPM) when the payload is one; stub fallback for
+    native-lib formats. Returns (pixels, codec_label)."""
+    try:
+        return codecs.decode_bmp(payload), "bmp"
+    except UnsupportedCodec:
+        pass
+    try:
+        return codecs.decode_ppm(payload), "ppm"
+    except UnsupportedCodec:
+        return decode_image_stub(payload, width, height), "stub"
+
+
+def decode_audio(payload: bytes, n_samples: int) -> tuple[np.ndarray, str]:
+    """Real WAV decode (padded/trimmed to ``n_samples``) or stub."""
+    try:
+        wave_arr, _rate = codecs.decode_wav(payload)
+        if wave_arr.ndim > 1:
+            wave_arr = wave_arr.mean(axis=1)
+        if len(wave_arr) < n_samples:
+            wave_arr = np.pad(wave_arr, (0, n_samples - len(wave_arr)))
+        return wave_arr[:n_samples].astype(np.float32), "wav"
+    except UnsupportedCodec:
+        return decode_audio_stub(payload, n_samples), "stub"
+
+
+def decode_video_frames(
+    payload: bytes, width: int, height: int, n_frames: int
+) -> tuple[np.ndarray, str]:
+    """Real AQV demux (each frame through the real BMP path) or stub."""
+    try:
+        return codecs.decode_aqv(payload), "aqv"
+    except UnsupportedCodec:
+        return decode_video_frames_stub(payload, width, height, n_frames), "stub"
+
+
 # --------------------------------------------------------------------- stages
 
 
@@ -129,16 +193,18 @@ class ImageDecodeResize:
         return self._grids[(h, w)]
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        out = []
+        out, labels = [], []
         for row in tbl.to_pylist():  # per-media loop: decode is per-payload by nature
-            img = decode_image_stub(row["payload"], row["width"], row["height"])
+            img, codec = decode_image(row["payload"], row["width"], row["height"])
             ys, xs = self._grid(img.shape[0], img.shape[1])
             out.append(img[ys][:, xs].astype(np.uint8).ravel())
+            labels.append(codec)
         flat = np.concatenate(out) if out else np.zeros(0, np.uint8)
         return pa.table(
             {
                 "media_id": tbl.column("media_id"),
                 "pixels": _tensor_column(flat, self.target * self.target * 3),
+                "codec": pa.array(labels, pa.string()),
             }
         )
 
@@ -151,16 +217,18 @@ class AudioFeatures:
         self.n_frames = n_frames
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        feats = []
+        feats, labels = [], []
         for row in tbl.to_pylist():
-            wave = decode_audio_stub(row["payload"], self.frame * self.n_frames)
+            wave, codec = decode_audio(row["payload"], self.frame * self.n_frames)
             rms = np.sqrt((wave.reshape(self.n_frames, self.frame) ** 2).mean(axis=1))
             feats.append(rms.astype(np.float32))
+            labels.append(codec)
         flat = np.concatenate(feats) if feats else np.zeros(0, np.float32)
         return pa.table(
             {
                 "media_id": tbl.column("media_id"),
                 "rms": _tensor_column(flat, self.n_frames),
+                "codec": pa.array(labels, pa.string()),
             }
         )
 
@@ -174,9 +242,9 @@ class FrameSampler:
         self.max_frames = max_frames
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        ids, frame_idx, intensity = [], [], []
+        ids, frame_idx, intensity, labels = [], [], [], []
         for row in tbl.to_pylist():
-            frames = decode_video_frames_stub(
+            frames, codec = decode_video_frames(
                 row["payload"], row["width"], row["height"], row["n_frames"]
             )
             picked = frames[:: self.stride][: self.max_frames]
@@ -184,11 +252,13 @@ class FrameSampler:
             ids.extend([row["media_id"]] * len(picked))
             frame_idx.extend((np.arange(len(picked)) * self.stride).tolist())
             intensity.extend(means.astype(np.float64).tolist())
+            labels.extend([codec] * len(picked))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "frame_idx": pa.array(frame_idx, pa.int32()),
                 "mean_intensity": pa.array(intensity, pa.float64()),
+                "codec": pa.array(labels, pa.string()),
             }
         )
 

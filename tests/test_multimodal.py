@@ -37,7 +37,7 @@ def media_ds(ray_session):
 def test_image_stage(media_ds):
     out = media_pipeline(media_ds, "image", ImageDecodeResize, target=16).to_pandas()
     assert len(out) == 20
-    assert set(out.columns) == {"media_id", "pixels"}
+    assert set(out.columns) == {"media_id", "pixels", "codec"}
     px = np.stack(out["pixels"].to_numpy())
     assert px.shape == (20, 16 * 16 * 3)
     # partition-count independence (determinism across layouts)
@@ -64,7 +64,7 @@ def test_audio_stage(media_ds):
 
 def test_video_stage(media_ds):
     out = media_pipeline(media_ds, "video", FrameSampler, stride=4, max_frames=8).to_pandas()
-    assert set(out.columns) == {"media_id", "frame_idx", "mean_intensity"}
+    assert set(out.columns) == {"media_id", "frame_idx", "mean_intensity", "codec"}
     assert (out["frame_idx"] % 4 == 0).all()
     # every video contributed ≥1 sampled frame
     assert out["media_id"].nunique() == 20
