@@ -238,6 +238,94 @@ def segmented_gap_hist(
     return hist, _stitch_boundaries(bnd)
 
 
+def segmented_session_partials(
+    ds,
+    key_col: str,
+    order_col: str,
+    ts_col: str,
+    timeout_us: int,
+):
+    """Fused sessionization partials: ONE sort + ONE map_batches emits,
+    per block, (key, n_events, n_breaks) partial rows (break = in-block
+    gap > timeout) plus the 2-per-block boundary rows. Nothing
+    row-scale survives the block — the materialize that splits the two
+    consumers pins ≤ #keys-per-block + 2 rows per block. Returns
+    (partials Dataset(key, n_events, n_breaks), stitched boundary
+    DataFrame(gap_us, conv_id) for the caller's timeout fold).
+    """
+    schema = pa.schema(
+        [
+            pa.field("kind", pa.int8()),
+            pa.field("key", pa.string()),
+            pa.field("n_events", pa.int64()),
+            pa.field("n_breaks", pa.int64()),
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int64()),
+            pa.field("ts_us", pa.int64()),
+        ]
+    )
+    block_gaps = make_block_gaps(key_col, order_col, ts_col, keep_gap_keys=True)
+
+    pc_ = pa.compute
+
+    def block_fn(tbl: pa.Table) -> pa.Table:
+        tagged = block_gaps(tbl)
+        if tagged.num_rows == 0:
+            return schema.empty_table()
+        # per-key event counts: Arrow C++ value_counts, no Python objects
+        evc = pc_.value_counts(tbl.column(key_col).combine_chunks())
+        ne = len(evc)
+        # per-key break counts: filter big in-block gaps, value_counts —
+        # emitted as SEPARATE partial rows (n_events=0); the downstream
+        # fold sums both families, so no key alignment is needed here
+        is_big_gap = pc_.and_(
+            pc_.equal(tagged.column("kind"), GAP),
+            pc_.greater(tagged.column("gap_us"), timeout_us),
+        )
+        brc = pc_.value_counts(tagged.filter(is_big_gap).column("conv_id").combine_chunks())
+        nk = len(brc)
+        bnd = tagged.filter(pc_.greater(tagged.column("kind"), 0))
+        nb = bnd.num_rows
+        zeros = np.zeros
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(
+                    [zeros(ne + nk, np.int8),
+                     bnd.column("kind").to_numpy(zero_copy_only=False)]), pa.int8()),
+                pa.concat_arrays(
+                    [evc.field("values"), brc.field("values"),
+                     pa.nulls(nb, pa.string())]),
+                pa.array(np.concatenate(
+                    [evc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+                     zeros(nk + nb, np.int64)]), pa.int64()),
+                pa.array(np.concatenate(
+                    [zeros(ne, np.int64),
+                     brc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+                     zeros(nb, np.int64)]), pa.int64()),
+                pa.concat_arrays(
+                    [pa.nulls(ne + nk, pa.string()),
+                     bnd.column("conv_id").combine_chunks()]),
+                pa.array(np.concatenate(
+                    [zeros(ne + nk, np.int64),
+                     bnd.column("turn_idx").to_numpy(zero_copy_only=False)]), pa.int64()),
+                pa.array(np.concatenate(
+                    [zeros(ne + nk, np.int64),
+                     bnd.column("ts_us").to_numpy(zero_copy_only=False)]), pa.int64()),
+            ],
+            schema=schema,
+        )
+
+    sorted_ds = ds.sort([key_col, order_col])
+    tagged = sorted_ds.map_batches(
+        block_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()  # block-level partials only
+    bnd = tagged.filter(expr="kind > 0").select_columns(
+        ["kind", "conv_id", "turn_idx", "ts_us"]
+    ).to_pandas()
+    part = tagged.filter(expr="kind == 0").select_columns(["key", "n_events", "n_breaks"])
+    return part, _stitch_boundaries_keyed(bnd)
+
+
 def segmented_gap_sketches(
     ds,
     specs,

@@ -25,10 +25,18 @@ SESSION_TIMEOUT_US = 30 * 60 * 1_000_000  # 30 min
 
 
 def events_sessions(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US) -> pd.DataFrame:
-    """Per user: event count and session count (gap > timeout ⇒ break)."""
+    """Per user: event count and session count (gap > timeout ⇒ break).
+
+    Fused single pass (round 2): one (user, ts) sort → one map_batches
+    that emits per-block (user, n_events, n_breaks) partials + boundary
+    rows (engine/segmented.segmented_session_partials) → adaptive fold.
+    Nothing row-scale leaves a block; the old version materialized one
+    gap row per event and read the table twice.
+    """
     import ray.data as rd
 
-    from approximate_quantiles_ray.engine.segmented import segmented_gaps
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.engine.segmented import segmented_session_partials
 
     def project(tbl: pa.Table) -> pa.Table:
         us = tbl.column("ts").combine_chunks().cast(pa.int64())
@@ -43,39 +51,21 @@ def events_sessions(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US) -> pd.Dat
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True
     )
-    gaps_ds, boundary = segmented_gaps(
-        ds, key_col="user_id", order_col="order_us", ts_col="ts", keep_gap_keys=True
+    part, boundary = segmented_session_partials(
+        ds, key_col="user_id", order_col="order_us", ts_col="ts", timeout_us=timeout_us
     )
+    out = adaptive_grouped_agg(part, ["key"], {"n_events": "sum", "n_breaks": "sum"})
+    out = out.rename(columns={"key": "user_id"})
 
-    # per-user break counts: filter big gaps first (tiny result), then count
-    breaks = (
-        gaps_ds.filter(expr=f"gap_us > {timeout_us}")
-        .groupby("conv_id")
-        .count()
-        .rename_columns({"count()": "n_breaks", "conv_id": "user_id"})
-        .to_pandas()
-    )
     big_bnd = boundary[boundary["gap_us"] > timeout_us]
     if len(big_bnd):
-        extra = big_bnd.groupby("conv_id").size().reset_index(name="n_breaks")
-        extra = extra.rename(columns={"conv_id": "user_id"})
-        breaks = (
-            pd.concat([breaks, extra])
-            .groupby("user_id", as_index=False)["n_breaks"]
-            .sum()
-        )
+        extra = big_bnd.groupby("conv_id").size()
+        idx = out.set_index("user_id")
+        idx.loc[extra.index, "n_breaks"] = idx.loc[extra.index, "n_breaks"] + extra
+        out = idx.reset_index()
 
-    counts = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-        .groupby("user_id")
-        .count()
-        .rename_columns({"count()": "n_events"})
-        .to_pandas()
-    )
-    counts["user_id"] = counts["user_id"].astype(np.int64)
-    breaks["user_id"] = breaks["user_id"].astype(np.int64)
-    out = counts.merge(breaks, on="user_id", how="left")
-    out["n_sessions"] = (out["n_breaks"].fillna(0) + 1).astype(np.int64)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_sessions"] = (out["n_breaks"] + 1).astype(np.int64)
     out = out[["user_id", "n_events", "n_sessions"]]
     return out.sort_values("user_id").reset_index(drop=True)
 

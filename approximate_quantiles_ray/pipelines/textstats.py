@@ -175,7 +175,7 @@ def docs_quality_report(sf_dir: str) -> pd.DataFrame:
         QualityScorer,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=(1, 8),
     ).drop_columns(["text"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -186,7 +186,7 @@ def docs_lang_id(sf_dir: str) -> pd.DataFrame:
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
     pred = ds.map_batches(
-        LanguageID, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+        LanguageID, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
     ).drop_columns(["text"])
     out = pred.to_pandas()
     out["match"] = out["lang_pred"] == out["lang"]
