@@ -113,6 +113,10 @@ class MinHasher:
         return v.min(axis=1)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        # measured (BASELINE.md §5.4): the per-doc numpy path (windows +
+        # unique + one (n_perm, n_shingles) broadcast per doc) beats a
+        # fully cross-doc flat-buffer variant ~1.6x on the real corpus —
+        # per-doc shingle dedup cuts the dominant perm-hash work
         texts = tbl.column(self.text_col).combine_chunks().to_numpy(zero_copy_only=False)
         sh = _char_shingle_hashes(texts, self.k)
         sigs = (
@@ -216,13 +220,17 @@ def _hot_bucket_rows(
     The star-edge path (_star_edges) never collects member rows at all;
     this collector serves the pairwise verifiers (simhash, embeddings).
     """
-    counts = (
-        band_ds.groupby(["band", "bucket"])
-        .count()
-        .rename_columns({"count()": "n"})
-        .filter(expr="n > 1")
-        .to_pandas()
-    )
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    def block_counts(tbl: pa.Table) -> pa.Table:
+        agg = tbl.select(["band", "bucket"]).group_by(["band", "bucket"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["band", "bucket", "n"])
+
+    part = band_ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+    counts = adaptive_grouped_agg(part, ["band", "bucket"], {"n": "sum"})
+    counts = counts[counts["n"] > 1] if len(counts) else counts
     if not len(counts):
         return pd.DataFrame(columns=["doc_id", "band", "bucket"] + (extra_cols or []))
     # vectorized prefilter on bucket hash alone (np.isin) — buckets are
@@ -257,16 +265,15 @@ def _star_edges(band_ds, id_col: str = "doc_id") -> pd.DataFrame:
     membership cap (star edges are linear in run size, so truncation
     would only lose recall; cf. round-1 ADVICE.md item 3).
     """
-    from ray.data.aggregate import Count, Min
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
 
-    hot = (
-        band_ds.groupby(["band", "bucket"])
-        .aggregate(Min(id_col), Count())
-        .rename_columns({f"min({id_col})": "root", "count()": "n"})
-        .filter(expr="n > 1")
-        .drop_columns(["n"])
-        .to_pandas()
-    )
+    def block_hot(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["band", "bucket"]).aggregate([(id_col, "min"), ([], "count_all")])
+        return agg.rename_columns(["band", "bucket", "root", "n"])
+
+    part = band_ds.map_batches(block_hot, batch_format="pyarrow", zero_copy_batch=True)
+    hot = adaptive_grouped_agg(part, ["band", "bucket"], {"root": "min", "n": "sum"})
+    hot = hot[hot["n"] > 1].drop(columns=["n"]) if len(hot) else hot
     if not len(hot):
         return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
 
@@ -284,10 +291,15 @@ def _star_edges(band_ds, id_col: str = "doc_id") -> pd.DataFrame:
         m = m[m[id_col] != m["root"]]
         return pa.table({"a": pa.array(m["root"].to_numpy()), "b": pa.array(m[id_col].to_numpy())})
 
-    edges = band_ds.map_batches(emit_edges, batch_format="pyarrow", zero_copy_batch=True)
-    # distributed distinct: same pair found in several bands collapses
-    # in the shuffle, not on the driver
-    uniq = edges.groupby(["a", "b"]).count().to_pandas()
+    edges = band_ds.map_batches(
+        emit_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    # distinct edges: pandas drop_duplicates under the driver cap (edge
+    # count ∝ near-dup docs × bands), distributed groupby above it
+    if edges.count() <= (1 << 22):
+        uniq = edges.to_pandas().drop_duplicates()
+    else:
+        uniq = edges.groupby(["a", "b"]).count().to_pandas()
     return uniq[["a", "b"]].reset_index(drop=True)
 
 
