@@ -25,6 +25,7 @@ from typing import Any, Callable
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from approximate_quantiles_ray.functions.hashing import hash_any
 from approximate_quantiles_ray.sketches.base import sketch_from_bytes
@@ -164,6 +165,65 @@ def grouped_sketches(ds, group_key: str, specs: list[SketchSpec]):
     """
     aggs = [make_aggregate(s) for s in specs]
     return ds.groupby(group_key).aggregate(*aggs)
+
+
+def grouped_sketches_partial(ds, group_key: str, specs: list[SketchSpec]) -> dict:
+    """Grouped sketches for LOW-CARDINALITY group keys (time windows,
+    roles): each block sorts locally, slices per-group sub-blocks
+    (zero-copy), builds one partial state per (group, spec), and the
+    driver folds the #groups × #blocks × #specs states as they stream —
+    no hash shuffle at all. Ray's grouped aggregate (grouped_sketches)
+    stays the path for high-cardinality keys, where per-block × per-group
+    state rows would exceed driver memory.
+
+    Returns {group_value: {spec.key: sketch}}.
+    """
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"g": tbl.column(group_key) if group_key in tbl.column_names else pa.array([]),
+                 "sketch_key": pa.array([], pa.string()),
+                 "state": pa.array([], pa.binary())}
+            )
+        t = tbl.take(pc.sort_indices(tbl.column(group_key)))
+        k_np = t.column(group_key).combine_chunks().to_numpy(zero_copy_only=False)
+        new = np.ones(len(k_np), bool)
+        new[1:] = k_np[1:] != k_np[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k_np))
+        g_rows, s_keys, states = [], [], []
+        for s0, e0 in zip(starts, ends):
+            sub = t.slice(s0, e0 - s0)
+            cache: dict = {}
+            for spec in specs:
+                g_rows.append(int(s0))
+                s_keys.append(spec.key)
+                states.append(spec.build(sub, cache).to_bytes())
+        return pa.table(
+            {
+                "g": t.column(group_key).take(pa.array(g_rows, pa.int64())),
+                "sketch_key": pa.array(s_keys, pa.string()),
+                "state": pa.array(states, pa.binary()),
+            }
+        )
+
+    partials = ds.map_batches(
+        block_partials, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    merged: dict = {}
+    for tbl in partials.iter_batches(batch_format="pyarrow"):
+        gs = tbl.column("g").to_pylist()
+        for g, key, state in zip(
+            gs, tbl.column("sketch_key").to_pylist(), tbl.column("state").to_pylist()
+        ):
+            sk = sketch_from_bytes(state)
+            slot = merged.setdefault(g, {})
+            if key in slot:
+                slot[key].merge(sk)
+            else:
+                slot[key] = sk
+    return merged
 
 
 # ---------------------------------------------------------------- partial rows

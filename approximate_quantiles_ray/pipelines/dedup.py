@@ -34,6 +34,8 @@ import pyarrow.compute as pc
 
 from approximate_quantiles_ray.functions.hashing import hash_strings, splitmix64
 
+from approximate_quantiles_ray.sources.read import read_parquet_sized
+
 UINT64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
@@ -583,7 +585,7 @@ def docs_exact_dedup_hash(sf_dir: str) -> pd.DataFrame:
     text gives the identical keep-set when the hash is collision-free."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = exact_dedup(ds).to_pandas()[["doc_id", "n_copies"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -591,7 +593,7 @@ def docs_exact_dedup_hash(sf_dir: str) -> pd.DataFrame:
 def docs_minhash_clusters(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # the pipeline returns a distributed Dataset; materialize the small
     # per-doc verdict table only for the correctness gate
     return minhash_lsh_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -600,7 +602,7 @@ def docs_minhash_clusters(sf_dir: str) -> pd.DataFrame:
 def docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_near_dup_pairs(ds)
 
 

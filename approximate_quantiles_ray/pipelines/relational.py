@@ -28,11 +28,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from approximate_quantiles_ray.sources.read import read_parquet_sized
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def int_cents(tbl: pa.Table, src: str, dst: str) -> pa.Table:

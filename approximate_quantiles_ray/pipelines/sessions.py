@@ -21,6 +21,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from approximate_quantiles_ray.sources.read import read_parquet_sized
+
 SESSION_TIMEOUT_US = 30 * 60 * 1_000_000  # 30 min
 
 
@@ -48,7 +50,7 @@ def events_sessions(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US) -> pd.Dat
             }
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True
     )
     part, boundary = segmented_session_partials(

@@ -33,6 +33,8 @@ import pyarrow as pa
 
 from approximate_quantiles_ray.functions.hashing import splitmix64
 
+from approximate_quantiles_ray.sources.read import read_parquet_sized
+
 
 def _embedding_matrix(tbl: pa.Table, col: str = "embedding") -> np.ndarray:
     """(n, d) float64 matrix from a list<float> column, via the Arrow
@@ -290,7 +292,7 @@ def embeddings_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
     ids, mat = _load_queries(sf_dir)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = knn_brute_force(ds, ids, mat, k=_K)
     out["score"] = out["score"].round(4)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
@@ -301,7 +303,7 @@ def embeddings_knn_lsh(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
     ids, mat = _load_queries(sf_dir)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = knn_lsh(ds, ids, mat, k=_K, dim=mat.shape[1])
     out["score"] = out["score"].round(4)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
@@ -310,7 +312,7 @@ def embeddings_knn_lsh(sf_dir: str) -> pd.DataFrame:
 def embeddings_near_dups(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_near_dup_pairs(ds, threshold=0.95)
 
 
@@ -442,7 +444,7 @@ def embeddings_knn_ivf(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
     ids, mat = _load_queries(sf_dir)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = knn_ivf(ds, ids, mat, k=_K, nprobe=8)
     out["score"] = out["score"].round(4)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

