@@ -122,13 +122,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcript_tool_hh_cms"] = _tool_hh_cms
     q["transcript_membership"] = _membership
     q["transcript_order_invariant"] = _order_invariant
-    try:  # round-1 extensions registered as they land
-        from approximate_quantiles_ray.pipelines import dedup, sessions, similarity, windows
+    try:  # extension pipelines registered as they land
+        from approximate_quantiles_ray.pipelines import (
+            dedup,
+            multimodal,
+            sessions,
+            similarity,
+            windows,
+        )
 
         q.update(dedup.QUERIES)
         q.update(similarity.QUERIES)
         q.update(windows.QUERIES)
         q.update(sessions.QUERIES)
+        q.update(multimodal.QUERIES)
     except ImportError:
         pass
     return q

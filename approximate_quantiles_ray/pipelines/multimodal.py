@@ -263,6 +263,53 @@ class FrameSampler:
         )
 
 
+def media_pipeline_report(sf_dir: str) -> "pd.DataFrame":  # noqa: F821
+    """queries() entry (rows-only): deterministic REAL-codec media corpus
+    → all three modality stages → one summary row per modality with
+    feature checksums. ``sf_dir`` is unused — media payloads are
+    synthesized (BMP/WAV/AQV bytes), since the testdata tables carry no
+    binary media column. Deterministic across partitions/actors/runs,
+    so the row-level checksums double as a regression oracle in pytest.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    tbl = synth_media_table(48, seed=123, real_payloads=True)
+    ds = rd.from_arrow(tbl).repartition(4)
+    img = media_pipeline(ds, "image", ImageDecodeResize, target=16).to_pandas()
+    aud = media_pipeline(ds, "audio", AudioFeatures).to_pandas()
+    vid = media_pipeline(ds, "video", FrameSampler).to_pandas()
+    img = img.sort_values("media_id")
+    aud = aud.sort_values("media_id")
+    vid = vid.sort_values(["media_id", "frame_idx"])
+    rows = [
+        {
+            "modality": "image",
+            "n_items": len(img),
+            "n_real_decoded": int((img["codec"] != "stub").sum()),
+            "checksum": int(np.concatenate(img["pixels"].to_numpy()).astype(np.int64).sum()),
+        },
+        {
+            "modality": "audio",
+            "n_items": len(aud),
+            "n_real_decoded": int((aud["codec"] != "stub").sum()),
+            "checksum": int(
+                np.round(np.concatenate(aud["rms"].to_numpy()).astype(np.float64) * 1e6).sum()
+            ),
+        },
+        {
+            "modality": "video",
+            "n_items": int(vid["media_id"].nunique()),
+            "n_real_decoded": int((vid["codec"] != "stub").sum()),
+            "checksum": int(np.round(vid["mean_intensity"].to_numpy() * 1e6).sum()),
+        },
+    ]
+    return pd.DataFrame(rows)
+
+
+QUERIES = {"media_features": media_pipeline_report}
+
+
 def media_pipeline(ds, kind: str, stage_cls, batch_size: int = 16, concurrency=(1, 4), **kw):
     """Filter one modality and run its actor-pool stage with media-sized
     batches (large binary payloads → small batch_size; see module doc)."""

@@ -195,6 +195,19 @@ def docs_lang_id(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Per-doc 64-bit content fingerprint (rows-only check: the polars
+    xxhash base is not reproducible in SQL; determinism and exact-dup
+    collision behavior are pytest-verified instead)."""
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: fingerprint_batch(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 _STOP_RE = r"(?i)\b(" + "|".join(sorted({w for ws in STOPWORDS.values() for w in ws})) + r")\b"
 
 
@@ -363,4 +376,5 @@ QUERIES = {
     "docs_quality_features": docs_quality_features,
     "docs_lang_stopword_hits": docs_lang_stopword_hits,
     "docs_quality_ratios": docs_quality_ratios,
+    "docs_fingerprints": docs_fingerprints,
 }
