@@ -24,32 +24,10 @@ import pandas as pd
 _PANDAS_AGG = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
 
 
-def adaptive_grouped_agg(
-    part_ds,
-    keys: list[str],
-    spec: dict[str, str],
-    cap: int = 1 << 22,
-) -> pd.DataFrame:
-    """Combine per-block partial rows into final per-group aggregates.
-
-    ``spec`` maps column → "sum" | "min" | "max" ("count" partials are
-    summed — counting happened in the per-block reduction). Returns a
-    pandas DataFrame with columns ``keys + list(spec)``.
-    """
-    part = part_ds.materialize()
-    if part.count() <= cap:
-        df = part.to_pandas()
-        if not len(df):
-            return df
-        agg = df.groupby(keys, as_index=False).agg(
-            {c: _PANDAS_AGG[kind] for c, kind in spec.items()}
-        )
-        return agg[keys + list(spec)]
-
+def _ray_aggs(spec: dict[str, str]):
     from ray.data.aggregate import Max, Min, Sum
 
-    ray_aggs = []
-    renames = {}
+    ray_aggs, renames = [], {}
     for c, kind in spec.items():
         if kind in ("sum", "count"):
             ray_aggs.append(Sum(c))
@@ -60,8 +38,52 @@ def adaptive_grouped_agg(
         else:
             ray_aggs.append(Max(c))
             renames[f"max({c})"] = c
-    out = part.groupby(keys).aggregate(*ray_aggs).rename_columns(renames).to_pandas()
-    return out[keys + list(spec)]
+    return ray_aggs, renames
+
+
+def adaptive_grouped_agg_ds(
+    part_ds,
+    keys: list[str],
+    spec: dict[str, str],
+    cap: int = 1 << 22,
+):
+    """Like :func:`adaptive_grouped_agg` but the over-cap path returns
+    the grouped Ray Dataset WITHOUT materializing it on the driver —
+    the right entry when the per-group result itself is big (per-conv
+    rows at 10^12 turns) and the caller will ``write_parquet`` or keep
+    reducing. Returns (result, is_dataset)."""
+    part = part_ds.materialize()
+    if part.count() <= cap:
+        df = part.to_pandas()
+        if len(df):
+            df = df.groupby(keys, as_index=False).agg(
+                {c: _PANDAS_AGG[kind] for c, kind in spec.items()}
+            )[keys + list(spec)]
+        return df, False
+    ray_aggs, renames = _ray_aggs(spec)
+    return part.groupby(keys).aggregate(*ray_aggs).rename_columns(renames), True
+
+
+def adaptive_grouped_agg(
+    part_ds,
+    keys: list[str],
+    spec: dict[str, str],
+    cap: int = 1 << 22,
+) -> pd.DataFrame:
+    """Combine per-block partial rows into final per-group aggregates.
+
+    ``spec`` maps column → "sum" | "min" | "max" ("count" partials are
+    summed — counting happened in the per-block reduction). Returns a
+    pandas DataFrame with columns ``keys + list(spec)`` — i.e. the
+    FINAL result lands on the driver either way, which is fine for the
+    oracle-gated query surface (small outputs) but wrong for per-group
+    results that are themselves corpus-scale: use
+    :func:`adaptive_grouped_agg_ds` there and write the Dataset out.
+    """
+    out, is_ds = adaptive_grouped_agg_ds(part_ds, keys, spec, cap)
+    if is_ds:
+        out = out.to_pandas()[keys + list(spec)]
+    return out
 
 
 def adaptive_distinct_stats(
