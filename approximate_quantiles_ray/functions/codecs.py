@@ -29,7 +29,28 @@ import numpy as np
 
 
 class UnsupportedCodec(ValueError):
-    """Payload is a format that needs a native codec not in this container."""
+    """Payload is a format that needs a native codec not in this
+    container — OR is malformed/truncated. The sniffing decoders in
+    pipelines/multimodal.py catch exactly this type for stub fallback,
+    so every parse failure inside a decoder must surface as it."""
+
+
+def _codec_errors(fn):
+    """Convert internal parse failures (wave.Error for RIFF-but-not-PCM,
+    struct.error / ValueError / IndexError on truncated or malformed
+    headers) into UnsupportedCodec so the sniff→fallback contract holds."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except UnsupportedCodec:
+            raise
+        except (ValueError, struct.error, wave.Error, EOFError, IndexError) as e:
+            raise UnsupportedCodec(f"{fn.__name__}: malformed payload ({e})") from e
+
+    return wrapped
 
 
 # ----------------------------------------------------------------------- BMP
@@ -49,6 +70,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + rows.tobytes()
 
 
+@_codec_errors
 def decode_bmp(payload: bytes) -> np.ndarray:
     """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB."""
     if payload[:2] != b"BM":
@@ -80,6 +102,7 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
+@_codec_errors
 def decode_ppm(payload: bytes) -> np.ndarray:
     if payload[:2] != b"P6":
         raise UnsupportedCodec("not a P6 PPM payload")
@@ -121,6 +144,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+@_codec_errors
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM16 WAV bytes → (float32 waveform in [-1, 1] shaped (n,) mono /
     (n, ch) multichannel, sample_rate)."""
@@ -149,6 +173,7 @@ def encode_aqv(frames: np.ndarray) -> bytes:
     return b"".join(parts)
 
 
+@_codec_errors
 def decode_aqv(payload: bytes) -> np.ndarray:
     if payload[:4] != _AQV_MAGIC:
         raise UnsupportedCodec("not an AQV payload")

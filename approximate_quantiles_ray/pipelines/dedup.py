@@ -222,7 +222,7 @@ def _hot_bucket_rows(
     The star-edge path (_star_edges) never collects member rows at all;
     this collector serves the pairwise verifiers (simhash, embeddings).
     """
-    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
 
     def block_counts(tbl: pa.Table) -> pa.Table:
         agg = tbl.select(["band", "bucket"]).group_by(["band", "bucket"]).aggregate(
@@ -231,8 +231,13 @@ def _hot_bucket_rows(
         return agg.rename_columns(["band", "bucket", "n"])
 
     part = band_ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
-    counts = adaptive_grouped_agg(part, ["band", "bucket"], {"n": "sum"})
-    counts = counts[counts["n"] > 1] if len(counts) else counts
+    # the n>1 filter must run BEFORE anything reaches the driver: cold
+    # buckets are ~#docs × #bands rows, hot buckets ∝ near-dup clusters
+    counts, is_ds = adaptive_grouped_agg_ds(part, ["band", "bucket"], {"n": "sum"})
+    if is_ds:
+        counts = counts.filter(expr="n > 1").to_pandas()[["band", "bucket", "n"]]
+    elif len(counts):
+        counts = counts[counts["n"] > 1]
     if not len(counts):
         return pd.DataFrame(columns=["doc_id", "band", "bucket"] + (extra_cols or []))
     # vectorized prefilter on bucket hash alone (np.isin) — buckets are
@@ -267,15 +272,20 @@ def _star_edges(band_ds, id_col: str = "doc_id") -> pd.DataFrame:
     membership cap (star edges are linear in run size, so truncation
     would only lose recall; cf. round-1 ADVICE.md item 3).
     """
-    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
 
     def block_hot(tbl: pa.Table) -> pa.Table:
         agg = tbl.group_by(["band", "bucket"]).aggregate([(id_col, "min"), ([], "count_all")])
         return agg.rename_columns(["band", "bucket", "root", "n"])
 
     part = band_ds.map_batches(block_hot, batch_format="pyarrow", zero_copy_batch=True)
-    hot = adaptive_grouped_agg(part, ["band", "bucket"], {"root": "min", "n": "sum"})
-    hot = hot[hot["n"] > 1].drop(columns=["n"]) if len(hot) else hot
+    # hot filter BEFORE the driver sees rows: one row per HOT bucket is
+    # the only thing that may land driver-side on the scale path
+    hot, is_ds = adaptive_grouped_agg_ds(part, ["band", "bucket"], {"root": "min", "n": "sum"})
+    if is_ds:
+        hot = hot.filter(expr="n > 1").to_pandas()[["band", "bucket", "root", "n"]]
+    if len(hot):
+        hot = hot[hot["n"] > 1].drop(columns=["n"])
     if not len(hot):
         return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
 

@@ -300,7 +300,11 @@ def media_pipeline_report(sf_dir: str) -> "pd.DataFrame":  # noqa: F821
         {
             "modality": "video",
             "n_items": int(vid["media_id"].nunique()),
-            "n_real_decoded": int((vid["codec"] != "stub").sum()),
+            # per-ITEM count like the other rows (vid has one row per
+            # sampled frame; a video is real-decoded iff its frames are)
+            "n_real_decoded": int(
+                (vid.groupby("media_id")["codec"].first() != "stub").sum()
+            ),
             "checksum": int(np.round(vid["mean_intensity"].to_numpy() * 1e6).sum()),
         },
     ]

@@ -306,8 +306,10 @@ def events_type_stats(sf_dir: str) -> pd.DataFrame:
     from approximate_quantiles_ray.engine.folds import adaptive_distinct_stats
 
     def block_partials(tbl: pa.Table) -> pa.Table:
+        # count_all, not ("value", "count"): COUNT(*) semantics — rows
+        # with NULL value must still count (oracle uses COUNT(*))
         agg = tbl.group_by(["event_type", "user_id"]).aggregate(
-            [("value", "count"), ("value", "min"), ("value", "max")]
+            [([], "count_all"), ("value", "min"), ("value", "max")]
         )
         return agg.rename_columns(
             ["event_type", "user_id", "n_events", "value_min", "value_max"]

@@ -66,7 +66,8 @@ def role_stats(sf_dir: str) -> pd.DataFrame:
             ],
             names=["role", "conv_id", "chars"],
         )
-        agg = t.group_by(["role", "conv_id"]).aggregate([("chars", "count"), ("chars", "sum")])
+        # count_all = COUNT(*) (a NULL text row is still a turn)
+        agg = t.group_by(["role", "conv_id"]).aggregate([([], "count_all"), ("chars", "sum")])
         return agg.rename_columns(["role", "conv_id", "n_turns", "chars"])
 
     part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
@@ -190,8 +191,9 @@ def conv_stats(sf_dir: str) -> pd.DataFrame:
                 "ts_us": tbl.column("ts").combine_chunks().cast(pa.int64()),
             }
         )
+        # count_all = COUNT(*) (a NULL text row is still a turn)
         agg = t.group_by(["conv_id"]).aggregate(
-            [("chars", "count"), ("chars", "sum"), ("ts_us", "min"), ("ts_us", "max")]
+            [([], "count_all"), ("chars", "sum"), ("ts_us", "min"), ("ts_us", "max")]
         )
         return agg.rename_columns(["conv_id", "n_turns", "total_chars", "ts_min", "ts_max"])
 

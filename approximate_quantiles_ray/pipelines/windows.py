@@ -41,8 +41,9 @@ def events_hourly_stats(sf_dir: str) -> pd.DataFrame:
 
     def block_partials(tbl: pa.Table) -> pa.Table:
         t = add_window_column(tbl, "ts", "hour").drop_columns(["ts"])
+        # count_all = COUNT(*) semantics (NULL values still count)
         agg = t.group_by(["window_start", "event_type", "user_id"]).aggregate(
-            [("value", "count"), ("value", "min"), ("value", "max")]
+            [([], "count_all"), ("value", "min"), ("value", "max")]
         )
         return agg.rename_columns(
             ["window_start", "event_type", "user_id", "n_events", "value_min", "value_max"]
@@ -117,29 +118,16 @@ def grouped_quantile_disc(ds, key_col: str, val_col: str, qs: tuple[float, ...])
     """
     import math
 
-    from ray.data.aggregate import Sum
-
     def block_counts(tbl: pa.Table) -> pa.Table:
         agg = tbl.select([key_col, val_col]).group_by([key_col, val_col]).aggregate(
             [([], "count_all")]
         )
         return agg.rename_columns([key_col, val_col, "n"])
 
-    # adaptive: per-block partials are bounded by #groups × #distinct
-    # values; below the driver cap a pandas groupby beats Ray's
-    # all-to-all by an order of magnitude in stage latency
-    part = ds.map_batches(
-        block_counts, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    if part.count() <= (1 << 22):
-        hist = part.to_pandas().groupby([key_col, val_col], as_index=False)["n"].sum()
-    else:
-        hist = (
-            part.groupby([key_col, val_col])
-            .aggregate(Sum("n"))
-            .rename_columns({"sum(n)": "n"})
-            .to_pandas()
-        )
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    part = ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+    hist = adaptive_grouped_agg(part, [key_col, val_col], {"n": "sum"})
     hist = hist.sort_values([key_col, val_col]).reset_index(drop=True)
     rows = []
     for key, g in hist.groupby(key_col, sort=True):

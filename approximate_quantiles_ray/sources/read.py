@@ -43,7 +43,12 @@ def read_parquet_sized(
     except Exception:
         ncpu = 8
     try:
-        blocks = max(ncpu, math.ceil(_input_bytes(path) / target_block_bytes))
+        nbytes = _input_bytes(path)
     except OSError:
+        nbytes = 0
+    if nbytes <= 0:
+        # remote URI or path we can't stat — let Ray's planner decide
+        # rather than forcing ncpu giant blocks on an unknown-size input
         return rd.read_parquet(path, columns=columns, **kw)
+    blocks = max(ncpu, math.ceil(nbytes / target_block_bytes))
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks, **kw)

@@ -97,7 +97,21 @@ def _transform_sig(transform) -> str:
             ).hexdigest()[:16]
         r = repr(value)
         if " at 0x" in r:  # default object repr → address-bearing, unstable
-            return f"instance:{type(value).__module__}.{type(value).__qualname__}"
+            base = f"instance:{type(value).__module__}.{type(value).__qualname__}"
+            # type name alone would collapse differently-parameterized
+            # instances into one signature (silent stale-checkpoint
+            # reuse after a parameter change) — fold in the attribute
+            # state recursively
+            try:
+                state = getattr(value, "__dict__", None)
+                if state:
+                    inner = tuple(
+                        (k, cell_sig(v, depth + 1)) for k, v in sorted(state.items())
+                    )
+                    return base + ":" + hashlib.sha256(repr(inner).encode()).hexdigest()[:12]
+            except Exception:
+                pass
+            return base
         return r
 
     try:

@@ -46,6 +46,38 @@ def test_adaptive_grouped_agg_paths_agree(part_ds):
     pd.testing.assert_frame_equal(small[exp.columns], exp)
 
 
+def test_count_all_semantics_with_null_values(ray_session):
+    """Per-block partials must use COUNT(*) semantics: rows whose value
+    column is NULL still count (the DuckDB oracles use COUNT(*))."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.folds import adaptive_distinct_stats
+
+    tbl = pa.table(
+        {
+            "event_type": ["a", "a", "a", "b"],
+            "user_id": [1, 1, 2, 3],
+            "value": pa.array([1.0, None, 2.0, None], pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["event_type", "user_id"]).aggregate(
+            [([], "count_all"), ("value", "min"), ("value", "max")]
+        )
+        return agg.rename_columns(["event_type", "user_id", "n_events", "value_min", "value_max"])
+
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_distinct_stats(
+        part, ["event_type"], "user_id", {"n_events": "sum", "value_min": "min", "value_max": "max"}
+    ).set_index("event_type")
+    assert out.loc["a", "n_events"] == 3  # the NULL-value row counts
+    assert out.loc["b", "n_events"] == 1
+    assert out.loc["a", "n_distinct"] == 2
+
+
 def test_adaptive_distinct_stats_paths_agree(part_ds):
     from approximate_quantiles_ray.engine.folds import adaptive_distinct_stats
 
