@@ -114,26 +114,11 @@ def adaptive_distinct_stats(
         out["n_distinct"] = lvl1.groupby(group_keys).size().to_numpy()
         return out[group_keys + list(spec) + ["n_distinct"]]
 
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ray.data.aggregate import Count
 
-    def mk(col, kind):
-        if kind in ("sum", "count"):
-            return Sum(col), f"sum({col})"
-        if kind == "min":
-            return Min(col), f"min({col})"
-        return Max(col), f"max({col})"
-
-    aggs1, ren1 = [], {}
-    for c, k in spec.items():
-        a, name = mk(c, k)
-        aggs1.append(a)
-        ren1[name] = c
+    aggs1, ren1 = _ray_aggs(spec)
     lvl1 = part.groupby(all_keys).aggregate(*aggs1).rename_columns(ren1)
-    aggs2, ren2 = [], {}
-    for c, k in spec.items():
-        a, name = mk(c, k)
-        aggs2.append(a)
-        ren2[name] = c
+    aggs2, ren2 = _ray_aggs(spec)
     out = (
         lvl1.groupby(group_keys)
         .aggregate(*aggs2, Count())

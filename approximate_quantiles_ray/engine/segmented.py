@@ -165,6 +165,22 @@ def segmented_gaps(
     return gaps_ds, _stitch_boundaries(bnd)
 
 
+def _sort_tag_split(ds, key_col: str, order_col: str, block_fn, part_cols: list[str]):
+    """Shared skeleton of the fused segmented operators: one range sort,
+    one per-block tagging pass (kind==0 partial rows + kind>0 boundary
+    rows), one materialize of the BLOCK-LEVEL tagged stream to split the
+    two consumers. Returns (partials Dataset[part_cols], boundary df)."""
+    sorted_ds = ds.sort([key_col, order_col])
+    tagged = sorted_ds.map_batches(
+        block_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()  # block-level partials only — deliberate, spillable
+    bnd = tagged.filter(expr="kind > 0").select_columns(
+        ["kind", "conv_id", "turn_idx", "ts_us"]
+    ).to_pandas()
+    part = tagged.filter(expr="kind == 0").select_columns(part_cols)
+    return part, bnd
+
+
 def segmented_gap_hist(
     ds,
     key_col: str = "conv_id",
@@ -222,19 +238,12 @@ def segmented_gap_hist(
             schema=schema,
         )
 
-    sorted_ds = ds.sort([key_col, order_col])
-    tagged = sorted_ds.map_batches(
-        block_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).materialize()  # block-level partials only — deliberate, spillable
-    bnd = tagged.filter(expr="kind > 0").select_columns(
-        ["kind", "conv_id", "turn_idx", "ts_us"]
-    ).to_pandas()
     # PARTIAL histogram (block-level distinct, values may repeat across
     # blocks): the consumer (quantiles_from_histogram pre_grouped=False)
     # combines on the driver under its cap, or inserts the Ray groupby
     # only on the truly-huge path — skipping the all-to-all entirely at
     # moderate scale.
-    hist = tagged.filter(expr="kind == 0").select_columns(["gap_us", "n"])
+    hist, bnd = _sort_tag_split(ds, key_col, order_col, block_fn, ["gap_us", "n"])
     return hist, _stitch_boundaries(bnd)
 
 
@@ -286,7 +295,7 @@ def segmented_session_partials(
         nk = len(brc)
         bnd = tagged.filter(pc_.greater(tagged.column("kind"), 0))
         nb = bnd.num_rows
-        zeros = np.zeros
+        zeros = np.zeros  # local alias: used 7× in the column builders below
         return pa.Table.from_arrays(
             [
                 pa.array(np.concatenate(
@@ -315,14 +324,9 @@ def segmented_session_partials(
             schema=schema,
         )
 
-    sorted_ds = ds.sort([key_col, order_col])
-    tagged = sorted_ds.map_batches(
-        block_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).materialize()  # block-level partials only
-    bnd = tagged.filter(expr="kind > 0").select_columns(
-        ["kind", "conv_id", "turn_idx", "ts_us"]
-    ).to_pandas()
-    part = tagged.filter(expr="kind == 0").select_columns(["key", "n_events", "n_breaks"])
+    part, bnd = _sort_tag_split(
+        ds, key_col, order_col, block_fn, ["key", "n_events", "n_breaks"]
+    )
     return part, _stitch_boundaries_keyed(bnd)
 
 

@@ -593,7 +593,6 @@ def docs_exact_dedup_hash(sf_dir: str) -> pd.DataFrame:
     """Exact dedup by 64-bit content hash (scale variant of
     relational.docs_dedup_exact — only hashes shuffle). Oracle: GROUP BY
     text gives the identical keep-set when the hash is collision-free."""
-    import ray.data as rd
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = exact_dedup(ds).to_pandas()[["doc_id", "n_copies"]]
@@ -601,7 +600,6 @@ def docs_exact_dedup_hash(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_minhash_clusters(sf_dir: str) -> pd.DataFrame:
-    import ray.data as rd
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # the pipeline returns a distributed Dataset; materialize the small
@@ -610,7 +608,6 @@ def docs_minhash_clusters(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    import ray.data as rd
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_near_dup_pairs(ds)

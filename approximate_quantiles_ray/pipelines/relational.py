@@ -32,7 +32,6 @@ from approximate_quantiles_ray.sources.read import read_parquet_sized
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    import ray.data as rd
 
     return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
 

@@ -35,7 +35,6 @@ def events_sessions(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US) -> pd.Dat
     Nothing row-scale leaves a block; the old version materialized one
     gap row per event and read the table twice.
     """
-    import ray.data as rd
 
     from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
     from approximate_quantiles_ray.engine.segmented import segmented_session_partials

@@ -289,7 +289,6 @@ def _load_queries(sf_dir: str):
 def embeddings_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
     """Exact top-10 cosine neighbors for the first 3 vectors (oracle-
     matched vs DuckDB list_cosine_similarity; score rounded to 4 dp)."""
-    import ray.data as rd
 
     ids, mat = _load_queries(sf_dir)
     ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -300,7 +299,6 @@ def embeddings_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
 
 def embeddings_knn_lsh(sf_dir: str) -> pd.DataFrame:
     """ANN variant (rows-only check; recall vs brute force in pytest)."""
-    import ray.data as rd
 
     ids, mat = _load_queries(sf_dir)
     ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -310,7 +308,6 @@ def embeddings_knn_lsh(sf_dir: str) -> pd.DataFrame:
 
 
 def embeddings_near_dups(sf_dir: str) -> pd.DataFrame:
-    import ray.data as rd
 
     ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_near_dup_pairs(ds, threshold=0.95)
@@ -441,7 +438,6 @@ def embeddings_knn_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF ANN over the test embeddings (rows-only; recall tested on
     clustered synthetic data in pytest — the testdata embeddings are
     isotropic, the LSH/IVF worst case)."""
-    import ray.data as rd
 
     ids, mat = _load_queries(sf_dir)
     ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])

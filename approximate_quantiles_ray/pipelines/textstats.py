@@ -157,7 +157,6 @@ def fingerprint_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
 
 def docs_token_stats(sf_dir: str) -> pd.DataFrame:
     """Per-doc token/char counts (oracle-matched vs DuckDB regexes)."""
-    import ray.data as rd
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
@@ -170,7 +169,6 @@ def docs_token_stats(sf_dir: str) -> pd.DataFrame:
 
 def docs_quality_report(sf_dir: str) -> pd.DataFrame:
     """Per-doc quality features + score (deterministic; rows-only check)."""
-    import ray.data as rd
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
@@ -184,7 +182,6 @@ def docs_quality_report(sf_dir: str) -> pd.DataFrame:
 
 def docs_lang_id(sf_dir: str) -> pd.DataFrame:
     """Predicted language per doc + agreement with the labeled lang."""
-    import ray.data as rd
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
     pred = ds.map_batches(
@@ -216,7 +213,6 @@ def docs_quality_features(sf_dir: str) -> pd.DataFrame:
     matched vs DuckDB regexp counts (the float ratios/score stay in
     docs_quality_report — division results are deterministic too, but
     integer counts are the hash-stable contract surface)."""
-    import ray.data as rd
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -239,7 +235,6 @@ def docs_quality_features(sf_dir: str) -> pd.DataFrame:
 def docs_lang_stopword_hits(sf_dir: str) -> pd.DataFrame:
     """Per-doc per-language stopword hit counts — the integer evidence
     the LanguageID heuristic votes on, oracle-matched vs DuckDB."""
-    import ray.data as rd
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     langs = sorted(STOPWORDS)
@@ -262,7 +257,6 @@ def docs_quality_ratios(sf_dir: str) -> pd.DataFrame:
     bit-identical between numpy and DuckDB (no reduction, no libm), so
     even float columns hash-stable. The composite score stays out: it
     uses log1p/clip whose libm implementations may differ in ulp."""
-    import ray.data as rd
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 

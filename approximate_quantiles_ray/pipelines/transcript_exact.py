@@ -38,7 +38,6 @@ def transcripts_dir_for(sf_dir: str) -> str:
 
 
 def read_transcripts_ds(sf_dir: str, columns: list[str] | None = None):
-    import ray.data as rd
 
     return read_parquet_sized(transcripts_dir_for(sf_dir), columns=columns)
 

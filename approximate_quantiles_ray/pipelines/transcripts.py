@@ -114,7 +114,6 @@ def latency_sketches(ds, specs: list[SketchSpec]):
 
 
 def read_transcripts(table_dir: str):
-    import ray.data as rd
 
     return read_parquet_sized(table_dir)
 
@@ -127,7 +126,6 @@ def transcript_report(
     include_latency: bool = True,
 ) -> pd.DataFrame:
     """Run the flagship sketch suite; returns a (metric, value) DataFrame."""
-    import ray.data as rd
 
     ds = read_parquet_sized(table_dir, columns=["conv_id", "text", "tool"])
     # explicit map_batches partials + driver fold: measured ~4× faster and
@@ -176,7 +174,6 @@ def transcript_report(
 
 def grouped_text_len_by_role(table_dir: str, delta: float = 300.0) -> pd.DataFrame:
     """Grouped-sketch demo: one t-digest of text length per role."""
-    import ray.data as rd
 
     from approximate_quantiles_ray.engine.udaf import grouped_sketches
     from approximate_quantiles_ray.sketches.base import sketch_from_bytes
@@ -306,7 +303,6 @@ def conv_membership_check(table_dir: str, n_probes: int = 200, seed: int = 42) -
 
     spec = global_specs(seed=seed)
     bloom_spec = [s for s in spec if s.key == "conv_bloom"]
-    import ray.data as rd
 
     ds = read_parquet_sized(table_dir, columns=["conv_id"])
     bloom: BloomFilter = sketch_columns_streaming(ds, bloom_spec)["conv_bloom"]

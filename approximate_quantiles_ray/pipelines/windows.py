@@ -35,7 +35,6 @@ def add_window_column(tbl: pa.Table, ts_col: str, unit: str, name: str = "window
 def events_hourly_stats(sf_dir: str) -> pd.DataFrame:
     """Per (hour, event_type): count, distinct users, min/max value —
     exact, bit-identical to the DuckDB date_trunc oracle."""
-    import ray.data as rd
 
     from approximate_quantiles_ray.engine.folds import adaptive_distinct_stats
 
@@ -69,7 +68,6 @@ def events_hourly_stats(sf_dir: str) -> pd.DataFrame:
 def transcript_daily_text_len(sf_dir: str) -> pd.DataFrame:
     """Windowed SKETCH aggregate: one t-digest of text length per day
     (grouped_sketches with the window as key) → per-day p50/p99."""
-    import ray.data as rd
 
     from approximate_quantiles_ray.pipelines.transcript_exact import transcripts_dir_for
 
@@ -147,7 +145,6 @@ def transcript_daily_exact(sf_dir: str) -> pd.DataFrame:
     """Exact per-day turn count, total chars, and p50/p99 text length —
     the oracle-matched twin of transcript_daily_text_len's sketch path
     (DuckDB: date_trunc + CAST(SUM(...) AS BIGINT) + quantile_disc)."""
-    import ray.data as rd
 
     from approximate_quantiles_ray.pipelines.transcript_exact import transcripts_dir_for
 
