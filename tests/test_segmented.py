@@ -83,6 +83,50 @@ def test_boundary_tie_order_keeps_gap(ray_session):
     np.testing.assert_array_equal(gaps, np.array([150], np.int64))
 
 
+def test_session_partials_partition_independent(ray_session):
+    """Fused sessionization partials must fold to the same per-key
+    (n_events, n_breaks) for ANY partitioning — boundary breaks are
+    stitched exactly, in-block breaks counted per block."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.engine.segmented import segmented_session_partials
+
+    rng = np.random.default_rng(21)
+    n, timeout = 600, 50
+    users = np.sort(rng.integers(0, 12, n))
+    ts = np.cumsum(rng.integers(1, 120, n)).astype("datetime64[us]")
+    tbl = pa.table(
+        {
+            "user_id": pa.array([f"u{u}" for u in users]),
+            "order_us": pa.array(ts.astype(np.int64)),
+            "ts": pa.array(ts),
+        }
+    )
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    gaps = df.sort_values(["user_id", "order_us"]).groupby("user_id")["ts_us"].diff()
+    exp_breaks = (
+        (gaps > timeout).groupby(df.sort_values(["user_id", "order_us"])["user_id"].values).sum()
+    )
+    exp_counts = df.groupby("user_id").size()
+
+    for n_parts in (1, 5, 23):
+        part, boundary = segmented_session_partials(
+            rd.from_arrow(tbl).repartition(n_parts),
+            key_col="user_id", order_col="order_us", ts_col="ts", timeout_us=timeout,
+        )
+        out = adaptive_grouped_agg(part, ["key"], {"n_events": "sum", "n_breaks": "sum"})
+        out = out.set_index("key")
+        big_bnd = boundary[boundary["gap_us"] > timeout]
+        if len(big_bnd):
+            extra = big_bnd.groupby("conv_id").size()
+            out.loc[extra.index, "n_breaks"] = out.loc[extra.index, "n_breaks"] + extra
+        assert out["n_events"].to_dict() == exp_counts.to_dict(), n_parts
+        assert out["n_breaks"].astype(int).to_dict() == exp_breaks.astype(int).to_dict(), n_parts
+
+
 def test_fused_gap_sketches_match_unfused(small_table):
     import ray.data as rd
 
