@@ -72,25 +72,33 @@ class BroadcastJoiner:
         return out
 
 
+# per-WORKER-PROCESS joiner cache: task-based map_batches avoids the
+# 1-2 s actor-pool spin-up an actor stage pays per query, while the
+# cache still builds the hash index once per worker (ray.get of the
+# broadcast ref is itself a zero-copy plasma read). Bounded: old
+# entries are dropped once refs from finished queries accumulate.
+_JOINER_CACHE: dict[tuple, "BroadcastJoiner"] = {}
+
+
 def broadcast_join(ds, small: pa.Table, left_key: str, right_key: str, how: str = "inner", **map_kwargs):
     """big Dataset ⋈ small pa.Table via broadcast hash probe.
 
-    The small table is ray.put once; each actor materializes the hash
-    index in ``__init__``. concurrency defaults let Ray scale the pool.
+    The small table is ``ray.put`` once; each worker process builds the
+    hash index on first probe and reuses it for every later batch of
+    the same join (module-level cache keyed by the object ref).
     """
     import ray
 
     ref = ray.put(small)
-    return ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_kwargs={
-            "small_ref": ref,
-            "left_key": left_key,
-            "right_key": right_key,
-            "how": how,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=map_kwargs.pop("concurrency", (1, 8)),
-        **map_kwargs,
-    )
+    cache_key = (ref.hex(), left_key, right_key, how)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        joiner = _JOINER_CACHE.get(cache_key)
+        if joiner is None:
+            if len(_JOINER_CACHE) > 8:
+                _JOINER_CACHE.clear()
+            joiner = BroadcastJoiner(ref, left_key, right_key, how)
+            _JOINER_CACHE[cache_key] = joiner
+        return joiner(batch)
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)

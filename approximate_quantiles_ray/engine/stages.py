@@ -1,0 +1,60 @@
+"""Worker-cached task stages: the fast path for cheap-init callables.
+
+An actor-pool ``map_batches(Cls, concurrency=...)`` stage pays 1–2 s of
+pool spin-up per query on this sandbox (measured: the broadcast-join
+queries dropped 2.6 s → 0.4 s when converted). That price buys one
+``__init__`` per actor — worth it when init is expensive (model load,
+big index build), pure overhead when init is milliseconds (seeded RNG
+draw, regex string concat, plasma ``ray.get`` of a broadcast ref,
+which is a zero-copy read).
+
+``worker_cached_stage`` gives cheap-init stages the same
+once-per-worker amortization WITHOUT dedicated actors: a plain task fn
+that builds the instance on first use in each worker process and
+caches it keyed by (class, ctor args). Tasks schedule on any core (no
+pool sizing) and the cache survives across queries in the same Ray
+session. Keep actor pools for genuinely expensive ``__init__``
+(multimodal decoders with model-shaped state are the documented
+exemplar) — this helper asserts the class is top-level, because
+closure-carrying local classes can't be cache-keyed safely.
+"""
+
+from __future__ import annotations
+
+_CACHE: dict = {}
+
+
+def _key_of(v):
+    import ray
+
+    if isinstance(v, ray.ObjectRef):
+        return v.hex()
+    return repr(v)
+
+
+def worker_cached_stage(cls, **ctor_kwargs):
+    """Return a map_batches task fn that lazily builds ``cls(**kwargs)``
+    once per worker process. ``cls`` must be module-top-level (its
+    behavior fully determined by ctor args — pass arrays/tables via
+    ``ray.put`` refs, whose hex is the stable cache key)."""
+    assert "<locals>" not in cls.__qualname__, (
+        "worker_cached_stage needs a top-level class: a local class can "
+        "capture closure state the cache key cannot see"
+    )
+    cache_key = (
+        cls.__module__,
+        cls.__qualname__,
+        tuple(sorted((k, _key_of(v)) for k, v in ctor_kwargs.items())),
+    )
+
+    def stage_fn(batch):
+        inst = _CACHE.get(cache_key)
+        if inst is None:
+            if len(_CACHE) > 16:  # bound growth across many queries
+                _CACHE.clear()
+            inst = cls(**ctor_kwargs)
+            _CACHE[cache_key] = inst
+        return inst(batch)
+
+    stage_fn.__name__ = f"cached_{cls.__name__}"
+    return stage_fn

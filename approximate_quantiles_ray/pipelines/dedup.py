@@ -377,17 +377,18 @@ def minhash_lsh_dedup(
     the full corpus never materializes on the driver and the result can
     be written distributedly.
     """
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "n_perm": n_perm, "shingle_k": shingle_k, "seed": seed,
-            "id_col": id_col, "text_col": text_col,
-        },
+        worker_cached_stage(
+            MinHasher,
+            n_perm=n_perm, shingle_k=shingle_k, seed=seed,
+            id_col=id_col, text_col=text_col,
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=512,  # single-file tables arrive as one block — slice so
-        concurrency=(1, 8),  # the signature work spreads across the pool
-    )
+    )  # task fn + per-worker cache: no actor-pool spin-up (engine/stages.py)
 
     def explode(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
@@ -523,13 +524,13 @@ class SimHasher:
 
 
 def simhash_signatures(ds, id_col: str = "doc_id", text_col: str = "text", seed: int = 42):
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
     return ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col, "seed": seed},
+        worker_cached_stage(SimHasher, id_col=id_col, text_col=text_col, seed=seed),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-        concurrency=(1, 8),
     )
 
 

@@ -127,13 +127,13 @@ def knn_brute_force(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int 
     """Exact cosine top-k for m query vectors over the corpus."""
     import ray
 
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
     ref = ray.put({"qids": np.asarray(query_ids, np.int64), "matrix": query_matrix})
     parts = ds.map_batches(
-        BatchTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "col": col},
+        worker_cached_stage(BatchTopK, queries_ref=ref, k=k, id_col=id_col, col=col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     ).to_pandas()
     return _merge_topk(parts, k)
 
@@ -166,6 +166,34 @@ class HyperplaneSigner:
         return tbl.append_column("sig", pa.array(sig, pa.int64()))
 
 
+class LSHProbeTopK(BatchTopK):
+    """Top-level probe stage (worker-cacheable): Hamming-radius filter
+    on hyperplane signatures, then the base per-batch top-k. Probe
+    parameters (qsigs, radius, plane seed/dim) travel via one ray.put
+    ref so the stage is fully determined by its ctor args."""
+
+    def __init__(self, queries_ref, probe_ref, k, id_col, col):
+        import ray
+
+        super().__init__(queries_ref, k, id_col, col)
+        p = ray.get(probe_ref) if isinstance(probe_ref, ray.ObjectRef) else probe_ref
+        self.signer = HyperplaneSigner(p["dim"], p["n_planes"], p["seed"], id_col, col)
+        self.qsigs = np.asarray(p["qsigs"], np.uint64)
+        self.radius = p["radius"]
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(tbl, self.col)
+        if not len(emb):
+            return super().__call__(tbl)
+        sig = self.signer.sign(emb).astype(np.uint64)
+        x = sig[:, None] ^ self.qsigs[None, :]
+        ham = np.unpackbits(
+            x.astype(np.uint64).view(np.uint8).reshape(x.shape[0], x.shape[1], 8), axis=2
+        ).sum(axis=2)
+        keep = (ham <= self.radius).any(axis=1)
+        return super().__call__(tbl.filter(pa.array(keep)))
+
+
 def knn_lsh(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
             dim: int | None = None, n_planes: int = 16, radius: int = 6,
             seed: int = 42, id_col: str = "vec_id", col: str = "embedding") -> pd.DataFrame:
@@ -174,36 +202,23 @@ def knn_lsh(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
     candidate fraction shrinks exponentially in (n_planes − radius)."""
     import ray
 
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
     qm = np.asarray(query_matrix, np.float64)
     dim = dim or qm.shape[1]
     signer = HyperplaneSigner(dim, n_planes, seed, id_col, col)
     qsigs = signer.sign(_normalize(qm)).astype(np.uint64)
     ref = ray.put({"qids": np.asarray(query_ids, np.int64), "matrix": qm})
-
-    class ProbeTopK(BatchTopK):
-        def __init__(self, queries_ref, k, id_col, col):
-            super().__init__(queries_ref, k, id_col, col)
-            self.signer = HyperplaneSigner(dim, n_planes, seed, id_col, col)
-            self.qsigs = qsigs
-
-        def __call__(self, tbl: pa.Table) -> pa.Table:
-            emb = _embedding_matrix(tbl, self.col)
-            if not len(emb):
-                return super().__call__(tbl)
-            sig = self.signer.sign(emb).astype(np.uint64)
-            x = sig[:, None] ^ self.qsigs[None, :]
-            ham = np.unpackbits(
-                x.astype(np.uint64).view(np.uint8).reshape(x.shape[0], x.shape[1], 8), axis=2
-            ).sum(axis=2)
-            keep = (ham <= radius).any(axis=1)
-            return super().__call__(tbl.filter(pa.array(keep)))
+    probe_ref = ray.put(
+        {"dim": dim, "n_planes": n_planes, "seed": seed, "radius": radius, "qsigs": qsigs}
+    )
 
     parts = ds.map_batches(
-        ProbeTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "col": col},
+        worker_cached_stage(
+            LSHProbeTopK, queries_ref=ref, probe_ref=probe_ref, k=k, id_col=id_col, col=col
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     ).to_pandas()
     return _merge_topk(parts, k)
 
@@ -218,13 +233,14 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.98, n_planes: int = 16,
         first = ds.take(1)[0][col]
         dim = len(first)
 
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
     sigged = ds.map_batches(
-        HyperplaneSigner,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed,
-                               "id_col": id_col, "col": col},
+        worker_cached_stage(
+            HyperplaneSigner, dim=dim, n_planes=n_planes, seed=seed, id_col=id_col, col=col
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
 
     def as_band_rows(tbl: pa.Table) -> pa.Table:
@@ -391,6 +407,27 @@ def train_ivf_centroids(sample: np.ndarray, n_centroids: int = 16, iters: int = 
     return c
 
 
+class IVFProbeTopK(BatchTopK):
+    """Top-level probe stage (worker-cacheable): keep only vectors
+    assigned to a probed coarse centroid, then the base per-batch
+    top-k. Centroids + probe set travel via one ray.put ref."""
+
+    def __init__(self, queries_ref, centroids_ref, k, id_col, col):
+        import ray
+
+        super().__init__(queries_ref, k, id_col, col)
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.centroids = c["centroids"]
+        self.probed = np.asarray(c["probed"], np.int64)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(tbl, self.col)
+        if not len(emb):
+            return super().__call__(tbl)
+        assign = np.argmax(_normalize(emb) @ self.centroids.T, axis=1)
+        return super().__call__(tbl.filter(pa.array(np.isin(assign, self.probed))))
+
+
 def knn_ivf(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
             n_centroids: int = 16, nprobe: int = 4, sample_size: int = 4096,
             seed: int = 42, id_col: str = "vec_id", col: str = "embedding") -> pd.DataFrame:
@@ -407,29 +444,17 @@ def knn_ivf(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
     qsims = qm @ centroids.T
     probe_sets = np.argsort(-qsims, axis=1)[:, :nprobe]
     probed = np.unique(probe_sets.ravel())
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
     ref = ray.put({"qids": np.asarray(query_ids, np.int64), "matrix": query_matrix})
     cref = ray.put({"centroids": centroids, "probed": probed})
 
-    class IVFProbeTopK(BatchTopK):
-        def __init__(self, queries_ref, k, id_col, col):
-            super().__init__(queries_ref, k, id_col, col)
-            c = ray.get(cref)
-            self.centroids = c["centroids"]
-            self.probed = np.asarray(c["probed"], np.int64)
-
-        def __call__(self, tbl: pa.Table) -> pa.Table:
-            emb = _embedding_matrix(tbl, self.col)
-            if not len(emb):
-                return super().__call__(tbl)
-            assign = np.argmax(_normalize(emb) @ self.centroids.T, axis=1)
-            return super().__call__(tbl.filter(pa.array(np.isin(assign, self.probed))))
-
     parts = ds.map_batches(
-        IVFProbeTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "col": col},
+        worker_cached_stage(
+            IVFProbeTopK, queries_ref=ref, centroids_ref=cref, k=k, id_col=id_col, col=col
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     ).to_pandas()
     return _merge_topk(parts, k)
 

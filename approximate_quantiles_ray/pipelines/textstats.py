@@ -170,12 +170,13 @@ def docs_token_stats(sf_dir: str) -> pd.DataFrame:
 def docs_quality_report(sf_dir: str) -> pd.DataFrame:
     """Per-doc quality features + score (deterministic; rows-only check)."""
 
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
-        QualityScorer,
+        worker_cached_stage(QualityScorer),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     ).drop_columns(["text"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -184,8 +185,10 @@ def docs_lang_id(sf_dir: str) -> pd.DataFrame:
     """Predicted language per doc + agreement with the labeled lang."""
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
     pred = ds.map_batches(
-        LanguageID, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        worker_cached_stage(LanguageID), batch_format="pyarrow", zero_copy_batch=True
     ).drop_columns(["text"])
     out = pred.to_pandas()
     out["match"] = out["lang_pred"] == out["lang"]
