@@ -72,6 +72,71 @@ class BroadcastJoiner:
         return out
 
 
+class BroadcastAsofJoiner:
+    """Callable-class stage: as-of join each probe batch against a
+    broadcast build side — every probe row (key, ts) matches the build
+    row with the same key and the greatest build-ts ≤ ts (the standard
+    trades⋈quotes / events⋈dimension-history lookup; DuckDB ASOF JOIN
+    semantics, direction='backward').
+
+    The build side is sorted once per worker; each batch runs
+    ``pandas.merge_asof`` (vectorized C). Probe and build ts columns
+    must have distinct names (the matched build ts is kept in the
+    output — it is usually the feature you joined for).
+    """
+
+    def __init__(self, small_ref: Any, left_key: str, left_ts: str,
+                 right_key: str, right_ts: str, how: str = "left"):
+        import ray
+
+        small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
+        if isinstance(small, pa.Table):
+            small = small.to_pandas()
+        if left_ts == right_ts:
+            raise ValueError("probe and build ts columns must have distinct names")
+        self.left_key = left_key
+        self.left_ts = left_ts
+        self.right_key = right_key
+        self.right_ts = right_ts
+        self.how = how
+        self.small = small.sort_values(right_ts, kind="stable").reset_index(drop=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(self.left_ts, kind="stable")
+        out = pd.merge_asof(
+            df,
+            self.small,
+            left_on=self.left_ts,
+            right_on=self.right_ts,
+            left_by=self.left_key,
+            right_by=self.right_key,
+            direction="backward",
+        )
+        if self.how == "inner":
+            out = out[out[self.right_ts].notna()]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def broadcast_asof_join(ds, small, left_key: str, left_ts: str,
+                        right_key: str, right_ts: str, how: str = "left"):
+    """big Dataset ⋈asof small table (broadcast once, per-worker sorted
+    build side, merge_asof per batch — no shuffle)."""
+    import ray
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
+    ref = ray.put(small)
+    return ds.map_batches(
+        worker_cached_stage(
+            BroadcastAsofJoiner,
+            small_ref=ref, left_key=left_key, left_ts=left_ts,
+            right_key=right_key, right_ts=right_ts, how=how,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # per-WORKER-PROCESS joiner cache: task-based map_batches avoids the
 # 1-2 s actor-pool spin-up an actor stage pays per query, while the
 # cache still builds the hash index once per worker (ray.get of the

@@ -510,6 +510,72 @@ def supplier_region_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("r_name").reset_index(drop=True)
 
 
+def events_asof_day_anchor(sf_dir: str) -> pd.DataFrame:
+    """AS-OF JOIN pipeline (oracle-matched vs DuckDB ASOF JOIN): build a
+    per-(user, day) anchor table — each user's first event timestamp of
+    each day — then as-of join every event to its most recent anchor
+    and aggregate the anchor lag per user.
+
+    Plan: anchor table via per-block Arrow partials + adaptive fold
+    (size = #users × #days, a true dimension table) → broadcast
+    ``merge_asof`` probe (engine/broadcast.py, no shuffle) → per-block
+    lag partials + adaptive fold. Integer outputs only (count + µs lag
+    sum) → hash-stable.
+    """
+    from approximate_quantiles_ray.engine.broadcast import broadcast_asof_join
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def anchor_partial(tbl: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(tbl.column("ts"), unit="day").cast(pa.timestamp("us"))
+        t = pa.table({"user_id": tbl.column("user_id"), "day": day, "ts": tbl.column("ts")})
+        agg = t.group_by(["user_id", "day"]).aggregate([("ts", "min")])
+        return agg.rename_columns(["user_id", "day", "valid_from"])
+
+    part = ds.map_batches(anchor_partial, batch_format="pyarrow", zero_copy_batch=True)
+    anchors = adaptive_grouped_agg(part, ["user_id", "day"], {"valid_from": "min"})
+    dim = pa.Table.from_pandas(
+        anchors[["user_id", "valid_from"]].reset_index(drop=True), preserve_index=False
+    )
+
+    joined = broadcast_asof_join(
+        ds, dim, left_key="user_id", left_ts="ts", right_key="user_id",
+        right_ts="valid_from", how="inner",
+    )
+
+    def lag_partial(tbl: pa.Table) -> pa.Table:
+        lag = pc.subtract(
+            tbl.column("ts").combine_chunks().cast(pa.int64()),
+            tbl.column("valid_from").combine_chunks().cast(pa.int64()),
+        )
+        t = pa.table({"user_id": tbl.column("user_id"), "lag_us": lag})
+        agg = t.group_by(["user_id"]).aggregate([([], "count_all"), ("lag_us", "sum")])
+        return agg.rename_columns(["user_id", "n_events", "lag_us_total"])
+
+    out = adaptive_grouped_agg(
+        joined.map_batches(lag_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        {"n_events": "sum", "lag_us_total": "sum"},
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+ORACLE_SQL["events_asof_day_anchor"] = """
+    WITH dim AS (
+        SELECT user_id, MIN(ts) AS valid_from
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(epoch_us(e.ts) - epoch_us(d.valid_from)) AS BIGINT) AS lag_us_total
+    FROM events e ASOF JOIN dim d
+      ON e.user_id = d.user_id AND e.ts >= d.valid_from
+    GROUP BY e.user_id ORDER BY e.user_id
+"""
+QUERIES["events_asof_day_anchor"] = events_asof_day_anchor
+
+
 ORACLE_SQL["supplier_region_stats"] = """
     SELECT r_name,
            COUNT(*) AS n_suppliers,

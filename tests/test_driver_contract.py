@@ -88,6 +88,30 @@ def test_all_queries_run_and_oracles_match(contract, oracle_con):
         pd.testing.assert_frame_equal(g, e, check_exact=True, obj=name)
 
 
+def test_broadcast_asof_join_semantics(ray_session):
+    """Backward as-of: greatest build-ts <= probe-ts per key; left keeps
+    unmatched probes with null build columns, inner drops them."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.broadcast import broadcast_asof_join
+
+    probe = pa.table({"k": [1, 1, 2, 3], "ts": [10, 25, 7, 99]})
+    build = pa.table({"k": [1, 1, 2], "vf": [5, 20, 9], "v": [100, 200, 300]})
+    left = (
+        broadcast_asof_join(rd.from_arrow(probe).repartition(2), build,
+                            "k", "ts", "k", "vf", how="left")
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    assert left["v"].tolist()[:2] == [100, 200]      # k=1: ts=10→vf=5, ts=25→vf=20
+    assert np.isnan(left["v"].iloc[2])               # k=2: ts=7 < vf=9 → miss
+    assert np.isnan(left["v"].iloc[3])               # k=3: no build rows
+    inner = broadcast_asof_join(rd.from_arrow(probe), build,
+                                "k", "ts", "k", "vf", how="inner").to_pandas()
+    assert sorted(inner["ts"]) == [10, 25]
+
+
 def test_broadcast_join_left_with_misses(ray_session):
     import pyarrow as pa
     import ray.data as rd
