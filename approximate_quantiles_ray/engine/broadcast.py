@@ -137,6 +137,46 @@ def broadcast_asof_join(ds, small, left_key: str, left_ts: str,
     )
 
 
+def broadcast_range_join(ds, intervals, left_key: str, left_ts: str,
+                         right_key: str, start_col: str, end_col: str,
+                         how: str = "left"):
+    """Interval-containment join: tag each probe row (key, ts) with the
+    broadcast interval [start, end) that contains its ts.
+
+    Implemented as a backward as-of join on the interval START plus a
+    vectorized end-containment check — exact for DISJOINT intervals per
+    key (session windows, daily warmups). For overlapping intervals
+    this yields only the latest-starting match; a full multi-match
+    range join needs an explode stage instead. ``how="left"`` keeps
+    unmatched probes with the interval columns nulled; ``"inner"``
+    drops them.
+    """
+    if isinstance(intervals, pd.DataFrame):
+        intervals = pa.Table.from_pandas(intervals, preserve_index=False)
+    payload_cols = [c for c in intervals.column_names if c != right_key]
+    joined = broadcast_asof_join(
+        ds, intervals, left_key, left_ts, right_key, start_col, how="left"
+    )
+
+    def containment(tbl: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        start = tbl.column(start_col)
+        end = tbl.column(end_col)
+        inside = pc_.and_kleene(
+            pc_.is_valid(start), pc_.less(tbl.column(left_ts), end)
+        )
+        inside = pc_.fill_null(inside, False)
+        if how == "inner":
+            return tbl.filter(inside)
+        for c in payload_cols:  # left: null interval columns outside the range
+            i = tbl.column_names.index(c)
+            col = pc_.if_else(inside, tbl.column(c), pa.scalar(None, tbl.column(c).type))
+            tbl = tbl.set_column(i, c, col)
+        return tbl
+
+    return joined.map_batches(containment, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # per-WORKER-PROCESS joiner cache: task-based map_batches avoids the
 # 1-2 s actor-pool spin-up an actor stage pays per query, while the
 # cache still builds the hash index once per worker (ray.get of the

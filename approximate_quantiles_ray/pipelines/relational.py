@@ -576,6 +576,74 @@ ORACLE_SQL["events_asof_day_anchor"] = """
 QUERIES["events_asof_day_anchor"] = events_asof_day_anchor
 
 
+def events_in_daily_window(sf_dir: str) -> pd.DataFrame:
+    """RANGE-JOIN pipeline (oracle-matched): intervals = each user's
+    first hour of activity per day, CLAMPED to the day boundary
+    ([day-first ts, min(+1 h, next midnight)) — the clamp makes the
+    intervals provably disjoint per key, which both the engine's
+    asof-based range join and the SQL single-match assumption need
+    (a 23:30 window would otherwise overlap the next day's). Tag every
+    event via the broadcast range join and count per user how many fall
+    inside their warmup window.
+    """
+    from approximate_quantiles_ray.engine.broadcast import broadcast_range_join
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def anchor_partial(tbl: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(tbl.column("ts"), unit="day").cast(pa.timestamp("us"))
+        t = pa.table({"user_id": tbl.column("user_id"), "day": day, "ts": tbl.column("ts")})
+        agg = t.group_by(["user_id", "day"]).aggregate([("ts", "min")])
+        return agg.rename_columns(["user_id", "day", "w_start"])
+
+    part = ds.map_batches(anchor_partial, batch_format="pyarrow", zero_copy_batch=True)
+    iv = adaptive_grouped_agg(part, ["user_id", "day"], {"w_start": "min"})
+    iv["w_end"] = np.minimum(
+        iv["w_start"] + pd.Timedelta(hours=1), iv["day"] + pd.Timedelta(days=1)
+    )
+    iv = iv[["user_id", "w_start", "w_end"]]
+
+    tagged = broadcast_range_join(
+        ds, iv, left_key="user_id", left_ts="ts", right_key="user_id",
+        start_col="w_start", end_col="w_end", how="left",
+    )
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "inside": pc.cast(pc.is_valid(tbl.column("w_start")), pa.int64()),
+            }
+        )
+        agg = t.group_by(["user_id"]).aggregate([([], "count_all"), ("inside", "sum")])
+        return agg.rename_columns(["user_id", "n_events", "n_in_window"])
+
+    out = adaptive_grouped_agg(
+        tagged.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        {"n_events": "sum", "n_in_window": "sum"},
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+ORACLE_SQL["events_in_daily_window"] = """
+    WITH iv AS (
+        SELECT user_id, MIN(ts) AS w_start,
+               LEAST(MIN(ts) + INTERVAL 1 HOUR,
+                     date_trunc('day', ts) + INTERVAL 1 DAY) AS w_end
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           CAST(COUNT(i.w_start) AS BIGINT) AS n_in_window
+    FROM events e LEFT JOIN iv i
+      ON e.user_id = i.user_id AND e.ts >= i.w_start AND e.ts < i.w_end
+    GROUP BY e.user_id ORDER BY e.user_id
+"""
+QUERIES["events_in_daily_window"] = events_in_daily_window
+
+
 ORACLE_SQL["supplier_region_stats"] = """
     SELECT r_name,
            COUNT(*) AS n_suppliers,

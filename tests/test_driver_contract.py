@@ -112,6 +112,28 @@ def test_broadcast_asof_join_semantics(ray_session):
     assert sorted(inner["ts"]) == [10, 25]
 
 
+def test_broadcast_range_join_semantics(ray_session):
+    """Containment tag: interval cols nulled outside [start, end) on the
+    left path; inner drops non-contained probes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.broadcast import broadcast_range_join
+
+    probe = pa.table({"k": [1, 1, 1, 2], "ts": [4, 10, 16, 3]})
+    iv = pa.table({"k": [1, 1], "s": [5, 15], "e": [12, 20], "label": ["a", "b"]})
+    out = (
+        broadcast_range_join(rd.from_arrow(probe).repartition(2), iv,
+                             "k", "ts", "k", "s", "e", how="left")
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    # ts=4: before first interval → null; ts=10 ∈ [5,12) → a; ts=16 ∈ [15,20) → b
+    assert out["label"].tolist() == [None, "a", "b", None]
+    inner = broadcast_range_join(rd.from_arrow(probe), iv,
+                                 "k", "ts", "k", "s", "e", how="inner").to_pandas()
+    assert sorted(inner["ts"]) == [10, 16]
+
+
 def test_broadcast_join_left_with_misses(ray_session):
     import pyarrow as pa
     import ray.data as rd
