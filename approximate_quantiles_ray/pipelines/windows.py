@@ -164,6 +164,34 @@ def transcript_daily_exact(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def events_hourly_stream_counts(sf_dir: str) -> pd.DataFrame:
+    """The STREAMING window engine (engine/streaming.py), oracle-checked:
+    replay the events table through StreamingWindowAggregator with
+    1-hour tumbling windows and unbounded allowed lateness — no window
+    finalizes before flush, so per-window row counts are exact for ANY
+    replay order (the late-data path is exercised separately with tight
+    watermarks in tests/test_streaming.py). Output is bit-identical to
+    the batch date_trunc oracle, proving the streaming state machinery
+    (window assignment, per-window state, flush) agrees with SQL.
+    """
+    from approximate_quantiles_ray.engine.streaming import stream_windows
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts"])
+    df = stream_windows(
+        ds, [], ts_col="ts", window_us=3_600_000_000,
+        allowed_lateness_us=1 << 62,  # nothing finalizes early → exact
+    )
+    out = pd.DataFrame(
+        {
+            "window_start": pd.to_datetime(df["window_start_us"], unit="us").astype(
+                "datetime64[us]"
+            ),
+            "n_events": df["rows"].astype(np.int64),
+        }
+    )
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 def oracle_sql(sf_dir: str) -> dict[str, str]:
     """sf-dir-dependent oracles (the transcript table lives under /tmp,
     not in the driver's pre-registered views)."""
@@ -183,6 +211,10 @@ def oracle_sql(sf_dir: str) -> dict[str, str]:
 
 
 ORACLE_SQL = {
+    "events_hourly_stream_counts": """
+        SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
     "events_hourly_stats": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,
@@ -196,4 +228,5 @@ QUERIES = {
     "events_hourly_stats": events_hourly_stats,
     "transcript_daily_text_len": transcript_daily_text_len,
     "transcript_daily_exact": transcript_daily_exact,
+    "events_hourly_stream_counts": events_hourly_stream_counts,
 }
