@@ -156,7 +156,7 @@ def _band_rows(ids: np.ndarray, sigs: np.ndarray, n_bands: int) -> pa.Table:
 
 
 def _hot_bucket_pairs(rows: pd.DataFrame, extra_cols: list[str] | None = None,
-                      cap: int = 200, star: bool = False) -> pd.DataFrame:
+                      cap: int | None = 200, star: bool = False) -> pd.DataFrame:
     """Candidate pairs from hot-bucket member rows.
 
     Vectorized: one sort by (band, bucket, doc_id), run-boundary
@@ -165,6 +165,12 @@ def _hot_bucket_pairs(rows: pd.DataFrame, extra_cols: list[str] | None = None,
     buckets). ``star=True`` links each member to the run's min-id only
     (n−1 edges instead of n(n−1)/2): sufficient for connected-component
     clustering, and the standard candidate-blowup bound for dedup.
+
+    ``cap`` bounds per-run membership against quadratic blowup on
+    degenerate spam buckets; when it fires, a warning names the number
+    of truncated runs (silent recall loss was round-2 ADVICE item 3).
+    ``cap=None`` disables it — used by the simhash path, whose 4×16-bit
+    pigeonhole banding advertises exact recall at Hamming ≤ 3.
     """
     cols = extra_cols or []
     empty = {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
@@ -183,8 +189,10 @@ def _hot_bucket_pairs(rows: pd.DataFrame, extra_cols: list[str] | None = None,
     ends = np.append(starts[1:], len(r))
 
     ia_all, ib_all = [], []
+    truncated = 0
     for s, e in zip(starts, ends):
-        n = min(e - s, cap)
+        n = e - s if cap is None else min(e - s, cap)
+        truncated += cap is not None and (e - s) > cap
         if n < 2:
             continue
         if star:
@@ -195,6 +203,15 @@ def _hot_bucket_pairs(rows: pd.DataFrame, extra_cols: list[str] | None = None,
             ia, ib = iu[0] + s, iu[1] + s
         ia_all.append(ia)
         ib_all.append(ib)
+    if truncated:
+        import warnings
+
+        warnings.warn(
+            f"_hot_bucket_pairs: membership cap {cap} truncated {truncated} "
+            "bucket run(s) — near-dup recall may be reduced in degenerate "
+            "buckets (raise cap or pass cap=None)",
+            stacklevel=2,
+        )
     if not ia_all:
         return pd.DataFrame(empty)
     ia = np.concatenate(ia_all)
@@ -207,20 +224,12 @@ def _hot_bucket_pairs(rows: pd.DataFrame, extra_cols: list[str] | None = None,
     return pd.DataFrame(d).drop_duplicates(subset=["a", "b"])
 
 
-def _hot_bucket_rows(
-    band_ds, extra_cols: list[str] | None = None, per_batch_cap: int = 256
-) -> pd.DataFrame:
-    """Find buckets with ≥2 members via a C++ groupby-count (no Python
-    per group), then pull ONLY those buckets' member rows.
+def _hot_band_keys(band_ds) -> np.ndarray:
+    """Sorted combined keys of (band, bucket) cells with ≥2 members.
 
-    Driver-transfer bound: besides keeping only hot-bucket members, each
-    batch contributes at most ``per_batch_cap`` rows per (band, bucket)
-    (vectorized cumcount), so a degenerate spam bucket ships ≤
-    cap × #blocks rows instead of its full membership. Downstream pair
-    generation truncates to its own ``cap`` anyway, so the extra rows
-    would be discarded — this just stops them from reaching the driver.
-    The star-edge path (_star_edges) never collects member rows at all;
-    this collector serves the pairwise verifiers (simhash, embeddings).
+    One pre-aggregated groupby-count; the n>1 filter runs BEFORE
+    anything reaches the driver, so the driver holds one 8-byte key per
+    HOT bucket (∝ near-dup clusters), never cold-bucket rows.
     """
     from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
 
@@ -231,31 +240,91 @@ def _hot_bucket_rows(
         return agg.rename_columns(["band", "bucket", "n"])
 
     part = band_ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
-    # the n>1 filter must run BEFORE anything reaches the driver: cold
-    # buckets are ~#docs × #bands rows, hot buckets ∝ near-dup clusters
     counts, is_ds = adaptive_grouped_agg_ds(part, ["band", "bucket"], {"n": "sum"})
     if is_ds:
         counts = counts.filter(expr="n > 1").to_pandas()[["band", "bucket", "n"]]
     elif len(counts):
         counts = counts[counts["n"] > 1]
     if not len(counts):
-        return pd.DataFrame(columns=["doc_id", "band", "bucket"] + (extra_cols or []))
-    # vectorized prefilter on bucket hash alone (np.isin) — buckets are
-    # 64-bit hashes, so a same-bucket-different-band false hit is a 2^-64
-    # event, and _hot_bucket_pairs regroups by (band, bucket) anyway
-    hot_buckets = np.unique(counts["bucket"].to_numpy())
+        return np.zeros(0, np.uint64)
+    return np.sort(
+        _band_key(counts["band"].to_numpy(), counts["bucket"].to_numpy())
+    )
+
+
+def _band_key(band: np.ndarray, bucket: np.ndarray) -> np.ndarray:
+    """Combined 64-bit key for a (band, bucket) cell (uniform via
+    splitmix64, so ``key % n_buckets`` load-balances)."""
+    with np.errstate(over="ignore"):
+        return splitmix64(
+            splitmix64(bucket.astype(np.uint64)) ^ (band.astype(np.uint64) + np.uint64(1))
+        )
+
+
+def dist_bucket_pairs(
+    band_ds,
+    extra_cols: list[str] | None = None,
+    cap: int | None = 200,
+    star: bool = False,
+    post_fn=None,
+    n_buckets: int | None = None,
+):
+    """Distributed hot-bucket pair generation + verification.
+
+    Replaces the round-2 driver collector (`_hot_bucket_rows`): member
+    rows of hot (band, bucket) cells never reach the driver. Mechanism:
+
+    1. aggregate hot cells (driver holds 8 B/hot cell — the same bound
+       the star-edge path already accepts);
+    2. a map_batches stage filters band rows to hot cells and routes
+       each cell to a super-bucket ``vb = key % n_buckets`` (uniform —
+       the key is splitmix64 output), carrying ``extra_cols`` payloads
+       (simhash words, embeddings) with the row;
+    3. ``groupby(vb).map_groups`` runs the vectorized pair generator —
+       and ``post_fn`` (Hamming / cosine verification, threshold
+       filter) — inside each of the O(n_buckets) worker tasks, so the
+       only driver transfer is the final VERIFIED pair table.
+
+    Runs of one (band, bucket) cell land in one group by construction,
+    so per-group pair generation is exhaustive; a pair sharing several
+    hot cells may be emitted by several groups — callers de-dup the
+    (small) verified result. Returns the collected pandas result, or
+    ``None`` when there are no hot buckets (callers supply their typed
+    empty frame).
+    """
+    import ray
+
+    hot = _hot_band_keys(band_ds)
+    if not len(hot):
+        return None
+    nb = n_buckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
+    hot_ref = ray.put(hot)
 
     def pick(tbl: pa.Table) -> pa.Table:
+        hot_keys = ray.get(hot_ref)  # zero-copy plasma read per task
+        band = tbl.column("band").combine_chunks().to_numpy(zero_copy_only=False)
         bucket = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
-        picked = tbl.filter(pa.array(np.isin(bucket, hot_buckets)))
-        if len(picked) > per_batch_cap:
-            df = picked.select(["band", "bucket"]).to_pandas()
-            keep = df.groupby(["band", "bucket"]).cumcount().to_numpy() < per_batch_cap
-            if not keep.all():
-                picked = picked.filter(pa.array(keep))
-        return picked
+        k = _band_key(band, bucket)
+        idx = np.searchsorted(hot_keys, k)
+        hit = (idx < len(hot_keys)) & (hot_keys[np.minimum(idx, len(hot_keys) - 1)] == k)
+        picked = tbl.filter(pa.array(hit))
+        vb = (k[hit] % np.uint64(nb)).astype(np.int32)
+        return picked.append_column("vb", pa.array(vb))
 
-    return band_ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    picked = band_ds.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if picked.count() == 0:
+        return None
+
+    def group_fn(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = _hot_bucket_pairs(
+            df.drop(columns=["vb"]), extra_cols=extra_cols, cap=cap, star=star
+        )
+        return post_fn(pairs) if post_fn is not None else pairs
+
+    out = picked.groupby("vb").map_groups(group_fn, batch_format="pandas").to_pandas()
+    return out.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
 
 
 def _star_edges(band_ds, id_col: str = "doc_id") -> pd.DataFrame:
@@ -338,6 +407,289 @@ def jaccard_pairs(texts_by_id: dict, pairs: pd.DataFrame, k: int = 5) -> pd.Data
     return res
 
 
+class _JaccardVerifier:
+    """Verify stage (worker-cached): exact shingle-Jaccard for a batch
+    of candidate pairs against the plasma-hosted shingle store.
+
+    ``store_ref`` is a ``ray.put`` of the materialized shingle blocks'
+    object refs — the store itself never exists on the driver; each
+    worker resolves the refs once in ``__init__`` (zero-copy plasma
+    reads, transferred at most once per node) and builds a sorted-id →
+    (offset, length) index over the concatenated shingle values.
+    """
+
+    def __init__(self, store_ref):
+        import ray
+
+        refs = ray.get(store_ref)
+        tables = [t for t in ray.get(list(refs)) if len(t)]
+        if tables:
+            tbl = pa.concat_tables(tables)
+            ids = tbl.column("doc").combine_chunks().to_numpy(zero_copy_only=False)
+            sh = tbl.column("sh").combine_chunks()
+            offs = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = sh.flatten().to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            self.ids = ids[order]
+            self.starts = offs[:-1][order]
+            self.ends = offs[1:][order]
+            self.vals = vals
+        else:
+            self.ids = np.zeros(0, np.int64)
+            self.starts = self.ends = np.zeros(0, np.int64)
+            self.vals = np.zeros(0, np.int64)
+
+    def _slot(self, keys: np.ndarray) -> np.ndarray:
+        if not len(self.ids):
+            return np.full(len(keys), -1)
+        idx = np.minimum(np.searchsorted(self.ids, keys), len(self.ids) - 1)
+        return np.where(self.ids[idx] == keys, idx, -1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        ia = self._slot(a)
+        ib = self._slot(b)
+        scores = np.full(len(df), np.nan)
+        for i in range(len(df)):
+            if ia[i] < 0 or ib[i] < 0:
+                continue
+            sa = self.vals[self.starts[ia[i]] : self.ends[ia[i]]]
+            sb = self.vals[self.starts[ib[i]] : self.ends[ib[i]]]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = (sa.size + sb.size - inter) or 1
+            scores[i] = inter / union
+        out = df.copy()
+        out["jaccard"] = scores
+        return out
+
+
+def verify_jaccard_distributed(
+    ds,
+    cand: pd.DataFrame,
+    shingle_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+    broadcast_pair_cap: int = 1 << 17,
+) -> pd.DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs as a
+    distributed stage (round-2 VERDICT item 1: the driver must never
+    hold candidate texts).
+
+    Two distributed plans, chosen by candidate count:
+
+    - **broadcast store** (≤ ``broadcast_pair_cap`` pairs): one
+      map_batches pass computes shingle rows for needed docs only and
+      materializes them in the object store; verify tasks (one per pair
+      chunk) resolve the block refs zero-copy and intersect per pair.
+      No shuffle at all; store transfer is ≤ once per node.
+    - **super-bucket groupby** (above the cap, when the store would be
+      too large to replicate per node): each pair gets a verify bucket
+      ``vb = hash(a, b) % n_buckets`` (uniform per PAIR, so a giant
+      star cluster spreads; a doc's shingles are duplicated at most
+      min(#its pairs, n_buckets) times). Shingle rows shuffle once by
+      ``vb``; Jaccard runs inside ``groupby(vb).map_groups`` tasks.
+
+    Either way the driver holds ids and verified scores only — never
+    texts or shingles.
+    """
+    import ray
+
+    if not len(cand):
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    nb = n_buckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    if len(cand) <= broadcast_pair_cap:
+        return _verify_jaccard_broadcast(ds, cand, shingle_k, id_col, text_col, nb)
+
+    return _verify_jaccard_grouped(ds, cand, shingle_k, id_col, text_col, nb)
+
+
+def _shingle_row_stage(need_ref, shingle_k: int, id_col: str, text_col: str):
+    """map_batches fn: (doc, sh) rows — unique sorted shingle hashes for
+    docs in the broadcast need-set only."""
+    import ray
+
+    def shingle_rows(tbl: pa.Table) -> pa.Table:
+        nids = ray.get(need_ref)  # sorted unique, zero-copy plasma read
+        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        if len(nids) and len(ids):
+            idx = np.minimum(np.searchsorted(nids, ids), len(nids) - 1)
+            rows_idx = np.flatnonzero(nids[idx] == ids)
+        else:
+            rows_idx = np.zeros(0, np.int64)
+        if not len(rows_idx):
+            return pa.table(
+                {"doc": pa.array([], pa.int64()), "sh": pa.array([], pa.large_list(pa.int64()))}
+            )
+        texts = (
+            tbl.column(text_col)
+            .combine_chunks()
+            .take(pa.array(rows_idx))
+            .to_numpy(zero_copy_only=False)
+        )
+        sh = [np.unique(s).astype(np.int64) for s in _char_shingle_hashes(texts, shingle_k)]
+        offs = np.zeros(len(sh) + 1, np.int64)
+        offs[1:] = np.cumsum([len(s) for s in sh])
+        values = np.concatenate(sh) if sh else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(ids[rows_idx].astype(np.int64)),
+                "sh": pa.LargeListArray.from_arrays(
+                    pa.array(offs, pa.int64()), pa.array(values, pa.int64())
+                ),
+            }
+        )
+
+    return shingle_rows
+
+
+def _verify_jaccard_broadcast(
+    ds, cand: pd.DataFrame, shingle_k: int, id_col: str, text_col: str, nb: int
+) -> pd.DataFrame:
+    """Shuffle-free verify: shingle store materialized in plasma, pair
+    chunks verified by worker-cached tasks reading the store zero-copy."""
+    import ray
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
+    needed = np.unique(
+        np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]).astype(np.int64)
+    )
+    need_ref = ray.put(needed)
+    sh_mat = ds.map_batches(
+        _shingle_row_stage(need_ref, shingle_k, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    refs = sh_mat.to_arrow_refs()  # block refs only — store stays in plasma
+    store_ref = ray.put(refs)
+
+    chunks = [c for c in np.array_split(cand.reset_index(drop=True), nb) if len(c)]
+    pairs_ds = ray.data.from_pandas(chunks)
+    return (
+        pairs_ds.map_batches(
+            worker_cached_stage(_JaccardVerifier, store_ref=store_ref),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+
+
+def _verify_jaccard_grouped(
+    ds, cand: pd.DataFrame, shingle_k: int, id_col: str, text_col: str, nb: int
+) -> pd.DataFrame:
+    import ray
+    a = cand["a"].to_numpy()
+    b = cand["b"].to_numpy()
+    with np.errstate(over="ignore"):
+        vb = (
+            splitmix64(
+                splitmix64(a.astype(np.uint64)) ^ b.astype(np.uint64)
+            )
+            % np.uint64(nb)
+        ).astype(np.int32)
+
+    need = (
+        pd.DataFrame(
+            {"doc": np.concatenate([a, b]), "vb": np.concatenate([vb, vb])}
+        )
+        .drop_duplicates()
+        .sort_values(["doc", "vb"], kind="stable")
+    )
+    need_ids = need["doc"].to_numpy()
+    need_vb = need["vb"].to_numpy()
+    need_ref = ray.put((need_ids, need_vb))
+    pairs_by_vb = {
+        int(v): g[["a", "b"]].reset_index(drop=True)
+        for v, g in pd.DataFrame({"a": a, "b": b, "vb": vb}).groupby("vb")
+    }
+    pairs_ref = ray.put(pairs_by_vb)
+
+    def shingle_rows(tbl: pa.Table) -> pa.Table:
+        nids, nvb = ray.get(need_ref)  # zero-copy plasma read
+        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        left = np.searchsorted(nids, ids, "left")
+        right = np.searchsorted(nids, ids, "right")
+        rows_idx = np.flatnonzero(right > left)
+        empty = pa.table(
+            {
+                "vb": pa.array([], pa.int32()),
+                id_col: pa.array([], tbl.schema.field(id_col).type),
+                "sh": pa.array([], pa.large_list(pa.int64())),
+            }
+        )
+        if not len(rows_idx):
+            return empty
+        texts = (
+            tbl.column(text_col)
+            .combine_chunks()
+            .take(pa.array(rows_idx))
+            .to_numpy(zero_copy_only=False)
+        )
+        sh = [np.unique(s) for s in _char_shingle_hashes(texts, shingle_k)]
+        out_vb, out_id, offs, vals = [], [], [0], []
+        for i, ri in enumerate(rows_idx):
+            for j in range(left[ri], right[ri]):  # one row per needed bucket
+                out_vb.append(nvb[j])
+                out_id.append(ids[ri])
+                vals.append(sh[i].astype(np.int64))
+                offs.append(offs[-1] + len(sh[i]))
+        values = np.concatenate(vals) if vals else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "vb": pa.array(np.array(out_vb, np.int32)),
+                id_col: pa.array(np.array(out_id, dtype=ids.dtype)),
+                "sh": pa.LargeListArray.from_arrays(
+                    pa.array(offs, pa.int64()), pa.array(values, pa.int64())
+                ),
+            }
+        )
+
+    sh_ds = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify_group(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "jaccard": pd.Series(dtype=np.float64),
+            }
+        )
+        if not len(df):
+            return empty
+        pairs = ray.get(pairs_ref).get(int(df["vb"].iloc[0]))
+        if pairs is None:
+            return empty
+        store: dict = {}
+        ids = df[id_col].to_numpy()
+        shs = df["sh"].to_numpy()
+        for i in range(len(ids)):
+            store.setdefault(ids[i], np.asarray(shs[i], np.int64))
+        scores = np.empty(len(pairs), np.float64)
+        for i, (pa_, pb_) in enumerate(zip(pairs["a"].to_numpy(), pairs["b"].to_numpy())):
+            sa = store.get(pa_)
+            sb = store.get(pb_)
+            if sa is None or sb is None:  # doc absent from corpus read
+                scores[i] = np.nan
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = (sa.size + sb.size - inter) or 1
+            scores[i] = inter / union
+        out = pairs.copy()
+        out["jaccard"] = scores
+        return out
+
+    return (
+        sh_ds.groupby("vb")
+        .map_groups(verify_group, batch_format="pandas")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+
+
 def _connected_components(pairs: pd.DataFrame) -> dict[int, int]:
     """Union-find over the (small, verified) duplicate-pair set."""
     parent: dict[int, int] = {}
@@ -370,8 +722,9 @@ def minhash_lsh_dedup(
 
     Stages: signatures (actor pool) → band explode → per-bucket MIN-id
     aggregate → distributed star edges (distinct via groupby; no member
-    rows on the driver) → exact-Jaccard verify of candidates only
-    (texts fetched by broadcast-filter) → union-find over verified
+    rows on the driver) → DISTRIBUTED exact-Jaccard verify
+    (verify_jaccard_distributed; texts never reach the driver) →
+    union-find over verified
     pairs (driver; O(#near-dup docs)) → broadcast the component map and
     assign cluster ids in a vectorized map_batches (searchsorted), so
     the full corpus never materializes on the driver and the result can
@@ -410,19 +763,12 @@ def minhash_lsh_dedup(
     ).materialize()
     cand = _star_edges(bands, id_col=id_col)
 
-    texts_by_id: dict[int, str] = {}
     if len(cand):
-        needed = np.unique(pd.concat([cand["a"], cand["b"]]).to_numpy())  # native dtype
-
-        def pick(tbl: pa.Table) -> pa.Table:
-            ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-            return tbl.filter(pa.array(np.isin(ids, needed)))
-
-        picked = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-        texts_by_id = dict(zip(picked[id_col], picked[text_col]))
-
-    if len(cand):
-        verified = jaccard_pairs(texts_by_id, cand, shingle_k)
+        # distributed exact-Jaccard verify: texts/shingles never reach
+        # the driver — only the verified (a, b, jaccard) rows do
+        verified = verify_jaccard_distributed(
+            ds, cand, shingle_k=shingle_k, id_col=id_col, text_col=text_col
+        )
         dup_pairs = verified[verified["jaccard"] >= threshold]
     else:
         dup_pairs = pd.DataFrame({"a": [], "b": []})
@@ -559,14 +905,18 @@ def simhash_near_dup_pairs(
             }
         )
 
-    # consumed twice by _hot_bucket_rows (count + pick) — stage the tiny
-    # (4 rows × 4 int cols)/doc band table instead of recomputing simhash
+    # consumed twice by dist_bucket_pairs (hot-cell count + pick) — stage
+    # the tiny (4 rows × 4 int cols)/doc band table instead of recomputing
     band_ds = sigs.map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    rows = _hot_bucket_rows(band_ds, extra_cols=["simhash"])
-    pairs = _hot_bucket_pairs(rows, extra_cols=["simhash"])
-    if not len(pairs):
+    out = dist_bucket_pairs(
+        band_ds,
+        extra_cols=["simhash"],
+        cap=None,  # pigeonhole banding advertises exact recall — no cap
+        post_fn=_hamming_verify(max_hamming),
+    )
+    if out is None or not len(out):
         return pd.DataFrame(
             {
                 "a": pd.Series(dtype=np.int64),
@@ -574,17 +924,38 @@ def simhash_near_dup_pairs(
                 "hamming": pd.Series(dtype=np.int64),
             }
         )
-    x = pairs["simhash_a"].to_numpy().astype(np.uint64) ^ pairs["simhash_b"].to_numpy().astype(
-        np.uint64
-    )
-    # vectorized popcount via byte-view + unpackbits
-    ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1).astype(np.int64)
-    out = pd.DataFrame(
-        {"a": pairs["a"].astype(np.int64), "b": pairs["b"].astype(np.int64), "hamming": ham}
-    )
-    return (
-        out[out["hamming"] <= max_hamming].sort_values(["a", "b"]).reset_index(drop=True)
-    )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _hamming_verify(max_hamming: int):
+    """post_fn for dist_bucket_pairs: true Hamming distance on candidate
+    simhash pairs, filtered to ≤ max_hamming — runs inside the group
+    task, so only verified pairs cross the wire."""
+
+    def post(pairs: pd.DataFrame) -> pd.DataFrame:
+        if not len(pairs):
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64),
+                    "hamming": pd.Series(dtype=np.int64),
+                }
+            )
+        x = pairs["simhash_a"].to_numpy().astype(np.uint64) ^ pairs[
+            "simhash_b"
+        ].to_numpy().astype(np.uint64)
+        # vectorized popcount via byte-view + unpackbits
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        out = pd.DataFrame(
+            {"a": pairs["a"].astype(np.int64), "b": pairs["b"].astype(np.int64), "hamming": ham}
+        )
+        return out[out["hamming"] <= max_hamming]
+
+    return post
 
 
 # ------------------------------------------------------------------- pipelines

@@ -223,11 +223,49 @@ def knn_lsh(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
     return _merge_topk(parts, k)
 
 
+_NEAR_DUP_EMPTY = {
+    "a": pd.Series(dtype=np.int64),
+    "b": pd.Series(dtype=np.int64),
+    "cosine": pd.Series(dtype=np.float64),
+}
+
+
+def _cosine_verify(threshold: float):
+    """post_fn for dist_bucket_pairs: exact cosine on candidate pairs,
+    computed INSIDE the verify group task (one batched einsum over the
+    pair rows' own embedding payloads) — candidate vectors never reach
+    the driver (round-2 VERDICT item 1)."""
+
+    def post(pairs: pd.DataFrame) -> pd.DataFrame:
+        if not len(pairs):
+            return pd.DataFrame(_NEAR_DUP_EMPTY)
+        ea = _normalize(np.stack(pairs["emb_a"].to_numpy()).astype(np.float64))
+        eb = _normalize(np.stack(pairs["emb_b"].to_numpy()).astype(np.float64))
+        cos = np.einsum("ij,ij->i", ea, eb)
+        out = pd.DataFrame(
+            {
+                "a": pairs["a"].astype(np.int64).to_numpy(),
+                "b": pairs["b"].astype(np.int64).to_numpy(),
+                "cosine": cos,
+            }
+        )
+        return out[out["cosine"] >= threshold]
+
+    return post
+
+
 def embedding_near_dup_pairs(ds, threshold: float = 0.98, n_planes: int = 16,
                              seed: int = 42, dim: int | None = None,
                              id_col: str = "vec_id", col: str = "embedding") -> pd.DataFrame:
-    """All-pairs cosine near-dup via signature blocking + exact verify."""
-    from approximate_quantiles_ray.pipelines.dedup import _hot_bucket_pairs, _hot_bucket_rows
+    """All-pairs cosine near-dup via signature blocking + exact verify.
+
+    Fully distributed: band rows carry their embedding payload into the
+    hot-bucket verify groups (dedup.dist_bucket_pairs), where pair
+    generation AND the exact-cosine threshold filter run — only the
+    verified (a, b, cosine) table returns to the driver. One band, so
+    each vector's payload ships at most once.
+    """
+    from approximate_quantiles_ray.pipelines.dedup import dist_bucket_pairs
 
     if dim is None:
         first = ds.take(1)[0][col]
@@ -249,40 +287,17 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.98, n_planes: int = 16,
                 "doc_id": tbl.column(id_col),
                 "band": pa.array(np.zeros(len(tbl), np.int32)),
                 "bucket": tbl.column("sig"),
+                "emb": tbl.column(col),
             }
         )
 
     band_ds = sigged.map_batches(
         as_band_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # consumed twice by _hot_bucket_rows (count + pick)
-    cand = _hot_bucket_pairs(_hot_bucket_rows(band_ds))
-    if not len(cand):
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-                             "cosine": pd.Series(dtype=np.float64)})
-
-    needed = np.unique(pd.concat([cand["a"], cand["b"]]).to_numpy().astype(np.int64))
-
-    def pick(tbl: pa.Table) -> pa.Table:
-        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-        return tbl.filter(pa.array(np.isin(ids, needed)))
-
-    picked = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
-    batches = list(picked.iter_batches(batch_format="pyarrow"))
-    tbl = pa.concat_tables(batches)
-    ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-    emb = _normalize(_embedding_matrix(tbl, col))
-    # vectorized candidate verify: searchsorted id→row indexer, then one
-    # batched row-wise dot (einsum) — no per-pair Python loop
-    order = np.argsort(ids)
-    sorted_ids = ids[order]
-    ia = order[np.searchsorted(sorted_ids, cand["a"].to_numpy().astype(np.int64))]
-    ib = order[np.searchsorted(sorted_ids, cand["b"].to_numpy().astype(np.int64))]
-    cos = np.einsum("ij,ij->i", emb[ia], emb[ib])
-    out = pd.DataFrame({"a": cand["a"].astype(np.int64).to_numpy(),
-                        "b": cand["b"].astype(np.int64).to_numpy(), "cosine": cos})
-    return (
-        out[out["cosine"] >= threshold].sort_values(["a", "b"]).reset_index(drop=True)
-    )
+    ).materialize()  # consumed twice by dist_bucket_pairs (count + pick)
+    out = dist_bucket_pairs(band_ds, extra_cols=["emb"], post_fn=_cosine_verify(threshold))
+    if out is None or not len(out):
+        return pd.DataFrame(_NEAR_DUP_EMPTY)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------------- pipelines

@@ -104,3 +104,87 @@ def test_jaccard_exact_values():
     out = jaccard_pairs(texts, pairs, k=5)
     assert out["jaccard"].tolist()[0] == 1.0
     assert out["jaccard"].tolist()[1] == 0.0
+
+
+def test_minhash_verify_never_driver_side(corpus_ds, monkeypatch):
+    """The pipeline must not verify candidates on the driver: patch the
+    driver-side verifier to explode — the run must still succeed with
+    correct clusters (round-2 VERDICT item 1)."""
+    import approximate_quantiles_ray.pipelines.dedup as dd
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver-side jaccard_pairs must not run in the pipeline")
+
+    monkeypatch.setattr(dd, "jaccard_pairs", boom)
+    out = dd.minhash_lsh_dedup(corpus_ds, threshold=0.5).to_pandas().set_index("doc_id")
+    for i in range(5):
+        assert out.loc[60 + i, "cluster_id"] == i
+
+
+@pytest.mark.parametrize("pair_cap", [1 << 17, 0])  # broadcast plan / groupby plan
+def test_verify_jaccard_distributed_matches_exact(corpus_ds, pair_cap):
+    """Distributed verify (both plans) returns exactly the driver
+    verifier's scores."""
+    from approximate_quantiles_ray.pipelines.dedup import (
+        jaccard_pairs,
+        verify_jaccard_distributed,
+    )
+
+    pairs = pd.DataFrame({"a": [0, 0, 5, 10], "b": [60, 2, 65, 11]})
+    got = (
+        verify_jaccard_distributed(corpus_ds, pairs, shingle_k=5, broadcast_pair_cap=pair_cap)
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    df = _corpus().to_pandas()
+    texts = dict(zip(df["doc_id"], df["text"]))
+    exp = jaccard_pairs(texts, pairs, k=5).sort_values(["a", "b"]).reset_index(drop=True)
+    assert got[["a", "b"]].astype(np.int64).equals(exp[["a", "b"]].astype(np.int64))
+    np.testing.assert_allclose(got["jaccard"].to_numpy(), exp["jaccard"].to_numpy())
+    dup_row = got[(got["a"] == 0) & (got["b"] == 60)]
+    assert dup_row["jaccard"].iloc[0] == 1.0  # 0 and 60 are exact dups
+
+
+def test_hot_bucket_pairs_cap_warns_and_none_disables():
+    from approximate_quantiles_ray.pipelines.dedup import _hot_bucket_pairs
+
+    n = 30
+    rows = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "band": np.zeros(n, np.int32),
+            "bucket": np.zeros(n, np.int64),
+        }
+    )
+    with pytest.warns(UserWarning, match="truncated 1 bucket run"):
+        capped = _hot_bucket_pairs(rows, cap=10)
+    assert len(capped) == 10 * 9 // 2
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        full = _hot_bucket_pairs(rows, cap=None)
+    assert len(full) == n * (n - 1) // 2
+
+
+def test_dist_bucket_pairs_matches_driver_pair_gen(ray_session):
+    """Distributed super-bucket pair generation emits exactly the pairs
+    the driver-side generator produces on the hot-bucket rows."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.dedup import _hot_bucket_pairs, dist_bucket_pairs
+
+    rng = np.random.default_rng(7)
+    n = 200
+    rows = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "band": pa.array(rng.integers(0, 4, n).astype(np.int32)),
+            "bucket": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        }
+    )
+    got = dist_bucket_pairs(rd.from_arrow(rows).repartition(5), cap=None, n_buckets=6)
+    exp = _hot_bucket_pairs(rows.to_pandas(), cap=None)
+    key = lambda d: d[["a", "b"]].astype(np.int64).sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(got), key(exp))
