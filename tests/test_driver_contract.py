@@ -112,6 +112,27 @@ def test_broadcast_asof_join_semantics(ray_session):
     assert sorted(inner["ts"]) == [10, 25]
 
 
+def test_asof_left_join_preserves_int_dtype_per_block(ray_session):
+    """Blocks with unmatched probes must keep integer build payloads as
+    int64-with-nulls (Arrow), not upcast to float64 — per-block schema
+    divergence broke downstream unification (round-2 ADVICE item 5)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.broadcast import broadcast_asof_join
+
+    probe = pa.table({"k": [1, 1, 2, 3], "ts": [10, 25, 7, 99]})
+    build = pa.table({"k": [1, 1, 2], "vf": [5, 20, 9], "v": [100, 200, 300]})
+    joined = broadcast_asof_join(
+        rd.from_arrow(probe).repartition(4), build, "k", "ts", "k", "vf", how="left"
+    )
+    batches = list(joined.iter_batches(batch_format="pyarrow"))
+    assert batches
+    for b in batches:  # both matched and unmatched blocks: same schema
+        assert b.schema.field("v").type == pa.int64()
+        assert b.schema.field("vf").type == pa.int64()
+
+
 def test_broadcast_range_join_semantics(ray_session):
     """Containment tag: interval cols nulled outside [start, end) on the
     left path; inner drops non-contained probes."""

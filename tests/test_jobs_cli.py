@@ -46,6 +46,46 @@ def test_checkpointed_resume(cli_table, capsys):
     assert res["turns"] == pads.dataset(table).count_rows()
 
 
+def test_dedup_cli_one_pass_no_driver_ids(ray_session, tmp_path_factory, capsys, monkeypatch):
+    """cmd_dedup must read the input once (one read_parquet call) and
+    never collect ids to the driver (no Dataset.to_pandas) — the
+    keep-set stays distributed and rows are selected by a semi join."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from approximate_quantiles_ray import jobs
+
+    root = tmp_path_factory.mktemp("dedupcli")
+    texts = ["a", "b", "c", "d", "e", "a", "b", "c", "x", "y"]
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(root / "docs.parquet"),
+    )
+    calls = {"n": 0}
+    real = rd.read_parquet
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(rd, "read_parquet", counting)
+
+    def no_collect(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("cmd_dedup must not collect a Dataset to the driver")
+
+    monkeypatch.setattr(Dataset, "to_pandas", no_collect)
+    out = str(root / "out")
+    jobs.main(["dedup", "--input", str(root / "docs.parquet"), "--output", out])
+    assert calls["n"] == 1
+    emitted = json.loads(capsys.readouterr().out)
+    assert emitted["kept"] == 7
+    got = sorted(pads.dataset(out).to_table().column("doc_id").to_pylist())
+    assert got == [0, 1, 2, 3, 4, 8, 9]  # MIN(id) per distinct text
+
+
 def test_bucketize(cli_table, capsys):
     from approximate_quantiles_ray import jobs
     from approximate_quantiles_ray.sources.bucketed import bucket_dirs
