@@ -99,16 +99,26 @@ def _tool_hh_cms(sf_dir: str) -> pd.DataFrame:
 
 
 def _membership(sf_dir: str) -> pd.DataFrame:
-    from approximate_quantiles_ray.pipelines.transcripts import conv_membership_check
+    """Oracle-matched: probes are the first 200 sorted distinct conv_ids
+    (SQL-reproducible) and Bloom's no-false-negative law fixes
+    present_hits == present_probes. The hash-dependent fp-rate estimate
+    lives in conv_membership_check (bench surface, pytest-bounded)."""
+    from approximate_quantiles_ray.pipelines.transcripts import conv_membership_gate
 
-    return conv_membership_check(te.transcripts_dir_for(sf_dir))
+    return conv_membership_gate(te.transcripts_dir_for(sf_dir))
 
 
 def _order_invariant(sf_dir: str) -> pd.DataFrame:
+    """Oracle-matched on the SQL-checkable invariants (row conservation
+    + sortedness attestation); the order-insensitive xor/add checksums
+    stay a pytest contract (tests/test_transcripts_pipeline.py) — no
+    SQL twin exists for the hash."""
     import ray.data as rd
 
     summary = order_invariant_summary(rd.read_parquet(te.transcripts_dir_for(sf_dir)))
-    return pd.DataFrame([summary])
+    return pd.DataFrame(
+        [{"n_rows": int(summary["rows"]), "sorted_ok": bool(summary["sorted_ok"])}]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -20,8 +20,63 @@ The cap check is conservative: partial rows over-count distinct groups.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 _PANDAS_AGG = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def _ts_columns(part) -> dict[str, "pa.DataType"]:
+    """Timestamp columns of a materialized Dataset (by arrow schema)."""
+    try:
+        sch = part.schema().base_schema
+    except Exception:
+        return {}
+    if sch is None:
+        return {}
+    return {f.name: f.type for f in sch if pa.types.is_timestamp(f.type)}
+
+
+def _encode_ts(ds, cols: dict):
+    """Cast timestamp columns to int64 µs ticks. Ray's hash groupby
+    round-trips timestamp values through coarser precision (measured:
+    [s] — windows.py round-2 note), which would silently corrupt
+    µs-precision MIN/MAX anchors on the over-cap path (round-2 ADVICE
+    item 2); min/max/compare on int64 ticks are loss-free."""
+    if not cols:
+        return ds
+
+    def enc(t: pa.Table) -> pa.Table:
+        for c, _ in cols.items():
+            if c in t.column_names:
+                i = t.column_names.index(c)
+                col = t.column(c).combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+                t = t.set_column(i, c, col)
+        return t
+
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _decode_ts(obj, cols: dict):
+    """Restore int64 µs ticks to the original timestamp types, on a
+    Dataset or a pandas DataFrame."""
+    if not cols:
+        return obj
+    if isinstance(obj, pd.DataFrame):
+        for c, typ in cols.items():
+            if c in obj.columns:
+                unit = getattr(typ, "unit", "us")
+                obj[c] = pd.to_datetime(obj[c], unit="us").astype(f"datetime64[{unit}]")
+        return obj
+
+    def dec(t: pa.Table) -> pa.Table:
+        for c, typ in cols.items():
+            if c in t.column_names:
+                i = t.column_names.index(c)
+                col = t.column(c).combine_chunks().cast(pa.timestamp("us")).cast(typ)
+                t = t.set_column(i, c, col)
+        return t
+
+    return obj.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _ray_aggs(spec: dict[str, str]):
@@ -61,7 +116,9 @@ def adaptive_grouped_agg_ds(
             )[keys + list(spec)]
         return df, False
     ray_aggs, renames = _ray_aggs(spec)
-    return part.groupby(keys).aggregate(*ray_aggs).rename_columns(renames), True
+    ts_cols = _ts_columns(part)  # µs-safe over-cap path (ADVICE r2 item 2)
+    grouped = _encode_ts(part, ts_cols).groupby(keys).aggregate(*ray_aggs)
+    return _decode_ts(grouped.rename_columns(renames), ts_cols), True
 
 
 def adaptive_grouped_agg(
@@ -117,7 +174,8 @@ def adaptive_distinct_stats(
     from ray.data.aggregate import Count
 
     aggs1, ren1 = _ray_aggs(spec)
-    lvl1 = part.groupby(all_keys).aggregate(*aggs1).rename_columns(ren1)
+    ts_cols = _ts_columns(part)  # µs-safe over-cap path (ADVICE r2 item 2)
+    lvl1 = _encode_ts(part, ts_cols).groupby(all_keys).aggregate(*aggs1).rename_columns(ren1)
     aggs2, ren2 = _ray_aggs(spec)
     out = (
         lvl1.groupby(group_keys)
@@ -125,4 +183,4 @@ def adaptive_distinct_stats(
         .rename_columns({**ren2, "count()": "n_distinct"})
         .to_pandas()
     )
-    return out[group_keys + list(spec) + ["n_distinct"]]
+    return _decode_ts(out, ts_cols)[group_keys + list(spec) + ["n_distinct"]]

@@ -29,7 +29,19 @@ def _key_of(v):
 
     if isinstance(v, ray.ObjectRef):
         return v.hex()
-    return repr(v)
+    # only types whose repr is total and value-faithful may be cache
+    # keys: numpy arrays (ellipsis-truncating reprs) or default-repr
+    # objects would let two DIFFERENT parameter values share one cached
+    # stage instance (round-2 ADVICE item 4) — pass big values via
+    # ray.put refs instead
+    if v is None or isinstance(v, (bool, int, float, str, bytes)):
+        return repr(v)
+    if isinstance(v, tuple):
+        return "(" + ",".join(_key_of(x) for x in v) + ")"
+    raise TypeError(
+        f"worker_cached_stage ctor kwarg of type {type(v).__name__} cannot be "
+        "cache-keyed safely; pass it through ray.put() and hand the ObjectRef in"
+    )
 
 
 def worker_cached_stage(cls, **ctor_kwargs):

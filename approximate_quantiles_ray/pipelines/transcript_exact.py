@@ -158,6 +158,20 @@ def oracle_sql(sf_dir_for_oracle: str) -> dict[str, str]:
             GROUP BY tool ORDER BY n_uses DESC, tool ASC LIMIT 10
         """,
         "transcript_latency_quantiles": lat,
+        # row conservation + sortedness law (the checksums have no SQL
+        # twin and are pytest-verified instead)
+        "transcript_order_invariant": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS sorted_ok
+            FROM read_parquet('{glob}')
+        """,
+        # Bloom no-false-negative law over a SQL-reproducible probe set
+        # (first 200 sorted distinct conv_ids)
+        "transcript_membership": f"""
+            SELECT CAST(LEAST(COUNT(DISTINCT conv_id), 200) AS BIGINT) AS present_probes,
+                   CAST(LEAST(COUNT(DISTINCT conv_id), 200) AS BIGINT) AS present_hits,
+                   CAST(200 AS BIGINT) AS absent_probes
+            FROM read_parquet('{glob}')
+        """,
     }
 
 

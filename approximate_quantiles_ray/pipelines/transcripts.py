@@ -124,8 +124,22 @@ def transcript_report(
     kll_k: int = 200,
     seed: int = 42,
     include_latency: bool = True,
+    latency_layout: str = "auto",
 ) -> pd.DataFrame:
-    """Run the flagship sketch suite; returns a (metric, value) DataFrame."""
+    """Run the flagship sketch suite; returns a (metric, value) DataFrame.
+
+    ``latency_layout`` picks the inter-turn-latency plan:
+
+    - ``"auto"`` (default): use a conv_id-bucketed layout, building a
+      cached one under /tmp on first use (sources/bucketed.py) — each
+      later report is a shuffle-free map over buckets, the measured-
+      faster and 100 TB-correct plan for repeated latency queries
+      (round-2 VERDICT item 3). Falls back to "sort" if the layout
+      cannot be built (e.g. unwritable cache root).
+    - ``"bucketed"``: require the layout (raise on failure).
+    - ``"sort"``: the one-shot range-sort segmented plan — right when
+      the table is queried once and a layout shuffle would not amortize.
+    """
 
     ds = read_parquet_sized(table_dir, columns=["conv_id", "text", "tool"])
     # explicit map_batches partials + driver fold: measured ~4× faster and
@@ -157,10 +171,23 @@ def transcript_report(
     rows.append({"metric": "bloom_fill_ratio", "value": bloom.fill_ratio()})
 
     if include_latency:
-        lat = latency_sketches(
-            read_parquet_sized(table_dir, columns=["conv_id", "turn_idx", "ts"]),
-            latency_specs(delta=delta, kll_k=kll_k, seed=seed),
-        )
+        specs = latency_specs(delta=delta, kll_k=kll_k, seed=seed)
+        lat = None
+        if latency_layout in ("auto", "bucketed"):
+            try:
+                from approximate_quantiles_ray.sources.bucketed import (
+                    ensure_bucketed,
+                    latency_sketches_bucketed,
+                )
+
+                lat = latency_sketches_bucketed(ensure_bucketed(table_dir), specs)
+            except Exception:
+                if latency_layout == "bucketed":
+                    raise
+        if lat is None:
+            lat = latency_sketches(
+                read_parquet_sized(table_dir, columns=["conv_id", "turn_idx", "ts"]), specs
+            )
         ltd: TDigest = lat["latency_tdigest"]
         for q in QUANTILES:
             rows.append({"metric": f"latency_p{int(q * 100)}_tdigest", "value": ltd.est_value_at_quantile(q)})
@@ -294,21 +321,33 @@ def order_invariant_summary(ds) -> dict[str, Any]:
     return {"xor": int(xor), "add": int(add), "rows": n, "sorted_ok": ok}
 
 
+def _sorted_distinct_head(ds, n: int, col: str = "conv_id") -> np.ndarray:
+    """First ``n`` distinct values in sorted order, computed distributed:
+    each block emits only its own smallest-``n`` distinct values, so the
+    driver merge is O(#blocks × n) — never the corpus. Deterministic and
+    reproducible in SQL (``SELECT DISTINCT … ORDER BY … LIMIT n``),
+    unlike a head()-of-file-order sample."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        u = np.unique(tbl.column(col).combine_chunks().to_numpy(zero_copy_only=False))[:n]
+        return pa.table({col: pa.array(u)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return np.unique(parts[col].to_numpy())[:n]
+
+
 def conv_membership_check(table_dir: str, n_probes: int = 200, seed: int = 42) -> pd.DataFrame:
     """Bloom membership demo: build the conv_id Bloom filter in one
     streaming pass, then probe known conv_ids (must ALL hit — Bloom has
     no false negatives) and synthetic absent ids (hit rate estimates the
     false-positive rate)."""
-    import pyarrow.dataset as pads
-
     spec = global_specs(seed=seed)
     bloom_spec = [s for s in spec if s.key == "conv_bloom"]
 
     ds = read_parquet_sized(table_dir, columns=["conv_id"])
     bloom: BloomFilter = sketch_columns_streaming(ds, bloom_spec)["conv_bloom"]
 
-    head = pads.dataset(table_dir).head(n_probes * 50, columns=["conv_id"])
-    known = np.unique(head.column("conv_id").to_numpy(zero_copy_only=False))[:n_probes]
+    known = _sorted_distinct_head(ds, n_probes)
     absent = np.array([f"conv-absent-{i:07d}" for i in range(n_probes)], dtype=object)
 
     present_hits = int(bloom.contains(pa.array(known)).sum())
@@ -320,5 +359,30 @@ def conv_membership_check(table_dir: str, n_probes: int = 200, seed: int = 42) -
             {"metric": "absent_probes", "value": float(n_probes)},
             {"metric": "absent_hits", "value": float(absent_hits)},
             {"metric": "fp_rate_est", "value": absent_hits / n_probes},
+        ]
+    )
+
+
+def conv_membership_gate(table_dir: str, n_probes: int = 200, seed: int = 42) -> pd.DataFrame:
+    """Oracle-checkable membership law (round-2 VERDICT item 2): the
+    probe set is the first ``n_probes`` DISTINCT conv_ids in sorted
+    order (SQL-reproducible), and Bloom's no-false-negative guarantee
+    makes present_hits == present_probes a hard invariant SQL can state
+    (``LEAST(COUNT(DISTINCT conv_id), n)`` for both). The
+    false-positive estimate stays in conv_membership_check — its value
+    depends on the Bloom hash family, which SQL cannot reproduce."""
+    spec = global_specs(seed=seed)
+    bloom_spec = [s for s in spec if s.key == "conv_bloom"]
+
+    ds = read_parquet_sized(table_dir, columns=["conv_id"])
+    bloom: BloomFilter = sketch_columns_streaming(ds, bloom_spec)["conv_bloom"]
+    known = _sorted_distinct_head(ds, n_probes)
+    return pd.DataFrame(
+        [
+            {
+                "present_probes": np.int64(len(known)),
+                "present_hits": np.int64(bloom.contains(pa.array(known)).sum()),
+                "absent_probes": np.int64(n_probes),
+            }
         ]
     )

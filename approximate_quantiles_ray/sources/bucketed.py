@@ -44,16 +44,73 @@ def bucket_dirs(root: str) -> list[str]:
     return sorted(glob.glob(os.path.join(root, "bucket=*")))
 
 
+def ensure_bucketed(
+    table_dir: str,
+    key: str = "conv_id",
+    n_buckets: int = 32,
+    cache_root: str = "/tmp/aqr_buckets",
+) -> str:
+    """Build-once cached bucket layout for a Parquet table.
+
+    The cache key fingerprints the source files (name, mtime, size) plus
+    the layout parameters, so a changed table gets a fresh layout while
+    repeated queries against the same table reuse one shuffle. The
+    layout is written to a temp dir and atomically renamed, with a
+    manifest as the completeness marker — a killed build is invisible.
+    At warehouse scale run ``jobs bucketize`` once explicitly instead
+    and point consumers at its output; this helper is the same layout
+    with an automatic lifecycle for interactive use.
+    """
+    import hashlib
+    import json
+
+    files = sorted(glob.glob(os.path.join(table_dir, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {table_dir}")
+    stamp = [(os.path.basename(f), os.path.getmtime(f), os.path.getsize(f)) for f in files]
+    fp = hashlib.sha256(
+        json.dumps([stamp, key, n_buckets]).encode()
+    ).hexdigest()[:16]
+    base = os.path.basename(table_dir.rstrip("/"))
+    out = os.path.join(cache_root, f"{base}-{key}-{n_buckets}-{fp}")
+    manifest = os.path.join(out, "_MANIFEST.json")
+    if os.path.exists(manifest):
+        return out
+
+    from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+    os.makedirs(cache_root, exist_ok=True)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    write_bucketed(read_parquet_sized(table_dir), tmp, key=key, n_buckets=n_buckets)
+    with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+        json.dump({"source": table_dir, "key": key, "n_buckets": n_buckets}, f)
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost a build race — the other layout is identical
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 class BucketLatencySketcher:
     """map_batches task over bucket directories: read one bucket, local
     (conv, turn) sort, vectorized gap diff, per-bucket sketch partials.
 
     Buckets hold whole conversations by construction, so the gap
     computation is complete without any cross-task reconciliation.
+    Worker-cached task stage (engine/stages.py) — factories travel via
+    one ``ray.put`` ref, so repeated reports pay no actor-pool spin-up.
     """
 
-    def __init__(self, spec_factories: dict, scale: float = 1e-6):
-        self.factories = spec_factories
+    def __init__(self, factories_ref, scale: float = 1e-6):
+        import ray
+
+        self.factories = (
+            ray.get(factories_ref)
+            if isinstance(factories_ref, ray.ObjectRef)
+            else factories_ref
+        )
         self.scale = scale
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -88,20 +145,20 @@ class BucketLatencySketcher:
 def latency_sketches_bucketed(bucket_root: str, specs, scale: float = 1e-6):
     """Per-conversation latency sketches over a bucketed layout — zero
     shuffles (the layout already paid it). Returns {key: merged sketch}."""
+    import ray
     import ray.data as rd
 
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
     from approximate_quantiles_ray.sketches.base import sketch_from_bytes
 
     dirs = bucket_dirs(bucket_root)
     if not dirs:
         raise ValueError(f"no bucket=* dirs under {bucket_root}")
-    factories = {s.key: s.factory for s in specs}
+    factories_ref = ray.put({s.key: s.factory for s in specs})
     parts = rd.from_items([{"path": d} for d in dirs]).map_batches(
-        BucketLatencySketcher,
-        fn_constructor_kwargs={"spec_factories": factories, "scale": scale},
+        worker_cached_stage(BucketLatencySketcher, factories_ref=factories_ref, scale=scale),
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=(1, 16),
     )
     merged: dict = {}
     for b in parts.iter_batches(batch_format="pyarrow"):
@@ -120,10 +177,13 @@ class BucketGroupedSketcher:
     hash(group key)), so a local pyarrow group_by + per-group sketch
     build inside the bucket is globally correct."""
 
-    def __init__(self, group_key: str, specs, columns: list[str]):
-        self.group_key = group_key
-        self.specs = specs
-        self.columns = columns
+    def __init__(self, cfg_ref):
+        import ray
+
+        cfg = ray.get(cfg_ref) if isinstance(cfg_ref, ray.ObjectRef) else cfg_ref
+        self.group_key = cfg["group_key"]
+        self.specs = cfg["specs"]
+        self.columns = cfg["columns"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"group": [], "sketch_key": [], "state": []}
@@ -163,18 +223,19 @@ def grouped_sketches_bucketed(bucket_root: str, group_key: str, specs,
     zero shuffles (vs grouped_sketches' hash shuffle). Returns a pandas
     DataFrame [group, <spec.key state bytes>...]. Groups never straddle
     buckets, so no cross-task merge is needed at all."""
-    import pandas as pd
+    import ray
     import ray.data as rd
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
 
     dirs = bucket_dirs(bucket_root)
     if not dirs:
         raise ValueError(f"no bucket=* dirs under {bucket_root}")
+    cfg_ref = ray.put({"group_key": group_key, "specs": specs, "columns": columns})
     parts = rd.from_items([{"path": d} for d in dirs]).map_batches(
-        BucketGroupedSketcher,
-        fn_constructor_kwargs={"group_key": group_key, "specs": specs, "columns": columns},
+        worker_cached_stage(BucketGroupedSketcher, cfg_ref=cfg_ref),
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=(1, 16),
     ).to_pandas()
     wide = parts.pivot(index="group", columns="sketch_key", values="state").reset_index()
     wide.columns.name = None

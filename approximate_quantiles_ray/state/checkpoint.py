@@ -16,6 +16,7 @@ unbroken run's final states **bit-for-bit**, which requires determinism:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
@@ -68,6 +69,13 @@ def _config_hash(specs: list[SketchSpec]) -> str:
     return h.hexdigest()[:16]
 
 
+class UnsignableTransformError(ValueError):
+    """A closure cell holds an object whose parameters cannot be
+    recovered (no __dict__/__slots__/__getstate__/__reduce__): signing
+    it by type name alone could silently reuse stale checkpoints after
+    a parameter change, so we refuse instead (ADVICE r2 item 1)."""
+
+
 def _transform_sig(transform) -> str:
     """Best-effort signature of a derived-metric transform: code bytes +
     closure cell values, so editing the derivation (e.g. char length →
@@ -82,10 +90,35 @@ def _transform_sig(transform) -> str:
         process-stable for functions / default-repr instances (their
         repr embeds a memory address), which would change the config
         hash on every run and silently re-run every shard (ADVICE r1
-        item 4). Callables recurse into their own code; objects with
-        the default object.__repr__ fall back to their type's qualname."""
+        item 4). Callables recurse into their own code; parameterized
+        objects fold in their recoverable state (__dict__/__slots__/
+        __getstate__/__reduce__) — and raise if none exists, because a
+        bare type name would collapse differently-parameterized
+        transforms into one signature (ADVICE r2 item 1)."""
         if depth > 4:
             return "max-depth"
+        if isinstance(value, functools.partial):
+            inner = (
+                cell_sig(value.func, depth + 1),
+                tuple(cell_sig(a, depth + 1) for a in value.args),
+                tuple(
+                    (k, cell_sig(v, depth + 1)) for k, v in sorted(value.keywords.items())
+                ),
+            )
+            return "partial:" + hashlib.sha256(repr(inner).encode()).hexdigest()[:12]
+        if isinstance(value, (tuple, list)):
+            return (
+                f"{type(value).__name__}("
+                + ",".join(cell_sig(v, depth + 1) for v in value)
+                + ")"
+            )
+        if isinstance(value, dict):
+            items = sorted(value.items(), key=lambda kv: repr(kv[0]))
+            return (
+                "dict("
+                + ",".join(f"{k!r}:{cell_sig(v, depth + 1)}" for k, v in items)
+                + ")"
+            )
         if callable(value) and hasattr(value, "__code__"):
             c = value.__code__
             inner = tuple(
@@ -96,23 +129,43 @@ def _transform_sig(transform) -> str:
                 c.co_code + repr((c.co_names, c.co_consts, inner)).encode()
             ).hexdigest()[:16]
         r = repr(value)
-        if " at 0x" in r:  # default object repr → address-bearing, unstable
-            base = f"instance:{type(value).__module__}.{type(value).__qualname__}"
-            # type name alone would collapse differently-parameterized
-            # instances into one signature (silent stale-checkpoint
-            # reuse after a parameter change) — fold in the attribute
-            # state recursively
+        if " at 0x" not in r:
+            return r
+        # default object repr → address-bearing, unstable: recover the
+        # parameter state instead (never sign by type name alone)
+        base = f"instance:{type(value).__module__}.{type(value).__qualname__}"
+        state = getattr(value, "__dict__", None)
+        if not state and hasattr(type(value), "__slots__"):
+            state = {
+                s: getattr(value, s)
+                for s in getattr(type(value), "__slots__", ())
+                if hasattr(value, s)
+            }
+        if not state:
             try:
-                state = getattr(value, "__dict__", None)
-                if state:
-                    inner = tuple(
-                        (k, cell_sig(v, depth + 1)) for k, v in sorted(state.items())
-                    )
-                    return base + ":" + hashlib.sha256(repr(inner).encode()).hexdigest()[:12]
+                gs = value.__getstate__()
             except Exception:
-                pass
-            return base
-        return r
+                gs = None
+            if gs:
+                return base + ":" + hashlib.sha256(
+                    cell_sig(gs, depth + 1).encode()
+                ).hexdigest()[:12]
+            try:
+                red = value.__reduce_ex__(2)
+            except Exception:
+                red = None
+            if red:
+                return base + ":" + hashlib.sha256(
+                    cell_sig(tuple(red), depth + 1).encode()
+                ).hexdigest()[:12]
+            raise UnsignableTransformError(
+                f"cannot sign closure cell of type {type(value)!r}: no "
+                "recoverable parameter state (__dict__/__slots__/"
+                "__getstate__/__reduce__) — wrap the parameters in a "
+                "functools.partial or a plain function closure instead"
+            )
+        inner = tuple((k, cell_sig(v, depth + 1)) for k, v in sorted(state.items()))
+        return base + ":" + hashlib.sha256(repr(inner).encode()).hexdigest()[:12]
 
     try:
         code = transform.__code__
@@ -123,6 +176,8 @@ def _transform_sig(transform) -> str:
         # changed constant leaves co_code identical
         sig = code.co_code + repr((code.co_names, code.co_consts, cells)).encode()
         return hashlib.sha256(sig).hexdigest()[:16]
+    except UnsignableTransformError:
+        raise
     except Exception:
         return getattr(transform, "__qualname__", repr(type(transform)))
 

@@ -134,3 +134,53 @@ def test_resume_invalidated_by_sketch_param_change(ray_session, tmp_path):
     s2 = [SketchSpec(key="td", factory=lambda: TDigest(delta=500), on="turn_idx")]
     job2 = CheckpointedSketchJob(files, s2, ck)
     assert job2.completed_shards() == {}  # different delta → different hash
+
+
+def test_transform_sig_distinguishes_partials_and_rejects_opaque():
+    """cell_sig must fold functools.partial parameters into the
+    signature (same partial func, different kwargs → different sigs)
+    and refuse objects with no recoverable state instead of collapsing
+    them to a type name (round-2 ADVICE item 1)."""
+    import functools
+
+    import pytest
+
+    from approximate_quantiles_ray.state.checkpoint import (
+        UnsignableTransformError,
+        _transform_sig,
+    )
+
+    def scale(col, factor):
+        return col
+
+    def with_cell(cell):
+        def transform(tbl):
+            return cell
+        return transform
+
+    p1 = _transform_sig(with_cell(functools.partial(scale, factor=2)))
+    p2 = _transform_sig(with_cell(functools.partial(scale, factor=3)))
+    assert p1 != p2
+    assert p1 == _transform_sig(with_cell(functools.partial(scale, factor=2)))
+
+    class WithState:
+        __slots__ = ("x",)
+
+        def __init__(self, x):
+            self.x = x
+
+    s1 = _transform_sig(with_cell(WithState(1)))
+    s2 = _transform_sig(with_cell(WithState(2)))
+    assert s1 != s2
+
+    class Opaque:
+        __slots__ = ()
+
+        def __getstate__(self):
+            raise TypeError("no state")
+
+        def __reduce_ex__(self, proto):
+            raise TypeError("unreducible")
+
+    with pytest.raises(UnsignableTransformError):
+        _transform_sig(with_cell(Opaque()))

@@ -90,3 +90,37 @@ def test_adaptive_distinct_stats_paths_agree(part_ds):
     assert small.set_index("g")["n_distinct"].to_dict() == exp_distinct.to_dict()
     exp_sum = raw.groupby("g")["n_rows"].sum()
     assert small.set_index("g")["n_rows"].to_dict() == exp_sum.to_dict()
+
+
+def test_over_cap_fold_preserves_us_timestamps(ray_session):
+    """The over-cap Ray-groupby path must not round µs timestamps
+    through coarser precision (round-2 ADVICE item 2): sub-second MIN
+    anchors survive the distributed fold bit-exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.folds import (
+        adaptive_distinct_stats,
+        adaptive_grouped_agg,
+    )
+
+    ticks = [1_000_000_123_456, 1_000_000_123_457, 2_000_000_999_999]
+    part = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "d": pa.array([10, 11, 12], pa.int64()),
+            "ts_min": pa.array(ticks, pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    out = adaptive_grouped_agg(
+        rd.from_arrow(part).repartition(2), ["k"], {"ts_min": "min"}, cap=0
+    ).sort_values("k")
+    assert str(out["ts_min"].dtype) == "datetime64[us]"
+    assert out["ts_min"].astype("int64").tolist() == [1_000_000_123_456, 2_000_000_999_999]
+
+    ds_out = adaptive_distinct_stats(
+        rd.from_arrow(part).repartition(2), ["k"], "d", {"ts_min": "min"}, cap=0
+    ).sort_values("k")
+    assert ds_out["ts_min"].astype("int64").tolist() == [1_000_000_123_456, 2_000_000_999_999]
+    assert ds_out["n_distinct"].tolist() == [2, 1]

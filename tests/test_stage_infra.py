@@ -76,3 +76,18 @@ def test_worker_cached_stage_rejects_local_classes():
 
     with pytest.raises(AssertionError):
         worker_cached_stage(Local)
+
+
+def test_worker_cached_stage_rejects_unsafe_cache_keys():
+    """Ctor kwargs whose repr is not value-faithful (numpy arrays etc.)
+    must be rejected, not silently repr-keyed (round-2 ADVICE item 4)."""
+    import numpy as np
+    import pytest
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+    from approximate_quantiles_ray.pipelines.dedup import MinHasher
+
+    with pytest.raises(TypeError, match="ray.put"):
+        worker_cached_stage(MinHasher, seed=np.arange(10_000))
+    # scalars / strings / tuples stay accepted
+    worker_cached_stage(MinHasher, seed=7, text_col="text")
