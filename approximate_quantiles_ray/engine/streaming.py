@@ -142,6 +142,177 @@ class StreamingWindowAggregator:
         return self
 
 
+class KeyedStreamingWindowAggregator:
+    """Per-key tumbling OR sliding/hopping windows with watermarks and
+    late-data accounting (the shapes a real feed pipeline asks for after
+    global tumbling — round-2 VERDICT item 6).
+
+    - ``key_cols``: state is kept per (key tuple, window start); the
+      watermark is global (event time is one stream), so a window
+      finalizes for ALL keys at once.
+    - ``slide_us``: window stride. Equal to ``window_us`` (default) →
+      tumbling; a divisor of it → sliding/hopping, where each event
+      belongs to ``window_us // slide_us`` windows. An (event, window)
+      assignment whose window already finalized is late — counted
+      per key in ``late_by_key`` (an event can be late for its oldest
+      sliding window and on time for newer ones).
+
+    Memory is O(open windows × live keys × sketch size); partitioned
+    aggregators merge with the same already-finalized ⇒ late routing
+    rules as the global engine.
+    """
+
+    def __init__(self, specs, key_cols: list[str], ts_col: str = "ts",
+                 window_us: int = 3_600_000_000, slide_us: int | None = None,
+                 allowed_lateness_us: int = 600_000_000):
+        self.specs = list(specs)
+        self.key_cols = list(key_cols)
+        self.ts_col = ts_col
+        self.window_us = int(window_us)
+        self.slide = int(slide_us) if slide_us else self.window_us
+        if self.window_us % self.slide != 0:
+            raise ValueError("window_us must be a multiple of slide_us")
+        self.n_per = self.window_us // self.slide
+        self.lateness = int(allowed_lateness_us)
+        self.open: dict[tuple, dict[str, Any]] = {}  # (wstart, *keys) -> sketches
+        self.open_counts: dict[tuple, int] = {}
+        self.watermark: int = -(1 << 62)
+        self.finalized: set[int] = set()  # window starts
+        self.late_by_key: dict[tuple, int] = {}
+        self.total_rows = 0
+
+    _ts_us = StreamingWindowAggregator._ts_us
+
+    def push(self, tbl: pa.Table) -> list[dict[str, Any]]:
+        if tbl.num_rows:
+            ts = self._ts_us(tbl)
+            self.total_rows += len(ts)
+            keys = [
+                tbl.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+                for c in self.key_cols
+            ]
+            base = (ts // self.slide) * self.slide
+            for i in range(self.n_per):
+                win = base - i * self.slide
+                on_time = (win + self.window_us) > self.watermark
+                if not on_time.all():
+                    late_idx = np.flatnonzero(~on_time)
+                    lk = list(zip(*(k[late_idx] for k in keys))) if keys else [()] * len(late_idx)
+                    for t in lk:
+                        self.late_by_key[t] = self.late_by_key.get(t, 0) + 1
+                idx = np.flatnonzero(on_time)
+                if not len(idx):
+                    continue
+                # group assignment rows by (window, key...) — one pandas
+                # groupby per batch×offset; #groups is bounded by
+                # (#windows in batch × live keys), not rows
+                gdf = pd.DataFrame({"_w": win[idx]})
+                for c, k in zip(self.key_cols, keys):
+                    gdf[c] = k[idx]
+                for gval, gidx in gdf.groupby(["_w"] + self.key_cols, sort=False).indices.items():
+                    gval = gval if isinstance(gval, tuple) else (gval,)
+                    skey = (int(gval[0]), *gval[1:])
+                    sub = tbl.take(pa.array(idx[gidx]))
+                    state = self.open.setdefault(skey, {})
+                    self.open_counts[skey] = self.open_counts.get(skey, 0) + len(gidx)
+                    cache: dict = {}
+                    for spec in self.specs:
+                        part = spec.build(sub, cache)
+                        if spec.key in state:
+                            state[spec.key].merge(part)
+                        else:
+                            state[spec.key] = part
+            self.watermark = max(self.watermark, int(ts.max()) - self.lateness)
+        return self._drain()
+
+    def _drain(self) -> list[dict[str, Any]]:
+        out = []
+        for skey in sorted(self.open, key=lambda t: (t[0], tuple(map(str, t[1:])))):
+            w = skey[0]
+            if w + self.window_us <= self.watermark:
+                state = self.open.pop(skey)
+                row = {"window_start_us": w, "rows": self.open_counts.pop(skey)}
+                row.update(dict(zip(self.key_cols, skey[1:])))
+                row.update(state)
+                out.append(row)
+                self.finalized.add(w)
+        return out
+
+    def flush(self) -> list[dict[str, Any]]:
+        self.watermark = 1 << 62
+        return self._drain()
+
+    @property
+    def late_rows(self) -> int:
+        return sum(self.late_by_key.values())
+
+    def merge(self, other: "KeyedStreamingWindowAggregator") -> "KeyedStreamingWindowAggregator":
+        """Partitioned-streaming merge; same double-count rules as the
+        global engine, applied per (key, window) state."""
+        for skey, state in other.open.items():
+            if skey[0] in self.finalized:
+                t = skey[1:]
+                self.late_by_key[t] = self.late_by_key.get(t, 0) + other.open_counts[skey]
+                continue
+            mine = self.open.setdefault(skey, {})
+            for key, sk in state.items():
+                if key in mine:
+                    mine[key].merge(sk)
+                else:
+                    mine[key] = sk
+            self.open_counts[skey] = self.open_counts.get(skey, 0) + other.open_counts[skey]
+        for skey in [s for s in self.open if s[0] in other.finalized]:
+            t = skey[1:]
+            self.late_by_key[t] = self.late_by_key.get(t, 0) + self.open_counts.pop(skey)
+            del self.open[skey]
+        self.finalized |= other.finalized
+        self.watermark = max(self.watermark, other.watermark)
+        for t, n in other.late_by_key.items():
+            self.late_by_key[t] = self.late_by_key.get(t, 0) + n
+        self.total_rows += other.total_rows
+        return self
+
+
+def stream_keyed_windows(ds, specs, key_cols: list[str], batch_size: int = 8192,
+                         **agg_kwargs) -> pd.DataFrame:
+    """Replay a Dataset through the keyed streaming aggregator: one row
+    per finalized (window, key) with exact row counts and sketch-derived
+    metrics; late counts per key land in ``df.attrs['late_by_key']``."""
+    agg = KeyedStreamingWindowAggregator(specs, key_cols, **agg_kwargs)
+    rows: list[dict[str, Any]] = []
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
+        rows.extend(agg.push(batch))
+    rows.extend(agg.flush())
+    out = []
+    for r in rows:
+        row = {"window_start_us": r["window_start_us"], "rows": r["rows"]}
+        for c in key_cols:
+            row[c] = r[c]
+        for spec in specs:
+            sk = r[spec.key]
+            if hasattr(sk, "est_value_at_quantile"):
+                row[f"{spec.key}_p50"] = sk.est_value_at_quantile(0.5)
+            elif getattr(sk, "name", "") == "hll":
+                row[f"{spec.key}_est"] = float(sk.estimate())
+        out.append(row)
+    if not out:
+        cols = {"window_start_us": pd.Series(dtype=np.int64),
+                "rows": pd.Series(dtype=np.int64)}
+        for c in key_cols:
+            cols[c] = pd.Series(dtype=object)
+        df = pd.DataFrame(cols)
+    else:
+        df = (
+            pd.DataFrame(out)
+            .sort_values(["window_start_us"] + key_cols)
+            .reset_index(drop=True)
+        )
+    df.attrs["late_by_key"] = dict(agg.late_by_key)
+    df.attrs["late_rows"] = agg.late_rows
+    df.attrs["total_rows"] = agg.total_rows
+    return df
+
+
 def stream_windows(ds, specs, batch_size: int = 8192, **agg_kwargs) -> pd.DataFrame:
     """Replay a Dataset through the streaming aggregator (micro-batch
     driver): returns one row per finalized window with sketch-derived

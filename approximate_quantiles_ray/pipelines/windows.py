@@ -192,6 +192,54 @@ def events_hourly_stream_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def events_hourly_keyed_stream_counts(sf_dir: str) -> pd.DataFrame:
+    """The KEYED streaming engine (per event_type state), oracle-checked
+    against the batch grouping: replay events through hourly tumbling
+    windows keyed by event_type with unbounded lateness (nothing
+    finalizes early → exact counts)."""
+    from approximate_quantiles_ray.engine.streaming import stream_keyed_windows
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    df = stream_keyed_windows(
+        ds, [], ["event_type"], ts_col="ts",
+        window_us=3_600_000_000, allowed_lateness_us=1 << 62,
+    )
+    out = pd.DataFrame(
+        {
+            "window_start": pd.to_datetime(df["window_start_us"], unit="us").astype(
+                "datetime64[us]"
+            ),
+            "event_type": df["event_type"].astype(str),
+            "n_events": df["rows"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+_SLIDE_US = 900_000_000  # 15 min stride under a 1 h window (4 panes)
+
+
+def events_sliding_stream_counts(sf_dir: str) -> pd.DataFrame:
+    """SLIDING windows (1 h window, 15 min slide — each event in 4
+    windows), keyed by event_type, through the streaming engine;
+    oracle-checked against a DuckDB pane-offset expansion."""
+    from approximate_quantiles_ray.engine.streaming import stream_keyed_windows
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    df = stream_keyed_windows(
+        ds, [], ["event_type"], ts_col="ts",
+        window_us=3_600_000_000, slide_us=_SLIDE_US, allowed_lateness_us=1 << 62,
+    )
+    out = pd.DataFrame(
+        {
+            "window_start_us": df["window_start_us"].astype(np.int64),
+            "event_type": df["event_type"].astype(str),
+            "n_events": df["rows"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
+
+
 def oracle_sql(sf_dir: str) -> dict[str, str]:
     """sf-dir-dependent oracles (the transcript table lives under /tmp,
     not in the driver's pre-registered views)."""
@@ -215,6 +263,21 @@ ORACLE_SQL = {
         SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "events_hourly_keyed_stream_counts": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # sliding panes: every event belongs to the 4 slide-aligned windows
+    # covering it — expand with a pane-offset cross join
+    "events_sliding_stream_counts": f"""
+        WITH offs AS (SELECT UNNEST(range(0, 4)) AS i),
+        e AS (SELECT epoch_us(ts) AS t, event_type FROM events)
+        SELECT CAST((t // {_SLIDE_US}) * {_SLIDE_US} - i * {_SLIDE_US} AS BIGINT)
+                   AS window_start_us,
+               event_type, COUNT(*) AS n_events
+        FROM e, offs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "events_hourly_stats": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,
@@ -229,4 +292,6 @@ QUERIES = {
     "transcript_daily_text_len": transcript_daily_text_len,
     "transcript_daily_exact": transcript_daily_exact,
     "events_hourly_stream_counts": events_hourly_stream_counts,
+    "events_hourly_keyed_stream_counts": events_hourly_keyed_stream_counts,
+    "events_sliding_stream_counts": events_sliding_stream_counts,
 }

@@ -114,3 +114,74 @@ def test_merge_never_double_emits_finalized_windows():
     assert a.late_rows == 3  # b's window-0 rows cannot merge into an emission
     tail = a.flush()
     assert 0 not in {r["window_start_us"] for r in tail}  # never re-emitted
+
+
+# ------------------------------------------------------- keyed / sliding
+
+
+def _kbatch(ts_us, keys):
+    return pa.table(
+        {
+            "ts": pa.array(np.asarray(ts_us, np.int64), pa.int64()),
+            "k": pa.array(list(keys), pa.string()),
+        }
+    )
+
+
+def test_keyed_windows_counts_and_late_per_key():
+    from approximate_quantiles_ray.engine.streaming import KeyedStreamingWindowAggregator
+
+    agg = KeyedStreamingWindowAggregator([], ["k"], window_us=WINDOW,
+                                         allowed_lateness_us=LATE)
+    out = agg.push(_kbatch([100, 200, 1_100_000], ["a", "b", "a"]))
+    assert out == []  # watermark 0.6s — window 0 still open
+    # watermark jumps to 2.5s: window 0 and 1 finalize, per key
+    out = agg.push(_kbatch([3_000_000], ["b"]))
+    got = {(r["window_start_us"], r["k"]): r["rows"] for r in out}
+    assert got == {(0, "a"): 1, (0, "b"): 1, (1_000_000, "a"): 1}
+    # late arrivals for closed windows are counted PER KEY
+    agg.push(_kbatch([150, 250, 1_200_000], ["a", "a", "b"]))
+    assert agg.late_by_key == {("a",): 2, ("b",): 1}
+    rest = agg.flush()
+    assert {(r["window_start_us"], r["k"]): r["rows"] for r in rest} == {(3_000_000, "b"): 1}
+
+
+def test_sliding_windows_assign_each_event_to_all_panes():
+    from approximate_quantiles_ray.engine.streaming import KeyedStreamingWindowAggregator
+
+    # 1s window, 250ms slide → every event in 4 windows
+    agg = KeyedStreamingWindowAggregator([], ["k"], window_us=1_000_000,
+                                         slide_us=250_000, allowed_lateness_us=0)
+    agg.push(_kbatch([600_000], ["a"]))
+    rows = agg.flush()
+    starts = sorted(r["window_start_us"] for r in rows)
+    assert starts == [-250_000, 0, 250_000, 500_000]
+    assert all(r["rows"] == 1 and r["k"] == "a" for r in rows)
+
+    with pytest.raises(ValueError, match="multiple of"):
+        KeyedStreamingWindowAggregator([], ["k"], window_us=1_000_000, slide_us=300_000)
+
+
+def test_keyed_partitioned_merge_routes_finalized_to_late():
+    from approximate_quantiles_ray.engine.streaming import KeyedStreamingWindowAggregator
+
+    def feed(ts, keys, lateness):
+        a = KeyedStreamingWindowAggregator([], ["k"], window_us=WINDOW,
+                                           allowed_lateness_us=lateness)
+        a.push(_kbatch(ts, keys))
+        return a
+
+    # partition A finalizes window 0 (tight lateness), B still holds it open
+    a = feed([100, 5_000_000], ["a", "a"], lateness=0)
+    b = feed([200], ["a"], lateness=1 << 62)
+    assert 0 in a.finalized  # push auto-drained window 0
+    a.merge(b)
+    assert a.late_by_key == {("a",): 1}  # B's window-0 row cannot re-open it
+
+    # loss-free pattern: huge lateness on BOTH, merge, then flush
+    a2 = feed([100, 5_000_000], ["a", "a"], lateness=1 << 62)
+    b2 = feed([200], ["a"], lateness=1 << 62)
+    a2.merge(b2)
+    rows = {(r["window_start_us"], r["k"]): r["rows"] for r in a2.flush()}
+    assert rows == {(0, "a"): 2, (5_000_000, "a"): 1}
+    assert a2.late_rows == 0
