@@ -145,3 +145,37 @@ def test_fused_gap_sketches_match_unfused(small_table):
         est = sk.est_value_at_quantile(q)
         lo, hi = np.quantile(exp, max(0.0, q - 0.05)), np.quantile(exp, min(1.0, q + 0.05))
         assert lo <= est <= hi, (q, est, lo, hi)
+
+
+def test_hash_keyed_sort_matches_string_sort(ray_session):
+    """The int-keyed sort plan must produce the same gaps/boundaries as
+    the string sort (round-2 VERDICT item 7) — collisions aside, which
+    are absent on a small corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.segmented import segmented_gaps
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    conv = np.array([f"conv-{i % 157:05d}" for i in range(n)], object)
+    turn = np.concatenate([np.arange((n + 156) // 157)[: (n // 157) + 1] for _ in range(157)])[:n]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(conv),
+            "turn_idx": pa.array(rng.permutation(n) % 64),
+            "ts": pa.array(rng.integers(0, 10**9, n), pa.int64()),
+        }
+    )
+    # make (conv, turn) unique so gap multisets are well-defined
+    tbl = tbl.set_column(1, "turn_idx", pa.array(np.arange(n) // 157, pa.int64()))
+
+    def gaps_of(hash_key):
+        ds, bnd = segmented_gaps(
+            rd.from_arrow(tbl).repartition(7), hash_key=hash_key
+        )
+        interior = ds.to_pandas()["gap_us"].to_numpy()
+        return np.sort(np.concatenate([interior, bnd]))
+
+    np.testing.assert_array_equal(gaps_of(False), gaps_of(True))
