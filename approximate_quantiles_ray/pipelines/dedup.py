@@ -42,24 +42,45 @@ UINT64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 # ----------------------------------------------------------------- exact dedup
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+_WIDE_KEY_SEED = 0x5EED_CAFE_F00D_1234
+
+
+def _dedup_key_table(tbl: pa.Table, id_col: str, text_col: str, wide_key: bool) -> pa.Table:
+    """(id, key...) rows for the dedup shuffle: one 64-bit content hash,
+    or two independently seeded ones when ``wide_key`` (16 B key)."""
+    text = tbl.column(text_col).combine_chunks()
+    h = hash_strings(text).astype(np.int64)
+    cols = {id_col: tbl.column(id_col), "text_hash": pa.array(h, pa.int64())}
+    if wide_key:
+        h2 = hash_strings(text, seed=_WIDE_KEY_SEED).astype(np.int64)
+        cols["text_hash2"] = pa.array(h2, pa.int64())
+    return pa.table(cols)
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                wide_key: bool = False):
     """Hash-partitioned exact dedup: keep MIN(id) per content hash.
 
     The text column is reduced to a 64-bit hash inside the first
     map_batches, so only (hash:int64, id) rows reach the shuffle. A
-    64-bit hash over 10^12 docs has ~3% birthday-collision risk; at
-    that scale widen the key to two seeded hashes (same plan, 16 B key).
+    64-bit key over 10^12 docs has ~3% birthday probability of at least
+    one collision (two DISTINCT documents silently merged, the larger
+    id wrongly dropped); ``wide_key=True`` widens the key to two
+    independently seeded hashes (16 B, same plan — both collide together
+    with probability ~2⁻¹²⁸ per pair, ~10⁻²⁰ corpus-wide at 10^12).
+    Default stays the 8 B key: right for ≤10^10 docs and half the
+    shuffle bytes.
     """
 
     def project(tbl: pa.Table) -> pa.Table:
-        h = hash_strings(tbl.column(text_col).combine_chunks()).astype(np.int64)
-        return pa.table({id_col: tbl.column(id_col), "text_hash": pa.array(h, pa.int64())})
+        return _dedup_key_table(tbl, id_col, text_col, wide_key)
 
     from ray.data.aggregate import Count, Min
 
+    keys = ["text_hash", "text_hash2"] if wide_key else ["text_hash"]
     return (
         ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("text_hash")
+        .groupby(keys)
         .aggregate(Min(id_col), Count())
         .rename_columns({f"min({id_col})": id_col, "count()": "n_copies"})
     )
@@ -708,6 +729,114 @@ def _connected_components(pairs: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def connected_components_distributed(
+    pairs, max_rounds: int = 16, num_partitions: int | None = None
+) -> pd.DataFrame:
+    """Connected components by alternating min-label propagation over a
+    pair Dataset — the distributed escape hatch for duplicate-heavy
+    corpora where the verified-pair set outgrows the driver union-find
+    (round-2 VERDICT item 10).
+
+    Each round: one hash join (labels onto the symmetric edge set) and
+    one groupby-MIN (each node adopts the smallest label among itself
+    and its neighbors), plus a join-based convergence count with early
+    exit. Converges in O(component diameter) rounds — LSH star
+    clusters are diameter ≤ 2, so 2–3 rounds in practice; ``max_rounds``
+    bounds pathological chain graphs (a warning names the cap when
+    hit). Labels converge to each component's MIN node id — the same
+    convention as the driver union-find, so the two are interchangeable.
+
+    Returns a (node, label) DataFrame with one row per node appearing
+    in any pair — the same driver-side footprint as the union-find
+    result map; keep it a Dataset (drop the final ``to_pandas``) if
+    even that outgrows the driver.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    empty = pd.DataFrame({"node": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64)})
+    if isinstance(pairs, pd.DataFrame):
+        if not len(pairs):
+            return empty
+        pairs_ds = rd.from_pandas(pairs[["a", "b"]].reset_index(drop=True))
+    else:
+        pairs_ds = pairs
+    np_ = num_partitions or max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, b]), "v": pa.concat_arrays([b, a])})
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def finish_min(t: pa.Table) -> pa.Table:
+        # label = min(self, min neighbor); repartition after this folds
+        # away the hash-agg's schema-less empty blocks (join-safe)
+        return pa.table(
+            {
+                "n": t.column("u"),
+                "label": pc.min_element_wise(t.column("u"), t.column("label")),
+            }
+        )
+
+    labels = (
+        edges.groupby("u")
+        .aggregate(Min("v"))
+        .rename_columns({"min(v)": "label"})
+        .map_batches(finish_min, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(np_)
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # neighbors' labels flow along edges; each node keeps the min of
+        # its own label and everything received
+        cand = edges.join(labels, "inner", np_, on=("v",), right_on=("n",)).select_columns(
+            ["u", "label"]
+        )
+        own = labels.map_batches(
+            lambda t: pa.table({"u": t.column("n"), "label": t.column("label")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        new_labels = (
+            cand.union(own)
+            .groupby("u")
+            .aggregate(Min("label"))
+            .rename_columns({"min(label)": "label"})
+            .map_batches(
+                lambda t: pa.table({"n": t.column("u"), "label": t.column("label")}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .repartition(np_)
+            .materialize()
+        )
+        changed = (
+            new_labels.join(
+                labels, "inner", np_, on=("n",), right_on=("n",),
+                left_suffix="", right_suffix="_old",
+            )
+            .filter(expr="label != label_old")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_distributed: hit max_rounds={max_rounds} "
+            "before convergence — labels may span partial components",
+            stacklevel=2,
+        )
+    out = labels.to_pandas().rename(columns={"n": "node"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def minhash_lsh_dedup(
     ds,
     id_col: str = "doc_id",
@@ -717,6 +846,7 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    components: str = "driver",
 ):
     """MinHash-LSH near-dup clustering → Dataset(doc_id, cluster_id, is_kept).
 
@@ -772,7 +902,13 @@ def minhash_lsh_dedup(
         dup_pairs = verified[verified["jaccard"] >= threshold]
     else:
         dup_pairs = pd.DataFrame({"a": [], "b": []})
-    comp = _connected_components(dup_pairs)
+    if components == "distributed":
+        # escape hatch for duplicate-heavy corpora: label propagation
+        # over the pair Dataset instead of the driver union-find
+        lab = connected_components_distributed(dup_pairs)
+        comp = dict(zip(lab["node"], lab["label"]))
+    else:
+        comp = _connected_components(dup_pairs)
     return assign_clusters(ds, comp, id_col=id_col)
 
 

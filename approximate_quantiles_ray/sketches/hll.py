@@ -2,11 +2,16 @@
 
 Not present in the reference repo (SURVEY.md §2.6) — built from the
 published algorithm (Flajolet et al. 2007, "HyperLogLog: the analysis of
-a near-optimal cardinality estimation algorithm", with the standard
-small-range linear-counting correction as in Heule et al. 2013 HLL++).
-2**p uint8 registers; 64-bit hashes so no large-range correction is
-needed. Merge = elementwise register max (exactly associative and
-commutative).
+a near-optimal cardinality estimation algorithm"). The default
+estimator is Ertl's improved raw estimator (Ertl 2017, "New cardinality
+estimation algorithms for HyperLogLog sketches", arXiv:1702.01284,
+Algorithm 6): it is bias-free across the whole range — including the
+2.5m–5m band where Flajolet's raw estimator is biased and Heule et
+al. 2013 (HLL++) patch with empirical bias TABLES — without needing
+those tables (round-2 VERDICT item 8). The classic raw+linear-counting
+estimator is kept as ``estimate_flajolet`` for comparison. 2**p uint8
+registers; 64-bit hashes so no large-range correction is needed. Merge
+= elementwise register max (exactly associative and commutative).
 """
 
 from __future__ import annotations
@@ -39,6 +44,37 @@ def _alpha(m: int) -> float:
     if m == 64:
         return 0.709
     return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _sigma(x: float) -> float:
+    """Ertl 2017, Algorithm 3: x → x + Σ x^(2^k)·2^(k-1) (exact fixpoint
+    iteration; the linear-counting limit as a smooth function)."""
+    if x == 1.0:
+        return math.inf
+    y = 1.0
+    z = x
+    while True:
+        x = x * x
+        z_prev = z
+        z = z + x * y
+        y = y + y
+        if z == z_prev:
+            return z
+
+
+def _tau(x: float) -> float:
+    """Ertl 2017, Algorithm 4 (upper-tail counterpart of _sigma)."""
+    if x == 0.0 or x == 1.0:
+        return 0.0
+    y = 1.0
+    z = 1.0 - x
+    while True:
+        x = math.sqrt(x)
+        z_prev = z
+        y = 0.5 * y
+        z = z - (1.0 - x) ** 2 * y
+        if z == z_prev:
+            return z / 3.0
 
 
 @register_sketch
@@ -109,6 +145,24 @@ class HLL:
         return self
 
     def estimate(self) -> float:
+        """Ertl 2017 Algorithm 6 (improved raw estimator): unbiased
+        through the linear-counting↔raw transition band (2.5m–5m) with
+        no empirical bias tables."""
+        m = self.m
+        q = 64 - self.p  # registers saturate at q + 1
+        counts = np.bincount(self.registers, minlength=q + 2)
+        z = m * _tau((m - float(counts[q + 1])) / m)
+        for k in range(q, 0, -1):
+            z = 0.5 * (z + float(counts[k]))
+        z += m * _sigma(float(counts[0]) / m)
+        if not math.isfinite(z):  # empty sketch: sigma(1) = inf → 0
+            return 0.0
+        return (m * m / (2.0 * math.log(2.0))) / z
+
+    def estimate_flajolet(self) -> float:
+        """Classic raw estimator + small-range linear counting
+        (Flajolet 2007 / the pre-bias-correction HLL++ path) — kept for
+        comparison and for the transition-band bias test."""
         m = self.m
         regs = self.registers.astype(np.float64)
         raw = _alpha(m) * m * m / np.sum(np.exp2(-regs))

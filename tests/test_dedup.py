@@ -188,3 +188,81 @@ def test_dist_bucket_pairs_matches_driver_pair_gen(ray_session):
     exp = _hot_bucket_pairs(rows.to_pandas(), cap=None)
     key = lambda d: d[["a", "b"]].astype(np.int64).sort_values(["a", "b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(key(got), key(exp))
+
+
+def test_exact_dedup_wide_key_flag(corpus_ds, monkeypatch):
+    """wide_key widens the dedup key to two seeded hashes. Collision
+    behavior (verified without Ray via the key builder, where a patch
+    actually reaches the code): an engineered seed-0 collision merges
+    two DISTINCT texts under the narrow key but stays separate under
+    the wide key."""
+    import approximate_quantiles_ray.pipelines.dedup as dd
+
+    # Ray path: identical results to the narrow key on a collision-free
+    # corpus, default unchanged
+    narrow = (
+        dd.exact_dedup(corpus_ds).to_pandas()[["doc_id", "n_copies"]]
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    wide = (
+        dd.exact_dedup(corpus_ds, wide_key=True).to_pandas()[["doc_id", "n_copies"]]
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(narrow, wide)
+
+    real = dd.hash_strings
+
+    def colliding(values, seed=0):
+        if seed == 0:  # degenerate primary hash: collides on equal length
+            arr = values.to_pylist() if hasattr(values, "to_pylist") else list(values)
+            return np.array([len(t) for t in arr], np.uint64)
+        return real(values, seed)
+
+    monkeypatch.setattr(dd, "hash_strings", colliding)
+    tbl = pa.table({"doc_id": [1, 2], "text": ["aaaa", "bbbb"]})  # same length
+    k_narrow = dd._dedup_key_table(tbl, "doc_id", "text", wide_key=False)
+    k_wide = dd._dedup_key_table(tbl, "doc_id", "text", wide_key=True)
+    th = k_narrow.column("text_hash").to_pylist()
+    assert th[0] == th[1]  # narrow key would merge the two documents
+    wide_keys = list(
+        zip(k_wide.column("text_hash").to_pylist(), k_wide.column("text_hash2").to_pylist())
+    )
+    assert wide_keys[0] != wide_keys[1]  # second seeded hash separates them
+
+
+def test_connected_components_distributed_matches_union_find(ray_session):
+    """Label propagation over a pair Dataset converges to the same
+    min-id component labels as the driver union-find (round-2 VERDICT
+    item 10), including chains that need several rounds."""
+    from approximate_quantiles_ray.pipelines.dedup import (
+        _connected_components,
+        connected_components_distributed,
+    )
+
+    # planted: star {0,1,2,3}, chain 10-11-12-13-14, pair {20,21}
+    pairs = pd.DataFrame(
+        {
+            "a": [0, 0, 0, 10, 11, 12, 13, 21],
+            "b": [1, 2, 3, 11, 12, 13, 14, 20],
+        }
+    )
+    got = connected_components_distributed(pairs)
+    exp = _connected_components(pairs)
+    assert dict(zip(got["node"], got["label"])) == {k: int(v) for k, v in exp.items()}
+    assert got.set_index("node")["label"].loc[14] == 10  # chain collapses to min
+
+    assert len(connected_components_distributed(pd.DataFrame({"a": [], "b": []}))) == 0
+
+
+def test_minhash_dedup_distributed_components_equivalent(corpus_ds):
+    from approximate_quantiles_ray.pipelines.dedup import minhash_lsh_dedup
+
+    drv = (
+        minhash_lsh_dedup(corpus_ds, threshold=0.5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        minhash_lsh_dedup(corpus_ds, threshold=0.5, components="distributed")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(drv, dist)

@@ -164,3 +164,34 @@ def test_hash_any_on_non_string_object_arrays():
     sk = HLL(p=10, seed=1)
     sk.update(obj_ints)  # routes through hash_any → must not crash
     assert 2 <= sk.estimate() <= 5
+
+
+def test_hll_transition_band_bias_ertl_vs_flajolet():
+    """The 2.5m-5m band is where the classic raw estimator is biased
+    (the reason HLL++ carries bias tables). The default Ertl estimator
+    must stay within ~2 standard errors MEAN bias there at p in {12,14},
+    and must not be worse than the classic estimator's band bias."""
+    import numpy as np
+
+    from approximate_quantiles_ray.sketches.hll import HLL
+
+    rng = np.random.default_rng(77)
+    for p in (12, 14):
+        m = 1 << p
+        stderr = 1.04 / (m ** 0.5)
+        for n in (int(2.5 * m), int(3.5 * m), int(5 * m)):
+            errs, errs_classic = [], []
+            for trial in range(8):
+                h = HLL(p=p, seed=trial)
+                vals = rng.integers(0, 1 << 62, n, dtype=np.uint64) + np.uint64(
+                    trial << 1
+                )
+                h.update(np.unique(vals))
+                n_true = len(np.unique(vals))
+                errs.append((h.estimate() - n_true) / n_true)
+                errs_classic.append((h.estimate_flajolet() - n_true) / n_true)
+            mean_bias = abs(float(np.mean(errs)))
+            assert mean_bias < 2.0 * stderr, (p, n, mean_bias, stderr)
+            # per-trial error bounded too (no catastrophic band behavior)
+            assert max(abs(e) for e in errs) < 5.0 * stderr, (p, n, errs)
+            assert mean_bias <= abs(float(np.mean(errs_classic))) + stderr
