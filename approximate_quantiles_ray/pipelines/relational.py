@@ -654,3 +654,136 @@ ORACLE_SQL["supplier_region_stats"] = """
     GROUP BY r_name ORDER BY r_name
 """
 QUERIES["supplier_region_stats"] = supplier_region_stats
+
+
+def customers_without_urgent_orders(sf_dir: str) -> pd.DataFrame:
+    """ANTI JOIN pipeline (oracle-matched vs NOT EXISTS): customers with
+    no 1-URGENT order, counted per market segment.
+
+    Plan: the orders side is filtered at the read and pre-reduced to
+    its per-block DISTINCT custkeys (so only deduplicated keys reach
+    the shuffle), then a distributed ``left_anti`` hash join keeps
+    exactly the customers with no match — the scale-correct plan when
+    BOTH sides are corpus-sized and a broadcast key set would not fit a
+    node. The surviving rows reduce to per-segment counts via per-block
+    partials + the adaptive fold.
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def distinct_urgent_keys(tbl: pa.Table) -> pa.Table:
+        keep = pc.equal(tbl.column("o_orderpriority"), "1-URGENT")
+        u = pc.unique(tbl.filter(keep).column("o_custkey").combine_chunks())
+        return pa.table({"o_custkey": u})
+
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        distinct_urgent_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    no_urgent = cust.join(
+        okeys, "left_anti", n_parts, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+    def seg_counts(tbl: pa.Table) -> pa.Table:
+        agg = tbl.select(["c_mktsegment"]).group_by(["c_mktsegment"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["c_mktsegment", "n_customers"])
+
+    part = no_urgent.map_batches(seg_counts, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(part, ["c_mktsegment"], {"n_customers": "sum"})
+    if not len(out):  # no anti-join survivors anywhere
+        out = pd.DataFrame(
+            {"c_mktsegment": pd.Series(dtype=object), "n_customers": pd.Series(dtype=np.int64)}
+        )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+ORACLE_SQL["customers_without_urgent_orders"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+QUERIES["customers_without_urgent_orders"] = customers_without_urgent_orders
+
+
+def customer_revenue_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k customers by total order revenue, with names attached
+    (oracle-matched; TPC-H Q10 shape).
+
+    Plan: orders reduce to per-custkey (revenue_cents, n_orders)
+    partials inside each block (Arrow group_by), the adaptive fold
+    combines them, and only the deterministic top-k rows (revenue desc,
+    custkey asc) survive — per-block top-k partials bound the driver
+    transfer to #blocks × k when the fold goes distributed. The k
+    customer names are then fetched with a broadcast-filter (k keys),
+    never a join of the full customer table.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        t = int_cents(tbl, "o_totalprice", "cents").select(["o_custkey", "cents"])
+        agg = t.group_by(["o_custkey"]).aggregate([([], "count_all"), ("cents", "sum")])
+        return agg.rename_columns(["o_custkey", "n_orders", "revenue_cents"])
+
+    part = orders.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    folded, is_ds = adaptive_grouped_agg_ds(
+        part, ["o_custkey"], {"n_orders": "sum", "revenue_cents": "sum"}
+    )
+    if is_ds:
+        # distributed per-group rows: per-block top-k partials, then the
+        # driver merges #blocks × k candidate rows
+        def block_topk(tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas()
+            return pa.Table.from_pandas(
+                df.sort_values(
+                    ["revenue_cents", "o_custkey"], ascending=[False, True]
+                ).head(k),
+                preserve_index=False,
+            )
+
+        folded = (
+            folded.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+    top = (
+        folded.sort_values(["revenue_cents", "o_custkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+    keys = top["o_custkey"].to_numpy()
+
+    def pick_names(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("c_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(np.isin(ids, keys)))
+
+    names = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(pick_names, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    out = top.rename(columns={"o_custkey": "c_custkey"}).merge(names, on="c_custkey")
+    out = out[["c_custkey", "c_name", "revenue_cents", "n_orders"]]
+    return out.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+ORACLE_SQL["customer_revenue_topk"] = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 10
+"""
+QUERIES["customer_revenue_topk"] = customer_revenue_topk
