@@ -656,6 +656,11 @@ ORACLE_SQL["supplier_region_stats"] = """
 QUERIES["supplier_region_stats"] = supplier_region_stats
 
 
+# right-side key sets at most this big anti-join via broadcast NOT-IN
+# (≈32 MB of int64 per node); bigger sets take the hash-shuffle join
+_ANTI_BROADCAST_KEY_CAP = 1 << 22
+
+
 def customers_without_urgent_orders(sf_dir: str) -> pd.DataFrame:
     """ANTI JOIN pipeline (oracle-matched vs NOT EXISTS): customers with
     no 1-URGENT order, counted per market segment.
@@ -681,11 +686,36 @@ def customers_without_urgent_orders(sf_dir: str) -> pd.DataFrame:
 
     okeys = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
         distinct_urgent_keys, batch_format="pyarrow", zero_copy_batch=True
-    )
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    no_urgent = cust.join(
-        okeys, "left_anti", n_parts, on=("c_custkey",), right_on=("o_custkey",)
-    )
+    ).materialize()
+    # adaptive anti join (same cap philosophy as engine/folds.py): Ray's
+    # hash-shuffle join pays ~8-10 s of aggregator-actor spin-up per
+    # query — at dimension-table scale a broadcast NOT-IN filter is two
+    # orders of magnitude cheaper; the shuffle join is kept as the path
+    # for key sets too big to replicate per node
+    if okeys.count() <= _ANTI_BROADCAST_KEY_CAP:
+        key_arr = np.sort(
+            pc.unique(
+                pa.concat_tables(okeys.iter_batches(batch_format="pyarrow")).column(
+                    "o_custkey"
+                ).combine_chunks()
+            ).to_numpy(zero_copy_only=False)
+        )
+        key_ref = ray.put(key_arr)
+
+        def anti_filter(tbl: pa.Table) -> pa.Table:
+            keys = ray.get(key_ref)  # zero-copy plasma read
+            ids = tbl.column("c_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+            if not len(keys):
+                return tbl
+            idx = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
+            return tbl.filter(pa.array(keys[idx] != ids))
+
+        no_urgent = cust.map_batches(anti_filter, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        no_urgent = cust.join(
+            okeys, "left_anti", n_parts, on=("c_custkey",), right_on=("o_custkey",)
+        )
 
     def seg_counts(tbl: pa.Table) -> pa.Table:
         agg = tbl.select(["c_mktsegment"]).group_by(["c_mktsegment"]).aggregate(

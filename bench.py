@@ -97,10 +97,13 @@ def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
     }
 
     if not scaling_mode:
-        # latency suite adds the one conv_id shuffle (best-of-2, same
-        # steady-state rationale as above)
+        # latency suite now rides the cached bucketed layout (no sort) —
+        # best-of-3: its wall time is sketch-pass dominated, and the
+        # sketch pass itself drifts ±2× with host load on this VM, so
+        # two samples under-estimate the steady state more often than
+        # the headline's (which runs first, on a quieter store)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _flagship(tdir, include_latency=True)
             best = min(best, time.perf_counter() - t0)

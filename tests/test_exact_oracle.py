@@ -42,3 +42,17 @@ def test_empty():
     d = ExactDigest()
     assert np.isnan(d.est_value_at_quantile(0.5))
     assert np.isnan(d.est_quantile_at_value(1.0))
+
+
+def test_anti_join_broadcast_and_shuffle_paths_agree(ray_session, monkeypatch):
+    """The adaptive anti join must give identical results on the
+    broadcast NOT-IN path and the hash-shuffle left_anti path."""
+    import approximate_quantiles_ray.pipelines.relational as r
+
+    sf = "/root/testdata/sf0.001"
+    fast = r.customers_without_urgent_orders(sf)
+    monkeypatch.setattr(r, "_ANTI_BROADCAST_KEY_CAP", 0)  # force the join
+    slow = r.customers_without_urgent_orders(sf)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fast, slow)
