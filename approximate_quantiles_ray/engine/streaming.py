@@ -209,7 +209,17 @@ class KeyedStreamingWindowAggregator:
                 gdf = pd.DataFrame({"_w": win[idx]})
                 for c, k in zip(self.key_cols, keys):
                     gdf[c] = k[idx]
-                for gval, gidx in gdf.groupby(["_w"] + self.key_cols, sort=False).indices.items():
+                grouped = gdf.groupby(["_w"] + self.key_cols, sort=False)
+                if not self.specs:
+                    # count-only fast path: one vectorized size() per
+                    # batch×offset, no per-group row materialization
+                    for gval, n in grouped.size().items():
+                        gval = gval if isinstance(gval, tuple) else (gval,)
+                        skey = (int(gval[0]), *gval[1:])
+                        self.open.setdefault(skey, {})
+                        self.open_counts[skey] = self.open_counts.get(skey, 0) + int(n)
+                    continue
+                for gval, gidx in grouped.indices.items():
                     gval = gval if isinstance(gval, tuple) else (gval,)
                     skey = (int(gval[0]), *gval[1:])
                     sub = tbl.take(pa.array(idx[gidx]))
