@@ -817,3 +817,39 @@ ORACLE_SQL["customer_revenue_topk"] = """
     ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 10
 """
 QUERIES["customer_revenue_topk"] = customer_revenue_topk
+
+
+def parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    """Per-brand part stats (oracle-matched): count, retail-price cents
+    sum, min/max size. Per-block Arrow group_by partials + adaptive
+    fold — the standard shuffle-light grouped plan."""
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        t = int_cents(tbl, "p_retailprice", "cents")
+        agg = t.select(["p_brand", "p_size", "cents"]).group_by(["p_brand"]).aggregate(
+            [([], "count_all"), ("cents", "sum"), ("p_size", "min"), ("p_size", "max")]
+        )
+        return agg.rename_columns(
+            ["p_brand", "n_parts", "retail_cents", "size_min", "size_max"]
+        )
+
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(
+        part,
+        ["p_brand"],
+        {"n_parts": "sum", "retail_cents": "sum", "size_min": "min", "size_max": "max"},
+    )
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+ORACLE_SQL["parts_by_brand"] = """
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) AS retail_cents,
+           MIN(p_size) AS size_min, MAX(p_size) AS size_max
+    FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+QUERIES["parts_by_brand"] = parts_by_brand
