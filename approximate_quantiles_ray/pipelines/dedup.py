@@ -111,14 +111,24 @@ def _char_shingle_hashes(texts: np.ndarray, k: int = 5) -> list[np.ndarray]:
 class MinHasher:
     """Actor-pool stage: per-doc minhash signature (n_perm × uint64).
 
-    The hash family h_i(x) = splitmix64(a_i·x + b_i) (overflow-wrapping
-    PRF — minhash only needs a fixed family of ~independent hashes) is
-    sampled once per actor in ``__init__`` from a fixed seed, so
-    signatures are identical across actors/partitions/retries.
+    Two published schemes:
+
+    - ``scheme="oph"`` (default): one-permutation hashing with rotation
+      densification (Li et al. 2012 "One Permutation Hashing";
+      Shrivastava & Li 2014 densification). ONE hash per shingle,
+      bucketed into n_perm bins, min per bin; empty bins borrow from
+      the next non-empty bin circularly with a distance-keyed offset.
+      O(u) per doc instead of classic minhash's O(n_perm·u) — the
+      signature keeps the minhash collision property in expectation,
+      and the pipeline verifies candidates with EXACT Jaccard anyway,
+      so scheme choice affects only candidate recall/cost.
+    - ``scheme="perm"``: classic n_perm independent hashes
+      h_i(x) = splitmix64(a_i·x + b_i), sampled once per worker from
+      the fixed seed (identical across actors/partitions/retries).
     """
 
     def __init__(self, n_perm: int = 128, shingle_k: int = 5, seed: int = 42,
-                 id_col: str = "doc_id", text_col: str = "text"):
+                 id_col: str = "doc_id", text_col: str = "text", scheme: str = "oph"):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, 1 << 62, n_perm, dtype=np.uint64) | np.uint64(1)
         self.b = rng.integers(0, 1 << 62, n_perm, dtype=np.uint64)
@@ -126,6 +136,8 @@ class MinHasher:
         self.k = shingle_k
         self.id_col = id_col
         self.text_col = text_col
+        self.scheme = scheme
+        self.oph_seed = np.uint64((seed * 0x9E3779B97F4A7C15 + 0xA5A5A5A5) & 0xFFFFFFFFFFFFFFFF)
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         if not len(shingles):
@@ -135,18 +147,57 @@ class MinHasher:
             v = splitmix64(x[None, :] * self.a[:, None] + self.b[:, None])
         return v.min(axis=1)
 
+    def _oph_signatures(self, sh: list[np.ndarray]) -> np.ndarray:
+        """Cross-doc vectorized OPH: one flat hash pass, one sort +
+        segmented min, then vectorized rotation densification."""
+        n = len(sh)
+        m = self.n_perm
+        sig = np.full((n, m), UINT64_MAX, np.uint64)
+        lens = np.array([len(s) for s in sh], np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return sig
+        flat = np.concatenate([s for s in sh if len(s)])
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        with np.errstate(over="ignore"):
+            g = splitmix64(flat ^ self.oph_seed)
+        bins = (g % np.uint64(m)).astype(np.int64)
+        key = doc_idx * m + bins
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        sv = g[order]
+        starts = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
+        sig.ravel()[sk[starts]] = np.minimum.reduceat(sv, starts)
+        # rotation densification: empty bin j borrows bin (j+k) mod m's
+        # value + k·C (distance offset keeps borrowed values distinct
+        # across borrow distances — Shrivastava & Li 2014)
+        nonempty_doc = (lens > 0)[:, None]
+        base = sig.copy()
+        for k in range(1, m):
+            empt = (sig == UINT64_MAX) & nonempty_doc
+            if not empt.any():
+                break
+            donor = np.roll(base, -k, axis=1)
+            with np.errstate(over="ignore"):
+                cand = donor + np.uint64(k) * np.uint64(0xC2B2AE3D27D4EB4F)
+            take = empt & (donor != UINT64_MAX)
+            sig[take] = cand[take]
+        return sig
+
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        # measured (BASELINE.md §5.4): the per-doc numpy path (windows +
-        # unique + one (n_perm, n_shingles) broadcast per doc) beats a
-        # fully cross-doc flat-buffer variant ~1.6x on the real corpus —
-        # per-doc shingle dedup cuts the dominant perm-hash work
         texts = tbl.column(self.text_col).combine_chunks().to_numpy(zero_copy_only=False)
         sh = _char_shingle_hashes(texts, self.k)
-        sigs = (
-            np.stack([self.signature(s) for s in sh])
-            if len(sh)
-            else np.zeros((0, self.n_perm), np.uint64)
-        )
+        if self.scheme == "oph":
+            sigs = self._oph_signatures(sh)
+        else:
+            # classic path (measured BASELINE §5.4: per-doc unique +
+            # one (n_perm, u) broadcast per doc beats a flat-buffer
+            # variant 1.6× — but OPH above beats both at O(u))
+            sigs = (
+                np.stack([self.signature(s) for s in sh])
+                if len(sh)
+                else np.zeros((0, self.n_perm), np.uint64)
+            )
         return pa.table(
             {
                 self.id_col: tbl.column(self.id_col),
