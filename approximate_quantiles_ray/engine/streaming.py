@@ -283,6 +283,192 @@ class KeyedStreamingWindowAggregator:
         return self
 
 
+class SessionStreamAggregator:
+    """Keyed SESSION windows (inactivity-gap based) with watermarks —
+    the mergeable-window case of the dataflow model: an event extends a
+    session when it lands within ``gap_us`` of its span, and one event
+    can MERGE two open sessions into one.
+
+    State per key: sorted disjoint sessions (start, last, count),
+    re-swept vectorized on every push (argsort + cummax-based interval
+    merge — no per-event Python). A session FINALIZES once the
+    watermark passes ``last + gap`` (no on-time event can extend it).
+    An event is late when ``ts + gap ≤ watermark`` — any session it
+    could have extended has already finalized; counted per key. Note
+    the standard early-firing divergence: under a TIGHT watermark an
+    on-time event arriving after its neighbor-session finalized starts
+    a fresh session where an unbounded-lateness replay would have
+    merged them — with unbounded lateness the result is exact (that is
+    the oracle configuration).
+
+    ``merge`` unions another partition's open sessions and re-sweeps;
+    sessions overlapping a span the receiver already finalized route to
+    the late counter (same double-count rule as the window engines) —
+    for loss-free partitioned streaming, merge before draining.
+    """
+
+    def __init__(self, key_cols: list[str], ts_col: str = "ts",
+                 gap_us: int = 1_800_000_000, allowed_lateness_us: int = 600_000_000):
+        self.key_cols = list(key_cols)
+        self.ts_col = ts_col
+        self.gap = int(gap_us)
+        self.lateness = int(allowed_lateness_us)
+        # key tuple -> (starts, lasts, counts) sorted disjoint np arrays
+        self.open: dict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self.finalized_until: dict[tuple, int] = {}
+        self.watermark: int = -(1 << 62)
+        self.late_by_key: dict[tuple, int] = {}
+        self.total_rows = 0
+
+    _ts_us = StreamingWindowAggregator._ts_us
+
+    @staticmethod
+    def _sweep(starts, lasts, counts, gap):
+        """Merge overlapping-within-gap intervals (vectorized)."""
+        order = np.argsort(starts, kind="stable")
+        s, l_, c = starts[order], lasts[order], counts[order]
+        cummax = np.maximum.accumulate(l_)
+        new_grp = np.ones(len(s), bool)
+        new_grp[1:] = s[1:] > cummax[:-1] + gap
+        gidx = np.flatnonzero(new_grp)
+        gends = np.append(gidx[1:], len(s))
+        out_s = s[gidx]
+        out_l = np.array([l_[a:b].max() for a, b in zip(gidx, gends)], np.int64)
+        out_c = np.add.reduceat(c, gidx)
+        return out_s, out_l, out_c
+
+    def push(self, tbl: pa.Table) -> list[dict[str, Any]]:
+        if tbl.num_rows:
+            ts = self._ts_us(tbl)
+            self.total_rows += len(ts)
+            keys = [
+                tbl.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+                for c in self.key_cols
+            ]
+            late = (ts + self.gap) <= self.watermark
+            if late.any():
+                li = np.flatnonzero(late)
+                for t in zip(*(k[li] for k in keys)) if keys else [()] * len(li):
+                    self.late_by_key[t] = self.late_by_key.get(t, 0) + 1
+            idx = np.flatnonzero(~late)
+            if len(idx):
+                gdf = pd.DataFrame({c: k[idx] for c, k in zip(self.key_cols, keys)})
+                gdf["_i"] = idx
+                for gval, gidx in gdf.groupby(self.key_cols, sort=False).indices.items():
+                    t = gval if isinstance(gval, tuple) else (gval,)
+                    ets = ts[idx[gidx]].astype(np.int64)
+                    s0, l0, c0 = self.open.get(
+                        t,
+                        (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)),
+                    )
+                    self.open[t] = self._sweep(
+                        np.concatenate([s0, ets]),
+                        np.concatenate([l0, ets]),
+                        np.concatenate([c0, np.ones(len(ets), np.int64)]),
+                        self.gap,
+                    )
+            self.watermark = max(self.watermark, int(ts.max()) - self.lateness)
+        return self._drain()
+
+    def _drain(self) -> list[dict[str, Any]]:
+        out = []
+        for t in sorted(self.open, key=lambda k: tuple(map(str, k))):
+            s, l_, c = self.open[t]
+            done = (l_ + self.gap) <= self.watermark
+            if not done.any():
+                continue
+            for i in np.flatnonzero(done):
+                row = {
+                    "session_start_us": int(s[i]),
+                    "session_end_us": int(l_[i]),
+                    "n_events": int(c[i]),
+                }
+                row.update(dict(zip(self.key_cols, t)))
+                out.append(row)
+            self.finalized_until[t] = max(
+                self.finalized_until.get(t, -(1 << 62)), int(l_[done].max()) + self.gap
+            )
+            keep = ~done
+            if keep.any():
+                self.open[t] = (s[keep], l_[keep], c[keep])
+            else:
+                del self.open[t]
+        return out
+
+    def flush(self) -> list[dict[str, Any]]:
+        self.watermark = 1 << 62
+        return self._drain()
+
+    @property
+    def late_rows(self) -> int:
+        return sum(self.late_by_key.values())
+
+    def merge(self, other: "SessionStreamAggregator") -> "SessionStreamAggregator":
+        for t, (s, l_, c) in other.open.items():
+            cut = self.finalized_until.get(t, -(1 << 62))
+            clash = s < cut
+            if clash.any():
+                self.late_by_key[t] = self.late_by_key.get(t, 0) + int(c[clash].sum())
+            if (~clash).any():
+                s0, l0, c0 = self.open.get(
+                    t, (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
+                )
+                self.open[t] = self._sweep(
+                    np.concatenate([s0, s[~clash]]),
+                    np.concatenate([l0, l_[~clash]]),
+                    np.concatenate([c0, c[~clash]]),
+                    self.gap,
+                )
+        # symmetric: our sessions inside the other's finalized spans
+        for t in list(self.open):
+            cut = other.finalized_until.get(t, -(1 << 62))
+            s, l_, c = self.open[t]
+            clash = s < cut
+            if clash.any():
+                self.late_by_key[t] = self.late_by_key.get(t, 0) + int(c[clash].sum())
+                if (~clash).any():
+                    self.open[t] = (s[~clash], l_[~clash], c[~clash])
+                else:
+                    del self.open[t]
+        for t, v in other.finalized_until.items():
+            self.finalized_until[t] = max(self.finalized_until.get(t, -(1 << 62)), v)
+        for t, n in other.late_by_key.items():
+            self.late_by_key[t] = self.late_by_key.get(t, 0) + n
+        self.watermark = max(self.watermark, other.watermark)
+        self.total_rows += other.total_rows
+        return self
+
+
+def stream_sessions(ds, key_cols: list[str], batch_size: int = 8192,
+                    **agg_kwargs) -> pd.DataFrame:
+    """Replay a Dataset through the session-window aggregator: one row
+    per finalized session (key cols, session_start_us, session_end_us,
+    n_events); per-key late counts in ``df.attrs['late_by_key']``."""
+    agg = SessionStreamAggregator(key_cols, **agg_kwargs)
+    rows: list[dict[str, Any]] = []
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
+        rows.extend(agg.push(batch))
+    rows.extend(agg.flush())
+    if not rows:
+        cols = {c: pd.Series(dtype=object) for c in key_cols}
+        cols.update(
+            session_start_us=pd.Series(dtype=np.int64),
+            session_end_us=pd.Series(dtype=np.int64),
+            n_events=pd.Series(dtype=np.int64),
+        )
+        df = pd.DataFrame(cols)
+    else:
+        df = (
+            pd.DataFrame(rows)
+            .sort_values(key_cols + ["session_start_us"])
+            .reset_index(drop=True)
+        )
+    df.attrs["late_by_key"] = dict(agg.late_by_key)
+    df.attrs["late_rows"] = agg.late_rows
+    df.attrs["total_rows"] = agg.total_rows
+    return df
+
+
 def stream_keyed_windows(ds, specs, key_cols: list[str], batch_size: int = 8192,
                          **agg_kwargs) -> pd.DataFrame:
     """Replay a Dataset through the keyed streaming aggregator: one row

@@ -71,7 +71,53 @@ def events_sessions(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US) -> pd.Dat
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def events_sessions_stream(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US) -> pd.DataFrame:
+    """The STREAMING session-window engine, oracle-checked against the
+    same LAG SQL as the batch path: replay events through per-user
+    gap-based session windows with unbounded lateness (nothing
+    finalizes early → exact), then reduce finalized sessions to
+    (user_id, n_events, n_sessions).
+
+    Equivalence note: a session's event count by interval merging
+    equals the batch rule's (gap > timeout ⇒ break) when "extends"
+    means ts within ``timeout_us`` of the session span INCLUSIVE — the
+    batch break is strict (>), so the streaming gap uses the same
+    convention (events exactly timeout apart stay in one session).
+    """
+    from approximate_quantiles_ray.engine.streaming import stream_sessions
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    sess = stream_sessions(
+        ds, ["user_id"], ts_col="ts", gap_us=timeout_us, allowed_lateness_us=1 << 62
+    )
+    if not len(sess):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype=np.int64),
+                "n_events": pd.Series(dtype=np.int64),
+                "n_sessions": pd.Series(dtype=np.int64),
+            }
+        )
+    out = (
+        sess.groupby("user_id", as_index=False)
+        .agg(n_events=("n_events", "sum"), n_sessions=("session_start_us", "size"))
+        .astype({"user_id": np.int64, "n_events": np.int64, "n_sessions": np.int64})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 ORACLE_SQL = {
+    "events_sessions_stream": f"""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               1 + COUNT(CASE WHEN gap_us > {SESSION_TIMEOUT_US} THEN 1 END) AS n_sessions
+        FROM (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS gap_us
+            FROM events
+        ) GROUP BY user_id ORDER BY user_id
+    """,
     "events_sessions": f"""
         SELECT user_id,
                COUNT(*) AS n_events,
@@ -85,4 +131,7 @@ ORACLE_SQL = {
     """,
 }
 
-QUERIES = {"events_sessions": events_sessions}
+QUERIES = {
+    "events_sessions": events_sessions,
+    "events_sessions_stream": events_sessions_stream,
+}

@@ -185,3 +185,68 @@ def test_keyed_partitioned_merge_routes_finalized_to_late():
     rows = {(r["window_start_us"], r["k"]): r["rows"] for r in a2.flush()}
     assert rows == {(0, "a"): 2, (5_000_000, "a"): 1}
     assert a2.late_rows == 0
+
+
+# ----------------------------------------------------------- session windows
+
+
+def test_session_windows_merge_and_finalize():
+    from approximate_quantiles_ray.engine.streaming import SessionStreamAggregator
+
+    GAP = 1_000_000  # 1s
+    agg = SessionStreamAggregator(["k"], gap_us=GAP, allowed_lateness_us=1 << 62)
+    # two separate proto-sessions for key a: [0] and [1.8s] (gap 1s apart)
+    assert agg.push(_kbatch([0, 1_800_000], ["a", "a"])) == []
+    # a bridging event at 0.9s is within the gap of BOTH — MERGES them
+    # into one session (the mergeable-window case)
+    agg.push(_kbatch([900_000], ["a"]))
+    rows = agg.flush()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["session_start_us"], r["session_end_us"], r["n_events"], r["k"]) == (
+        0, 1_800_000, 3, "a",
+    )
+
+
+def test_session_windows_watermark_and_late_per_key():
+    from approximate_quantiles_ray.engine.streaming import SessionStreamAggregator
+
+    GAP = 1_000_000
+    agg = SessionStreamAggregator(["k"], gap_us=GAP, allowed_lateness_us=0)
+    agg.push(_kbatch([0, 100_000], ["a", "b"]))
+    # watermark jumps: both sessions (last+gap <= 10s) finalize
+    out = agg.push(_kbatch([10_000_000], ["a"]))
+    done = {(r["k"], r["n_events"]) for r in out}
+    assert done == {("a", 1), ("b", 1)}
+    # an event whose reach (ts+gap) is behind the watermark is late, per key
+    agg.push(_kbatch([50_000, 60_000], ["a", "b"]))
+    assert agg.late_by_key == {("a",): 1, ("b",): 1}
+
+
+def test_session_windows_partitioned_merge():
+    from approximate_quantiles_ray.engine.streaming import SessionStreamAggregator
+
+    GAP = 1_000_000
+
+    def feed(ts, keys, lateness=1 << 62):
+        a = SessionStreamAggregator(["k"], gap_us=GAP, allowed_lateness_us=lateness)
+        a.push(_kbatch(ts, keys))
+        return a
+
+    # loss-free pattern: unbounded lateness both sides, merge, flush;
+    # the two partitions' fragments of one logical session reunite
+    a = feed([0, 500_000], ["a", "a"])
+    b = feed([900_000, 5_000_000], ["a", "a"])
+    a.merge(b)
+    rows = a.flush()
+    got = {(r["session_start_us"], r["session_end_us"], r["n_events"]) for r in rows}
+    assert got == {(0, 900_000, 3), (5_000_000, 5_000_000, 1)}
+    assert a.late_rows == 0
+
+    # conflict rule: a session span the receiver already finalized
+    # routes the other partition's overlapping fragment to late
+    c = feed([0], ["a"], lateness=0)
+    c.push(_kbatch([10_000_000], ["a"]))  # finalizes [0,0]
+    d = feed([200_000], ["a"])
+    c.merge(d)
+    assert c.late_by_key == {("a",): 1}
