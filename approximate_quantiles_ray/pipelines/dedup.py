@@ -89,23 +89,100 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 # ------------------------------------------------------------ shingles/minhash
 
 
-def _char_shingle_hashes(texts: np.ndarray, k: int = 5) -> list[np.ndarray]:
-    """Per-doc arrays of hashed k-char shingles. Per-doc numpy window
-    ops (the doc loop is over documents, not rows-within-kernel; each
-    iteration is vectorized over all of that doc's shingles)."""
-    out = []
-    for t in texts:
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) == 0:
-            out.append(np.zeros(0, np.uint64))
-            continue
-        windows = np.lib.stride_tricks.sliding_window_view(b, min(k, len(b)))
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _shingle_hashes_flat(col, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """All k-char shingle hashes of every doc in ONE vectorized pass over
+    the string column's flat UTF-8 buffer — zero per-doc Python work.
+
+    ``col`` is a pyarrow (Chunked)Array of strings (a numpy object array
+    is accepted and converted). Returns ``(flat, counts)``: ``flat``
+    holds every doc's shingle hashes concatenated in doc order;
+    ``counts[i]`` is doc i's shingle count (``len-k+1`` for ``len>=k``,
+    1 for ``0<len<k`` — one hash of the whole doc — 0 for empty/null).
+    Hash per window = splitmix64 of the FNV-prime polynomial accumulate,
+    identical to the historical per-doc kernel, so signatures/Jaccard
+    values are unchanged.
+
+    Scale note: the rolling accumulate runs once over the whole block's
+    byte buffer (k vector ops total), then per-doc windows are gathered
+    with a segmented-arange index — the only O(#docs) work is integer
+    arithmetic on the offsets array.
+    """
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(col, pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], off_dtype)[col.offset : col.offset + len(col) + 1].astype(
+        np.int64
+    )
+    data = (
+        np.frombuffer(bufs[2], np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, np.uint8)
+    )
+    lens = off[1:] - off[:-1]
+    counts = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64)).astype(np.int64)
+    out_start = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=out_start[1:])
+    flat = np.empty(int(out_start[-1]), np.uint64)
+    if not len(flat):
+        return flat, counts
+
+    long_idx = np.flatnonzero(lens >= k)
+    if len(long_idx):
+        win = np.lib.stride_tricks.sliding_window_view(data, k)
         with np.errstate(over="ignore"):
-            acc = np.zeros(len(windows), np.uint64)
-            for j in range(windows.shape[1]):
-                acc = acc * np.uint64(1099511628211) + windows[:, j].astype(np.uint64)
-            out.append(splitmix64(acc))
-    return out
+            acc = np.zeros(len(win), np.uint64)
+            for j in range(k):
+                acc = acc * _FNV_PRIME + win[:, j].astype(np.uint64)
+        lcnt = counts[long_idx]
+        within = np.arange(int(lcnt.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(lcnt) - lcnt, lcnt
+        )
+        src = np.repeat(off[:-1][long_idx], lcnt) + within
+        dst = np.repeat(out_start[:-1][long_idx], lcnt) + within
+        flat[dst] = splitmix64(acc[src])
+
+    short_idx = np.flatnonzero((lens > 0) & (lens < k))
+    for w in range(1, k):  # ≤ k-1 vectorized passes, each over all len==w docs
+        wi = short_idx[lens[short_idx] == w]
+        if not len(wi):
+            continue
+        with np.errstate(over="ignore"):
+            acc = np.zeros(len(wi), np.uint64)
+            for j in range(w):
+                acc = acc * _FNV_PRIME + data[off[:-1][wi] + j].astype(np.uint64)
+        flat[out_start[:-1][wi]] = splitmix64(acc)
+    return flat, counts
+
+
+def _unique_per_doc(flat: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Segmented unique: per-doc sorted-unique values of a flat segmented
+    array, fully vectorized (one lexsort + one diff mask — replaces a
+    per-doc ``np.unique`` loop)."""
+    n = len(counts)
+    if not len(flat):
+        return flat, np.zeros(n, np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((flat, doc_idx))
+    fs, ds_ = flat[order], doc_idx[order]
+    keep = np.concatenate(([True], (fs[1:] != fs[:-1]) | (ds_[1:] != ds_[:-1])))
+    return fs[keep], np.bincount(ds_[keep], minlength=n).astype(np.int64)
+
+
+def _char_shingle_hashes(texts, k: int = 5) -> list[np.ndarray]:
+    """Per-doc arrays of hashed k-char shingles (compat wrapper over the
+    flat kernel — np.split returns zero-copy views)."""
+    flat, counts = _shingle_hashes_flat(texts, k)
+    if not len(counts):
+        return []
+    return np.split(flat, np.cumsum(counts)[:-1])
 
 
 class MinHasher:
@@ -147,17 +224,16 @@ class MinHasher:
             v = splitmix64(x[None, :] * self.a[:, None] + self.b[:, None])
         return v.min(axis=1)
 
-    def _oph_signatures(self, sh: list[np.ndarray]) -> np.ndarray:
-        """Cross-doc vectorized OPH: one flat hash pass, one sort +
-        segmented min, then vectorized rotation densification."""
-        n = len(sh)
+    def _oph_signatures(self, flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Cross-doc vectorized OPH over the flat segmented shingle-hash
+        array: one hash pass, one sort + segmented min, then vectorized
+        rotation densification."""
+        n = len(lens)
         m = self.n_perm
         sig = np.full((n, m), UINT64_MAX, np.uint64)
-        lens = np.array([len(s) for s in sh], np.int64)
         total = int(lens.sum())
         if total == 0:
             return sig
-        flat = np.concatenate([s for s in sh if len(s)])
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
         with np.errstate(over="ignore"):
             g = splitmix64(flat ^ self.oph_seed)
@@ -185,14 +261,14 @@ class MinHasher:
         return sig
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(self.text_col).combine_chunks().to_numpy(zero_copy_only=False)
-        sh = _char_shingle_hashes(texts, self.k)
+        flat, lens = _shingle_hashes_flat(tbl.column(self.text_col), self.k)
         if self.scheme == "oph":
-            sigs = self._oph_signatures(sh)
+            sigs = self._oph_signatures(flat, lens)
         else:
             # classic path (measured BASELINE §5.4: per-doc unique +
             # one (n_perm, u) broadcast per doc beats a flat-buffer
             # variant 1.6× — but OPH above beats both at O(u))
+            sh = np.split(flat, np.cumsum(lens)[:-1]) if len(lens) else []
             sigs = (
                 np.stack([self.signature(s) for s in sh])
                 if len(sh)
@@ -595,21 +671,17 @@ def _shingle_row_stage(need_ref, shingle_k: int, id_col: str, text_col: str):
             return pa.table(
                 {"doc": pa.array([], pa.int64()), "sh": pa.array([], pa.large_list(pa.int64()))}
             )
-        texts = (
-            tbl.column(text_col)
-            .combine_chunks()
-            .take(pa.array(rows_idx))
-            .to_numpy(zero_copy_only=False)
-        )
-        sh = [np.unique(s).astype(np.int64) for s in _char_shingle_hashes(texts, shingle_k)]
-        offs = np.zeros(len(sh) + 1, np.int64)
-        offs[1:] = np.cumsum([len(s) for s in sh])
-        values = np.concatenate(sh) if sh else np.zeros(0, np.int64)
+        texts = tbl.column(text_col).combine_chunks().take(pa.array(rows_idx))
+        flat, cnt = _shingle_hashes_flat(texts, shingle_k)
+        values, ucnt = _unique_per_doc(flat, cnt)
+        offs = np.zeros(len(ucnt) + 1, np.int64)
+        np.cumsum(ucnt, out=offs[1:])
         return pa.table(
             {
                 "doc": pa.array(ids[rows_idx].astype(np.int64)),
                 "sh": pa.LargeListArray.from_arrays(
-                    pa.array(offs, pa.int64()), pa.array(values, pa.int64())
+                    pa.array(offs, pa.int64()),
+                    pa.array(values.astype(np.int64), pa.int64()),
                 ),
             }
         )
@@ -695,19 +767,16 @@ def _verify_jaccard_grouped(
         )
         if not len(rows_idx):
             return empty
-        texts = (
-            tbl.column(text_col)
-            .combine_chunks()
-            .take(pa.array(rows_idx))
-            .to_numpy(zero_copy_only=False)
-        )
-        sh = [np.unique(s) for s in _char_shingle_hashes(texts, shingle_k)]
+        texts = tbl.column(text_col).combine_chunks().take(pa.array(rows_idx))
+        flat, cnt = _shingle_hashes_flat(texts, shingle_k)
+        uvals, ucnt = _unique_per_doc(flat, cnt)
+        sh = np.split(uvals.astype(np.int64), np.cumsum(ucnt)[:-1])
         out_vb, out_id, offs, vals = [], [], [0], []
         for i, ri in enumerate(rows_idx):
             for j in range(left[ri], right[ri]):  # one row per needed bucket
                 out_vb.append(nvb[j])
                 out_id.append(ids[ri])
-                vals.append(sh[i].astype(np.int64))
+                vals.append(sh[i])
                 offs.append(offs[-1] + len(sh[i]))
         values = np.concatenate(vals) if vals else np.zeros(0, np.int64)
         return pa.table(

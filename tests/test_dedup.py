@@ -266,3 +266,45 @@ def test_minhash_dedup_distributed_components_equivalent(corpus_ds):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_shingle_flat_kernel_edge_cases():
+    """The flat-buffer shingle kernel must reproduce the per-doc kernel
+    exactly: empty docs, sub-k docs (single whole-doc hash), exactly-k,
+    multibyte UTF-8, nulls (as empty), and sliced arrays (offset!=0)."""
+    from approximate_quantiles_ray.functions.hashing import splitmix64
+    from approximate_quantiles_ray.pipelines.dedup import (
+        _shingle_hashes_flat,
+        _unique_per_doc,
+    )
+
+    def per_doc(texts, k=5):
+        out = []
+        for t in texts:
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if len(b) == 0:
+                out.append(np.zeros(0, np.uint64))
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(b, min(k, len(b)))
+            with np.errstate(over="ignore"):
+                acc = np.zeros(len(win), np.uint64)
+                for j in range(win.shape[1]):
+                    acc = acc * np.uint64(1099511628211) + win[:, j].astype(np.uint64)
+                out.append(splitmix64(acc))
+        return out
+
+    cases = ["", "a", "abcd", "abcde", "abcdef", "héllo wörld", "日本語テキスト", "aaaaaaa"]
+    arr = pa.array(cases + [None], pa.string())
+    flat, counts = _shingle_hashes_flat(arr, 5)
+    ref = per_doc(cases + [""], 5)
+    assert np.array_equal(flat, np.concatenate(ref))
+    assert counts.tolist() == [len(r) for r in ref]
+
+    sliced = arr.slice(2, 5)
+    f2, c2 = _shingle_hashes_flat(sliced, 5)
+    assert np.array_equal(f2, np.concatenate(per_doc(cases[2:7], 5)))
+
+    uvals, ucnt = _unique_per_doc(flat, counts)
+    offs = np.concatenate(([0], np.cumsum(ucnt)))
+    for i, r in enumerate(ref):
+        assert np.array_equal(uvals[offs[i] : offs[i + 1]], np.unique(r))
