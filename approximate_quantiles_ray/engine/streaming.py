@@ -469,6 +469,194 @@ def stream_sessions(ds, key_cols: list[str], batch_size: int = 8192,
     return df
 
 
+def _keyed_interval_sweep(
+    codes: np.ndarray,
+    starts: np.ndarray,
+    lasts: np.ndarray,
+    counts: np.ndarray,
+    gap: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-key gap-interval merge, fully vectorized across ALL keys.
+
+    Maps every key's intervals onto a disjoint coordinate range
+    (``code * span`` offset), then runs ONE global cummax sweep — no
+    per-key Python. Falls back to chunking by key code if the offset
+    would overflow int64 (spans × #keys ≥ 2^62). Inputs need not be
+    sorted; outputs are sorted by (code, start) with disjoint intervals
+    per key (gap-exclusive: ``next.start > prev.last + gap``).
+    """
+    n = len(codes)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    gmin = int(starts.min())
+    span = int(lasts.max()) - gmin + 2 * int(gap) + 2
+    n_codes = int(codes.max()) + 1
+    if span * n_codes < (1 << 62):
+        off = codes.astype(np.int64) * np.int64(span)
+        s = starts.astype(np.int64) - gmin + off
+        l_ = lasts.astype(np.int64) - gmin + off
+        order = np.argsort(s, kind="stable")
+        s, l_, c = s[order], l_[order], counts[order].astype(np.int64)
+        cummax = np.maximum.accumulate(l_)
+        new_grp = np.ones(n, bool)
+        new_grp[1:] = s[1:] > cummax[:-1] + gap
+        gidx = np.flatnonzero(new_grp)
+        out_s = s[gidx]
+        # last of each merged group = running max at the group's end
+        gend = np.append(gidx[1:], n) - 1
+        out_l = cummax[gend]
+        out_c = np.add.reduceat(c, gidx)
+        out_codes = (out_s // span).astype(np.int64)
+        off_out = out_codes * np.int64(span)
+        return out_codes, out_s - off_out + gmin, out_l - off_out + gmin, out_c
+    # chunked fallback: process key-code ranges small enough to offset
+    chunk = max(1, ((1 << 62) // span) - 1)
+    outs = []
+    for lo in range(0, n_codes, chunk):
+        m = (codes >= lo) & (codes < lo + chunk)
+        if not m.any():
+            continue
+        oc, os_, ol, on = _keyed_interval_sweep(
+            codes[m] - lo, starts[m], lasts[m], counts[m], gap
+        )
+        outs.append((oc + lo, os_, ol, on))
+    return tuple(np.concatenate(parts) for parts in zip(*outs))  # type: ignore[return-value]
+
+
+def stream_sessions_distributed(
+    ds,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_us: int = 1_800_000_000,
+    driver_cap: int = 1 << 22,
+) -> pd.DataFrame:
+    """DISTRIBUTED session windows — the scale path for
+    ``stream_sessions``'s unbounded-lateness (exact) configuration.
+
+    Session windows are MERGEABLE: a session is a gap-connected interval
+    union, and interval-union-with-gap is associative and commutative.
+    So each block reduces its events to per-key merged intervals
+    (one vectorized sweep — ``_keyed_interval_sweep``), only interval
+    rows (keys, start, last, n) leave the block, and a fold re-sweeps:
+
+    - ≤ ``driver_cap`` partial rows: one driver-side vectorized sweep;
+    - above the cap: Ray range-sort by (key, start) → per-block local
+      sweep → the only intervals that can straddle a block boundary are
+      each block's first/last per key, stitched on the driver (same
+      pattern as engine/segmented.py); middle intervals are final.
+
+    Equals the replay engine (``stream_sessions``) exactly when no event
+    is late there — i.e. the unbounded-lateness oracle configuration.
+    Tight-watermark semantics are inherently arrival-order-dependent and
+    stay on the replay engine.
+    """
+    import pyarrow.compute as pc
+
+    gap = int(gap_us)
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            cols = {c: tbl.column(c) for c in key_cols}
+            cols.update(
+                start_us=pa.array([], pa.int64()),
+                last_us=pa.array([], pa.int64()),
+                n=pa.array([], pa.int64()),
+            )
+            return pa.table(cols)
+        ts = tbl.column(ts_col).combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        ts = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(key_cols) == 1:
+            codes, uniq = pd.factorize(
+                tbl.column(key_cols[0]).combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            uniq_cols = {key_cols[0]: np.asarray(uniq)}
+        else:
+            arrays = [
+                tbl.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+                for c in key_cols
+            ]
+            codes, uniq = pd.MultiIndex.from_arrays(arrays).factorize()
+            uniq_cols = {c: np.asarray(uniq.get_level_values(i)) for i, c in enumerate(key_cols)}
+        oc, os_, ol, on = _keyed_interval_sweep(
+            codes.astype(np.int64), ts, ts, np.ones(len(ts), np.int64), gap
+        )
+        out = {c: pa.array(uniq_cols[c][oc]) for c in key_cols}
+        out.update(
+            start_us=pa.array(os_), last_us=pa.array(ol), n=pa.array(on)
+        )
+        return pa.table(out)
+
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    part = part.materialize()
+    n_part = part.count()
+
+    def _sweep_df(df: pd.DataFrame) -> pd.DataFrame:
+        if len(key_cols) == 1:
+            codes, uniq = pd.factorize(df[key_cols[0]].to_numpy())
+            uniq_cols = {key_cols[0]: np.asarray(uniq)}
+        else:
+            codes, uniq = pd.MultiIndex.from_frame(df[key_cols]).factorize()
+            uniq_cols = {c: np.asarray(uniq.get_level_values(i)) for i, c in enumerate(key_cols)}
+        oc, os_, ol, on = _keyed_interval_sweep(
+            codes.astype(np.int64),
+            df["start_us"].to_numpy(np.int64),
+            df["last_us"].to_numpy(np.int64),
+            df["n"].to_numpy(np.int64),
+            gap,
+        )
+        out = pd.DataFrame({c: uniq_cols[c][oc] for c in key_cols})
+        out["session_start_us"] = os_
+        out["session_end_us"] = ol
+        out["n_events"] = on
+        return out
+
+    if n_part <= driver_cap:
+        out = _sweep_df(part.to_pandas())
+    else:
+        # range-sort interval rows; after a per-block sweep only each
+        # block's first/last interval per key can merge across blocks
+        srt = part.sort(key_cols + ["start_us"])
+        finals: list[pd.DataFrame] = []
+        boundary: list[pd.DataFrame] = []
+
+        def split_block(df: pd.DataFrame) -> pd.DataFrame:
+            sw = _sweep_df(df)
+            sw = sw.sort_values(key_cols + ["session_start_us"]).reset_index(drop=True)
+            grp = sw.groupby(key_cols, sort=False)
+            first_last = grp.head(1).index.union(grp.tail(1).index)
+            is_bnd = sw.index.isin(first_last)
+            sw["_bnd"] = is_bnd
+            return sw
+
+        swept = srt.map_batches(split_block, batch_format="pandas")
+        for b in swept.iter_batches(batch_format="pandas", batch_size=1 << 16):
+            finals.append(b[~b["_bnd"]].drop(columns="_bnd"))
+            boundary.append(b[b["_bnd"]].drop(columns="_bnd"))
+        bnd = pd.concat(boundary, ignore_index=True) if boundary else pd.DataFrame(
+            columns=key_cols + ["session_start_us", "session_end_us", "n_events"]
+        )
+        bnd = bnd.rename(
+            columns={"session_start_us": "start_us", "session_end_us": "last_us", "n_events": "n"}
+        )
+        stitched = _sweep_df(bnd) if len(bnd) else bnd.rename(
+            columns={"start_us": "session_start_us", "last_us": "session_end_us", "n": "n_events"}
+        )
+        out = pd.concat(finals + [stitched], ignore_index=True)
+
+    if not len(out):
+        cols = {c: pd.Series(dtype=object) for c in key_cols}
+        cols.update(
+            session_start_us=pd.Series(dtype=np.int64),
+            session_end_us=pd.Series(dtype=np.int64),
+            n_events=pd.Series(dtype=np.int64),
+        )
+        out = pd.DataFrame(cols)
+    return out.sort_values(key_cols + ["session_start_us"]).reset_index(drop=True)
+
+
 def stream_keyed_windows(ds, specs, key_cols: list[str], batch_size: int = 8192,
                          **agg_kwargs) -> pd.DataFrame:
     """Replay a Dataset through the keyed streaming aggregator: one row

@@ -71,12 +71,20 @@ def events_sessions(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US) -> pd.Dat
     return out.sort_values("user_id").reset_index(drop=True)
 
 
-def events_sessions_stream(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US) -> pd.DataFrame:
-    """The STREAMING session-window engine, oracle-checked against the
-    same LAG SQL as the batch path: replay events through per-user
-    gap-based session windows with unbounded lateness (nothing
-    finalizes early → exact), then reduce finalized sessions to
-    (user_id, n_events, n_sessions).
+def events_sessions_stream(
+    sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US, engine: str = "distributed"
+) -> pd.DataFrame:
+    """Session-window engine, oracle-checked against the same LAG SQL
+    as the batch path, then reduced to (user_id, n_events, n_sessions).
+
+    ``engine="distributed"`` (default, the scale path): session windows
+    are mergeable gap-interval unions, so each block reduces to per-key
+    merged intervals and a fold re-sweeps
+    (engine/streaming.stream_sessions_distributed) — events never reach
+    the driver. ``engine="replay"`` drives the micro-batch
+    SessionStreamAggregator with unbounded lateness (nothing finalizes
+    early → exact); both produce identical sessions (equivalence is
+    pytest-gated in tests/test_streaming.py).
 
     Equivalence note: a session's event count by interval merging
     equals the batch rule's (gap > timeout ⇒ break) when "extends"
@@ -84,12 +92,20 @@ def events_sessions_stream(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US) ->
     batch break is strict (>), so the streaming gap uses the same
     convention (events exactly timeout apart stay in one session).
     """
-    from approximate_quantiles_ray.engine.streaming import stream_sessions
+    from approximate_quantiles_ray.engine.streaming import (
+        stream_sessions,
+        stream_sessions_distributed,
+    )
 
     ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    sess = stream_sessions(
-        ds, ["user_id"], ts_col="ts", gap_us=timeout_us, allowed_lateness_us=1 << 62
-    )
+    if engine == "distributed":
+        sess = stream_sessions_distributed(
+            ds, ["user_id"], ts_col="ts", gap_us=timeout_us
+        )
+    else:
+        sess = stream_sessions(
+            ds, ["user_id"], ts_col="ts", gap_us=timeout_us, allowed_lateness_us=1 << 62
+        )
     if not len(sess):
         return pd.DataFrame(
             {

@@ -250,3 +250,104 @@ def test_session_windows_partitioned_merge():
     d = feed([200_000], ["a"])
     c.merge(d)
     assert c.late_by_key == {("a",): 1}
+
+
+def _ref_keyed_sweep(codes, starts, lasts, counts, gap):
+    """Per-key reference interval merge (plain Python)."""
+    out = []
+    for k in np.unique(codes):
+        m = codes == k
+        ivs = sorted(zip(starts[m], lasts[m], counts[m]))
+        cur = None
+        for s, l, c in ivs:
+            if cur is not None and s <= cur[1] + gap:
+                cur = (cur[0], max(cur[1], l), cur[2] + c)
+            else:
+                if cur is not None:
+                    out.append((k, *cur))
+                cur = (s, l, c)
+        if cur is not None:
+            out.append((k, *cur))
+    return sorted(out)
+
+
+def test_keyed_interval_sweep_matches_reference():
+    from approximate_quantiles_ray.engine.streaming import _keyed_interval_sweep
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = 500
+        codes = rng.integers(0, 20, n)
+        starts = rng.integers(0, 100_000, n)
+        lasts = starts + rng.integers(0, 500, n)
+        counts = rng.integers(1, 5, n)
+        gap = int(rng.integers(1, 1000))
+        oc, os_, ol, on = _keyed_interval_sweep(
+            codes.astype(np.int64), starts.astype(np.int64),
+            lasts.astype(np.int64), counts.astype(np.int64), gap
+        )
+        got = sorted(zip(oc.tolist(), os_.tolist(), ol.tolist(), on.tolist()))
+        assert got == _ref_keyed_sweep(codes, starts, lasts, counts, gap)
+
+
+def test_stream_sessions_distributed_matches_replay(ray_session):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.streaming import (
+        stream_sessions,
+        stream_sessions_distributed,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": rng.integers(0, 40, n),
+            "ts": rng.integers(0, 10_000_000, n).astype("int64"),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    gap = 50_000
+    replay = stream_sessions(ds, ["k"], ts_col="ts", gap_us=gap, allowed_lateness_us=1 << 62)
+    replay = replay.sort_values(["k", "session_start_us"]).reset_index(drop=True)
+    for cap in (1 << 22, 0):  # driver sweep AND the Ray sort+stitch path
+        dist = stream_sessions_distributed(ds, ["k"], ts_col="ts", gap_us=gap, driver_cap=cap)
+        pd.testing.assert_frame_equal(
+            dist.astype({"k": np.int64}),
+            replay[["k", "session_start_us", "session_end_us", "n_events"]].astype(
+                {"k": np.int64}
+            ),
+            check_dtype=False,
+        )
+
+
+def test_stream_sessions_distributed_multi_key(ray_session):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.streaming import (
+        stream_sessions,
+        stream_sessions_distributed,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    tbl = pa.table(
+        {
+            "a": rng.choice(["x", "y", "z"], n),
+            "b": rng.integers(0, 5, n),
+            "ts": rng.integers(0, 2_000_000, n).astype("int64"),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    gap = 20_000
+    replay = stream_sessions(
+        ds, ["a", "b"], ts_col="ts", gap_us=gap, allowed_lateness_us=1 << 62
+    ).sort_values(["a", "b", "session_start_us"]).reset_index(drop=True)
+    dist = stream_sessions_distributed(ds, ["a", "b"], ts_col="ts", gap_us=gap)
+    pd.testing.assert_frame_equal(
+        dist.astype({"b": np.int64}),
+        replay[["a", "b", "session_start_us", "session_end_us", "n_events"]].astype(
+            {"b": np.int64}
+        ),
+        check_dtype=False,
+    )
