@@ -99,21 +99,42 @@ def tool_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
-def latency_quantiles_exact(sf_dir: str) -> pd.DataFrame:
+def latency_quantiles_exact(sf_dir: str, layout: str = "auto") -> pd.DataFrame:
     """Element-exact quantiles of inter-turn latency (µs).
 
-    Plan: narrow projection at the read → one (conv_id, turn_idx) range
-    sort → fused segmented lag + per-block gap value counts with
-    boundary stitching (engine/segmented.py segmented_gap_hist — no
-    per-group Python calls, no row-scale intermediate) → distributed
-    histogram quantile selection (relational.quantiles_from_histogram)
-    with the stitched boundary gaps folded into the driver walk.
+    ``layout="auto"`` (default): run over the cached conv_id-bucketed
+    layout (sources/bucketed.py — buckets own whole conversations, so
+    per-bucket gap histograms are complete with zero shuffles and zero
+    boundary stitching), building it on first use; the same layout is
+    shared with transcript_report's latency sketches. ``layout="sort"``
+    forces the one-shot plan: (conv_id, turn_idx) range sort → fused
+    segmented lag + per-block gap value counts with boundary stitching
+    (engine/segmented.segmented_gap_hist). Both feed the distributed
+    histogram quantile selection (relational.quantiles_from_histogram).
     """
-    from approximate_quantiles_ray.engine.segmented import segmented_gap_hist
     from approximate_quantiles_ray.pipelines.relational import quantiles_from_histogram
 
-    ds = read_transcripts_ds(sf_dir, ["conv_id", "turn_idx", "ts"])
-    hist, boundary = segmented_gap_hist(ds)
+    boundary = None
+    if layout in ("auto", "bucketed"):
+        try:
+            from approximate_quantiles_ray.sources.bucketed import (
+                ensure_bucketed,
+                gap_hist_bucketed,
+            )
+
+            root = ensure_bucketed(transcripts_dir_for(sf_dir))
+            hist = gap_hist_bucketed(root)
+        except Exception:
+            if layout == "bucketed":
+                raise
+            hist = None
+    else:
+        hist = None
+    if hist is None:
+        from approximate_quantiles_ray.engine.segmented import segmented_gap_hist
+
+        ds = read_transcripts_ds(sf_dir, ["conv_id", "turn_idx", "ts"])
+        hist, boundary = segmented_gap_hist(ds)
     out = quantiles_from_histogram(
         hist, "gap_us", LATENCY_QS, extra_values=boundary, pre_grouped=False
     )

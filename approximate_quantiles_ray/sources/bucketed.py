@@ -171,6 +171,73 @@ def latency_sketches_bucketed(bucket_root: str, specs, scale: float = 1e-6):
     return merged
 
 
+class BucketGapHist:
+    """map_batches task over bucket dirs: read one bucket, local
+    (conv, turn) lexsort, vectorized inter-turn gap diff, reduce to the
+    bucket's distinct (gap_us, n) value counts. Buckets hold whole
+    conversations by construction, so no block-boundary gaps exist —
+    the histogram partials are complete without any stitching."""
+
+    def __init__(self, key: str = "conv_id", order: str = "turn_idx", ts: str = "ts"):
+        self.key = key
+        self.order = order
+        self.ts = ts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        gap_col, n_col = [], []
+        for d in batch.column("path").to_pylist():
+            tbl = pq.read_table(d, columns=[self.key, self.order, self.ts], use_threads=False)
+            if tbl.num_rows < 2:
+                continue
+            conv = tbl.column(self.key).combine_chunks().to_numpy(zero_copy_only=False)
+            turn = tbl.column(self.order).combine_chunks().to_numpy(zero_copy_only=False)
+            ts = (
+                tbl.column(self.ts)
+                .combine_chunks()
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            order = np.lexsort((turn, conv))
+            conv, ts = conv[order], ts[order]
+            same = conv[1:] == conv[:-1]
+            gaps = (ts[1:] - ts[:-1])[same]
+            if not len(gaps):
+                continue
+            vals, counts = np.unique(gaps, return_counts=True)
+            gap_col.append(vals)
+            n_col.append(counts.astype(np.int64))
+        if not gap_col:
+            return pa.table(
+                {"gap_us": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "gap_us": pa.array(np.concatenate(gap_col)),
+                "n": pa.array(np.concatenate(n_col)),
+            }
+        )
+
+
+def gap_hist_bucketed(bucket_root: str, key: str = "conv_id",
+                      order: str = "turn_idx", ts: str = "ts"):
+    """Distributed (gap_us, n) histogram partials over a bucketed layout
+    — zero shuffles and zero boundary stitching (vs the global range
+    sort of engine/segmented.segmented_gap_hist). Feed the returned
+    Dataset to relational.quantiles_from_histogram(pre_grouped=False)."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
+    dirs = bucket_dirs(bucket_root)
+    if not dirs:
+        raise ValueError(f"no bucket=* dirs under {bucket_root}")
+    return rd.from_items([{"path": d} for d in dirs]).map_batches(
+        worker_cached_stage(BucketGapHist, key=key, order=order, ts=ts),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+
+
 class BucketGroupedSketcher:
     """map_batches task over bucket dirs: per-group sketches WITHOUT a
     shuffle — groups are wholly contained in their bucket (bucket key =

@@ -91,3 +91,25 @@ def test_bucketed_grouped_sketches_match_shuffle_grouped(bucketed_root):
         assert b.est_value_at_quantile(0.5) == pytest.approx(
             a.est_value_at_quantile(0.5), rel=0.02, abs=1.0
         ), conv
+
+
+def test_bucketed_gap_hist_quantiles_match_segmented(bucketed_root):
+    """Exact latency quantiles over the bucketed layout must equal the
+    range-sort + boundary-stitch plan element-for-element."""
+    import pandas as pd
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.segmented import segmented_gap_hist
+    from approximate_quantiles_ray.pipelines.relational import quantiles_from_histogram
+    from approximate_quantiles_ray.sources.bucketed import gap_hist_bucketed
+
+    src, out = bucketed_root
+    qs = (0.5, 0.9, 0.99)
+    a = quantiles_from_histogram(gap_hist_bucketed(out), "gap_us", qs, pre_grouped=False)
+    hist, boundary = segmented_gap_hist(
+        rd.read_parquet(src, columns=["conv_id", "turn_idx", "ts"])
+    )
+    b = quantiles_from_histogram(
+        hist, "gap_us", qs, extra_values=boundary, pre_grouped=False
+    )
+    pd.testing.assert_frame_equal(a, b)
