@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 GAP, HEAD, TAIL = 0, 1, 2
 # single-row block: its head and tail are the SAME physical row — emit
@@ -477,3 +478,170 @@ def segmented_gap_sketches(
             for sk in merged.values():
                 sk.update(vals)
     return merged
+
+
+def segmented_rolling_max(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+) -> pd.DataFrame:
+    """Per-key MAX of the ordered rolling sum (``ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW``) — the window-function family (running /
+    rolling aggregates over a partitioned order) the reference lacks,
+    distributed on the segmented-lag pattern.
+
+    Plan: ONE (key, order) range sort → per-batch vectorized rolling
+    sums (cumsum difference with per-key clipping — no Python row loop)
+    → per-batch per-key max partials. The only rows whose window can
+    straddle a batch boundary are the first ``window-1`` rows of a
+    batch's first key (their predecessors are the previous batch's last
+    key's last ``window-1`` rows), so each batch emits those as SUSPECT
+    rows (excluded from its partial max) plus its last key's last
+    ``window-1`` rows as TAIL context; the driver replays only this
+    O(window · #batches) boundary stream per key — a sliding deque of
+    the true immediate predecessors — to correct suspect values, then
+    folds partial maxes adaptively. SQL-equivalent (oracle-gated):
+    ``MAX(SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW))``.
+
+    Requires ``order_cols`` to be a total order within each key
+    (include a unique tiebreaker, e.g. an event id) — rolling sums over
+    ties are otherwise order-dependent. Key and order/value columns
+    must be integer-valued (int64 µs timestamps, int cents).
+    """
+    from collections import deque
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    o1, o2 = order_cols[0], order_cols[1] if len(order_cols) > 1 else None
+
+    out_schema = pa.schema(
+        [
+            pa.field("kind", pa.int8()),  # 0 = per-key max partial, 1 = boundary
+            pa.field("key", pa.int64()),
+            pa.field("a", pa.int64()),  # partial: max_roll; boundary: order1
+            pa.field("b", pa.int64()),  # boundary: order2 (tiebreak)
+            pa.field("v", pa.int64()),  # boundary: row value
+            pa.field("sus", pa.bool_()),
+        ]
+    )
+
+    def block_fn(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        k = tbl.column(key_col).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        a1 = tbl.column(o1).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        a2 = (
+            tbl.column(o2).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if o2 is not None
+            else np.zeros(n, np.int64)
+        )
+        v = tbl.column(value_col).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+        change = np.ones(n, bool)
+        change[1:] = k[1:] != k[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_len = np.diff(np.append(seg_first, n))
+        seg_start = np.repeat(seg_first, seg_len)
+        cs = np.cumsum(v)
+        idx = np.arange(n, dtype=np.int64)
+        ws = np.maximum(idx - window + 1, seg_start)
+        r = cs - np.where(ws > 0, cs[np.maximum(ws - 1, 0)], 0)
+
+        n_sus = min(window - 1, int(seg_len[0]))
+        suspect = idx < n_sus
+        n_tail = min(window - 1, int(seg_len[-1]))
+        tail = idx >= n - n_tail
+        bnd = suspect | tail
+
+        ok = ~suspect
+        kk, rr = k[ok], r[ok]
+        parts = []
+        if len(kk):
+            ch = np.ones(len(kk), bool)
+            ch[1:] = kk[1:] != kk[:-1]
+            st = np.flatnonzero(ch)
+            parts.append(
+                {
+                    "kind": np.zeros(len(st), np.int8),
+                    "key": kk[st],
+                    "a": np.maximum.reduceat(rr, st),
+                    "b": np.zeros(len(st), np.int64),
+                    "v": np.zeros(len(st), np.int64),
+                    "sus": np.zeros(len(st), bool),
+                }
+            )
+        bi = np.flatnonzero(bnd)
+        if len(bi):
+            parts.append(
+                {
+                    "kind": np.ones(len(bi), np.int8),
+                    "key": k[bi],
+                    "a": a1[bi],
+                    "b": a2[bi],
+                    "v": v[bi],
+                    "sus": suspect[bi],
+                }
+            )
+        cols = {
+            name: np.concatenate([p[name] for p in parts]) for name in out_schema.names
+        }
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in out_schema], schema=out_schema
+        )
+
+    mat = (
+        ds.sort([key_col] + order_cols)
+        .map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    part = mat.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 0)).select(["key", "a"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    folded = adaptive_grouped_agg(part, ["key"], {"a": "max"})
+
+    bnd = mat.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 1)).select(
+            ["key", "a", "b", "v", "sus"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    corrected: dict[int, int] = {}
+    if window > 1 and len(bnd):
+        bnd = bnd.sort_values(["key", "a", "b"])
+        dq: deque = deque(maxlen=window - 1)
+        cur = None
+        for key, sus, val in zip(
+            bnd["key"].to_numpy(), bnd["sus"].to_numpy(), bnd["v"].to_numpy()
+        ):
+            if key != cur:
+                dq.clear()
+                cur = key
+            if sus:
+                roll = int(val) + sum(dq)
+                if key not in corrected or roll > corrected[key]:
+                    corrected[key] = roll
+            dq.append(int(val))
+
+    out = folded.rename(columns={"a": "max_roll"})
+    if corrected:
+        cdf = pd.DataFrame(
+            {"key": list(corrected.keys()), "max_roll": list(corrected.values())}
+        )
+        out = (
+            pd.concat([out, cdf], ignore_index=True)
+            .groupby("key", as_index=False)["max_roll"]
+            .max()
+        )
+    out["max_roll"] = out["max_roll"].astype(np.int64)
+    out = out.rename(columns={"key": key_col})
+    return out.sort_values(key_col).reset_index(drop=True)

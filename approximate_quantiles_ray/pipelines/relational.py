@@ -853,3 +853,49 @@ ORACLE_SQL["parts_by_brand"] = """
     FROM part GROUP BY p_brand ORDER BY p_brand
 """
 QUERIES["parts_by_brand"] = parts_by_brand
+
+
+def events_user_rolling_peak(sf_dir: str, window: int = 3) -> pd.DataFrame:
+    """WINDOW-FUNCTION pipeline (oracle-matched): each user's peak
+    rolling-``window``-event value sum, ordered by (ts, event_id) —
+    the ``MAX(SUM(v) OVER (PARTITION BY ... ORDER BY ... ROWS BETWEEN
+    2 PRECEDING AND CURRENT ROW))`` shape, distributed on
+    engine/segmented.segmented_rolling_max (one range sort, per-batch
+    vectorized rolling sums, O(window · #batches) boundary correction).
+    Money in per-element-rounded int64 cents for hash stability.
+    """
+    from approximate_quantiles_ray.engine.segmented import segmented_rolling_max
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def project(tbl: pa.Table) -> pa.Table:
+        t = int_cents(tbl, "value", "cents")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").combine_chunks().cast(pa.int64()),
+                "event_id": t.column("event_id"),
+                "cents": t.column("cents"),
+            }
+        )
+
+    out = segmented_rolling_max(
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col="cents",
+        window=window,
+    )
+    return out.rename(columns={"max_roll": "peak_roll_cents"})
+
+
+ORACLE_SQL["events_user_rolling_peak"] = """
+    SELECT user_id, CAST(MAX(roll) AS BIGINT) AS peak_roll_cents FROM (
+        SELECT user_id,
+               SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll
+        FROM events
+    ) GROUP BY user_id ORDER BY user_id
+"""
+QUERIES["events_user_rolling_peak"] = events_user_rolling_peak

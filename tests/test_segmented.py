@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from approximate_quantiles_ray.sources.transcripts import ensure_transcripts
@@ -179,3 +180,41 @@ def test_hash_keyed_sort_matches_string_sort(ray_session):
         return np.sort(np.concatenate([interior, bnd]))
 
     np.testing.assert_array_equal(gaps_of(False), gaps_of(True))
+
+
+@pytest.mark.parametrize("window", [1, 2, 3, 8])
+def test_segmented_rolling_max_matches_pandas(ray_session, window):
+    """Distributed rolling-peak vs a pandas groupby-rolling reference on
+    skewed random data across many partitions — batch boundaries land
+    inside keys, so the suspect/tail stitch path is exercised."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.segmented import segmented_rolling_max
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    tbl = pa.table(
+        {
+            "k": np.sort(rng.choice([1, 2, 3, 5, 8, 13], n)).astype(np.int64),
+            "o1": rng.integers(0, 500, n).astype(np.int64),
+            "o2": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(16)
+    got = segmented_rolling_max(ds, "k", ["o1", "o2"], "v", window)
+
+    df = tbl.to_pandas().sort_values(["k", "o1", "o2"]).reset_index(drop=True)
+    roll = (
+        df.groupby("k")["v"]
+        .rolling(window, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+    )
+    want = (
+        df.assign(roll=roll.astype(np.int64))
+        .groupby("k", as_index=False)["roll"]
+        .max()
+        .rename(columns={"roll": "max_roll"})
+    )
+    pd.testing.assert_frame_equal(got, want.astype({"max_roll": np.int64}))
