@@ -101,3 +101,57 @@ def heavy_hitters(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def grouped_top_rows(
+    ds,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    k: int,
+    extra_cols: list[str] | None = None,
+) -> "pd.DataFrame":
+    """Exact top-k ROWS per group (the ``ROW_NUMBER() OVER (PARTITION BY
+    g ORDER BY v DESC, tie ASC) <= k`` family): each block reduces to
+    its own per-group top-k (one lexsort + segmented rank mask — no
+    per-group Python), so at most ``k × #groups`` rows leave any block;
+    the driver applies the same selection to the concatenated partials.
+    Deterministic under ties via ``tiebreak_col`` (must be unique per
+    group). Values and tiebreaks must be integer-valued.
+
+    Top-k-per-group is a monotone selection: a row in the global top-k
+    of its group is necessarily in its block's top-k, so the partial
+    reduction is lossless.
+    """
+    import pandas as pd
+
+    cols = [group_col, value_col, tiebreak_col] + list(extra_cols or [])
+
+    def block_topk(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return tbl.select(cols)
+        g = tbl.column(group_col).combine_chunks().to_numpy(zero_copy_only=False)
+        v = tbl.column(value_col).combine_chunks().to_numpy(zero_copy_only=False)
+        t = tbl.column(tiebreak_col).combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -v, g))
+        gs = g[order]
+        change = np.ones(n, bool)
+        change[1:] = gs[1:] != gs[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_start = np.repeat(seg_first, np.diff(np.append(seg_first, n)))
+        rank = np.arange(n) - seg_start
+        take = order[rank < k]
+        return tbl.select(cols).take(pa.array(take))
+
+    part = ds.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+    df = part.to_pandas()
+    if not len(df):
+        return df
+    df = df.sort_values(
+        [group_col, value_col, tiebreak_col], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    rnk = df.groupby(group_col).cumcount() + 1
+    out = df[rnk <= k].copy()
+    out["rnk"] = rnk[rnk <= k].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -899,3 +899,54 @@ ORACLE_SQL["events_user_rolling_peak"] = """
     ) GROUP BY user_id ORDER BY user_id
 """
 QUERIES["events_user_rolling_peak"] = events_user_rolling_peak
+
+
+def segment_top_orders(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-N ROWS (oracle-matched): the k highest-value orders
+    per market segment — the ``ROW_NUMBER() OVER (PARTITION BY seg
+    ORDER BY cents DESC, key ASC) <= k`` window shape. Customer
+    (custkey → segment) is a broadcast lookup joined inside each orders
+    block (engine/broadcast.BroadcastJoiner — no shuffle); per-block
+    per-group top-k partials bound what leaves a block to k × #segments
+    rows (engine/topk.grouped_top_rows)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from approximate_quantiles_ray.engine.broadcast import broadcast_join
+    from approximate_quantiles_ray.engine.topk import grouped_top_rows
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def project(tbl: pa.Table) -> pa.Table:
+        t = int_cents(tbl, "o_totalprice", "total_cents")
+        return t.select(["o_orderkey", "o_custkey", "total_cents"])
+
+    joined = broadcast_join(
+        orders.map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
+        cust,
+        left_key="o_custkey",
+        right_key="c_custkey",
+        how="inner",
+    )
+    out = grouped_top_rows(
+        joined, "c_mktsegment", "total_cents", "o_orderkey", k=k
+    )
+    out = out[["c_mktsegment", "rnk", "o_orderkey", "total_cents"]]
+    return out.sort_values(["c_mktsegment", "rnk"]).reset_index(drop=True)
+
+
+ORACLE_SQL["segment_top_orders"] = """
+    SELECT c_mktsegment, rnk, o_orderkey, total_cents FROM (
+        SELECT c.c_mktsegment, o.o_orderkey,
+               CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS total_cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY CAST(ROUND(o.o_totalprice*100) AS BIGINT) DESC,
+                            o.o_orderkey ASC) AS rnk
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
+"""
+QUERIES["segment_top_orders"] = segment_top_orders

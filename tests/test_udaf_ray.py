@@ -150,3 +150,33 @@ def test_tree_merge_matches_streaming_fold(ray_session):
         for q in (0.1, 0.5, 0.99):
             x, y = a[key].est_value_at_quantile(q), b[key].est_value_at_quantile(q)
             assert abs(x - y) / max(1.0, abs(x)) < 0.05, (key, q)
+
+
+def test_grouped_top_rows_matches_pandas(ray_session):
+    """Per-group top-k row selection vs a pandas ROW_NUMBER reference,
+    with duplicate values (tiebreak determinism) across partitions."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.topk import grouped_top_rows
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    tbl = pa.table(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], n),
+            "v": rng.integers(0, 50, n).astype(np.int64),  # many ties
+            "tie": rng.permutation(n).astype(np.int64),
+            "payload": rng.integers(0, 10, n).astype(np.int64),
+        }
+    )
+    got = grouped_top_rows(
+        rd.from_arrow(tbl).repartition(8), "g", "v", "tie", k=5, extra_cols=["payload"]
+    )
+    df = tbl.to_pandas().sort_values(["g", "v", "tie"], ascending=[True, False, True])
+    rnk = df.groupby("g").cumcount() + 1
+    want = df[rnk <= 5].assign(rnk=rnk[rnk <= 5].astype(np.int64)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "v", "tie", "payload", "rnk"]], want[["g", "v", "tie", "payload", "rnk"]]
+    )
