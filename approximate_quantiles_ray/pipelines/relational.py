@@ -950,3 +950,57 @@ ORACLE_SQL["segment_top_orders"] = """
     ) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
 """
 QUERIES["segment_top_orders"] = segment_top_orders
+
+
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """SEMI-STRUCTURED extraction (oracle-matched): parse the JSON
+    ``props`` payload per event and aggregate the extracted integer
+    field per event type. Extraction is one vectorized Arrow
+    ``extract_regex`` kernel per block (no Python row loop, no JSON
+    library in the hot path — the field grammar is regular); rows whose
+    props lack the field count as ``n_missing`` (NULL-safe, matching
+    SQL json_extract semantics). Per-block Arrow group_by partials +
+    adaptive fold, as everywhere.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(tbl.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        t = pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "k": k,
+                "missing": pc.cast(pc.is_null(k), pa.int64()),
+            }
+        )
+        agg = t.group_by(["event_type"]).aggregate(
+            [([], "count_all"), ("k", "sum"), ("k", "min"), ("k", "max"), ("missing", "sum")]
+        )
+        return agg.rename_columns(
+            ["event_type", "n_events", "k_sum", "k_min", "k_max", "n_missing"]
+        )
+
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(
+        part,
+        ["event_type"],
+        {"n_events": "sum", "k_sum": "sum", "k_min": "min", "k_max": "max", "n_missing": "sum"},
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_SQL["events_props_stats"] = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           MIN(k) AS k_min, MAX(k) AS k_max,
+           CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_missing
+    FROM (
+        SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ) GROUP BY event_type ORDER BY event_type
+"""
+QUERIES["events_props_stats"] = events_props_stats
