@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from approximate_quantiles_ray.pipelines import (
             dedup,
             multimodal,
+            sampling,
             sessions,
             similarity,
             windows,
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q.update(windows.QUERIES)
         q.update(sessions.QUERIES)
         q.update(multimodal.QUERIES)
+        q.update(sampling.QUERIES)
     except ImportError:
         pass
     return q
@@ -159,13 +161,20 @@ def oracle_sql() -> dict[str, str]:
     # use (generated on demand — oracle_sql() may be called first)
     sqls.update(te.oracle_sql(_ORACLE_SF_DIR))
     try:
-        from approximate_quantiles_ray.pipelines import dedup, sessions, similarity, windows
+        from approximate_quantiles_ray.pipelines import (
+            dedup,
+            sampling,
+            sessions,
+            similarity,
+            windows,
+        )
 
         sqls.update(dedup.ORACLE_SQL)
         sqls.update(similarity.ORACLE_SQL)
         sqls.update(windows.ORACLE_SQL)
         sqls.update(windows.oracle_sql(_ORACLE_SF_DIR))
         sqls.update(sessions.ORACLE_SQL)
+        sqls.update(sampling.ORACLE_SQL)
     except ImportError:
         pass
     return sqls

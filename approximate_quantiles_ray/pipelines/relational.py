@@ -1004,3 +1004,142 @@ ORACLE_SQL["events_props_stats"] = """
     ) GROUP BY event_type ORDER BY event_type
 """
 QUERIES["events_props_stats"] = events_props_stats
+
+
+def supplier_volume_by_nation(sf_dir: str) -> pd.DataFrame:
+    """FACT-DRIVEN MULTI-WAY JOIN (oracle-matched; TPC-H Q5 shape on
+    the supplier side): lineitem ⋈ supplier ⋈ nation ⋈ region, revenue
+    rolled up per (region, nation).
+
+    Scale plan: lineitem is the 100 TB fact table and ONLY it streams —
+    supplier/nation/region are true dimension tables (TPC-H supplier is
+    1e4×SF rows) shipped once via ``ray.put`` and probed per batch
+    (chained broadcast joins, zero shuffle). Revenue is per-element
+    ``round(extprice*(1-discount)*100)`` in int64 cents with
+    half-away-from-zero rounding — the exact arithmetic DuckDB's ROUND
+    uses — so the sum is order-insensitive and hash-stable. Per-block
+    Arrow group_by partials bound the fold input to #blocks × (#region
+    × #nation) rows.
+    """
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray.engine.broadcast import broadcast_join
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    line = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def revenue_cents(tbl: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.multiply(
+                tbl.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), tbl.column("l_discount")),
+            ),
+            pa.scalar(100.0),
+        )
+        cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_suppkey": tbl.column("l_suppkey"), "cents": cents})
+
+    fact = line.map_batches(revenue_cents, batch_format="pyarrow", zero_copy_batch=True)
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    joined = broadcast_join(fact, supplier, "l_suppkey", "s_suppkey")
+    joined = broadcast_join(joined, nation, "s_nationkey", "n_nationkey")
+    joined = broadcast_join(joined, region, "n_regionkey", "r_regionkey")
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["r_name", "n_name"]).aggregate([([], "count_all"), ("cents", "sum")])
+        return agg.rename_columns(["r_name", "n_name", "n_items", "revenue_cents"])
+
+    part = joined.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(
+        part, ["r_name", "n_name"], {"n_items": "sum", "revenue_cents": "sum"}
+    )
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+ORACLE_SQL["supplier_volume_by_nation"] = """
+    SELECT r_name, n_name, COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+QUERIES["supplier_volume_by_nation"] = supplier_volume_by_nation
+
+
+def events_value_histogram(sf_dir: str, width: float = 10.0) -> pd.DataFrame:
+    """FIXED-WIDTH HISTOGRAM (oracle-matched): bucket = floor(value/w),
+    per-bucket row count and exact int64-cents sum. The canonical
+    distribution-profiling pass over a fact column: one streaming
+    map_batches with per-block Arrow group_by partials (fold input is
+    #blocks × #buckets rows — tiny), never a sort, never a full
+    shuffle. Bucketing before any exchange is the same pattern a 100 TB
+    profile job needs.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value")
+        bucket = pc.cast(pc.floor(pc.divide(v, pa.scalar(width))), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(v, pa.scalar(100.0)), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        t = pa.table({"bucket": bucket, "cents": cents})
+        agg = t.group_by(["bucket"]).aggregate([([], "count_all"), ("cents", "sum")])
+        return agg.rename_columns(["bucket", "n", "value_cents"])
+
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(part, ["bucket"], {"n": "sum", "value_cents": "sum"})
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+ORACLE_SQL["events_value_histogram"] = """
+    SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY bucket ORDER BY bucket
+"""
+QUERIES["events_value_histogram"] = events_value_histogram
+
+
+def events_user_distinct(sf_dir: str) -> pd.DataFrame:
+    """EXACT DISTRIBUTED DISTINCT (oracle-matched): per event type, the
+    exact number of distinct users plus total event count.
+
+    Two-level reduction: each block collapses to its distinct
+    (event_type, user_id) pairs with a partial count (Arrow group_by —
+    the dedup happens *before* any exchange, so the wide step moves at
+    most #blocks × #distinct-pairs rows, not #events), then
+    ``adaptive_distinct_stats`` combines pairs and counts level-1 rows
+    per type. This is the scale answer for COUNT(DISTINCT) when the
+    distinct domain fits a shuffle; the HLL sketch path
+    (`transcripts.transcript_report`) is the constant-memory
+    alternative when it doesn't.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_distinct_stats
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["event_type", "user_id", "n_events"])
+
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_distinct_stats(part, ["event_type"], "user_id", {"n_events": "sum"})
+    out = out.rename(columns={"n_distinct": "n_users"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_SQL["events_user_distinct"] = """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+QUERIES["events_user_distinct"] = events_user_distinct

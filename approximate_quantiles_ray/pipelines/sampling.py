@@ -1,0 +1,168 @@
+"""Deterministic distributed sampling operators (Ray Data).
+
+A 100 TB training-data pipeline samples constantly — subset selection,
+per-source mixture weighting, eval holdouts, quick profiles. The
+operators here are built on one primitive that is *stateless,
+coordination-free and replayable*: a 32-bit multiplicative hash of the
+row's stable id. That gives three properties a `random()`-based sample
+can't offer at scale:
+
+- **embarrassingly parallel** — every block decides membership locally
+  with pure int64 arithmetic (no RNG state, no seed-per-worker
+  bookkeeping, no shuffle);
+- **replayable / resumable** — a re-run (or a retried task) selects the
+  EXACT same rows, so a failed sampling job can resume per partition;
+- **oracle-able** — the same arithmetic runs in ANSI SQL, so the sample
+  is bit-verifiable (the driver's hash gate) rather than only
+  statistically testable.
+
+Primitives:
+
+- :func:`hash32` — ``h(id) = ((id mod 2^31)·2654435761 + seed) mod
+  2^32`` (Knuth multiplicative hashing; the ``mod 2^31`` pre-reduction
+  keeps the int64 product overflow-free in BOTH numpy and SQL BIGINT).
+- :func:`bernoulli_mask` — keep iff ``h·1000 < rate_permille·2^32``:
+  an unbiased per-row coin with exactly reproducible membership.
+- bottom-k by hash (``docs_sample_bottomk``) — the k smallest hash
+  values form a uniform random k-subset WITHOUT coordination: this is
+  the mergeable equivalent of reservoir sampling (order statistics of
+  a uniform hash), combining as a trivial per-block top-k partial +
+  driver merge of #blocks × k rows.
+
+Reference relationship: the reference library (/root/reference, Rust
+sketches) has no sampling surface; these are the extension operators
+the task brief mandates for training-data pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+KNUTH = 2654435761  # 2^32 / golden ratio, Knuth multiplicative constant
+MOD32 = 1 << 32
+MOD31 = 1 << 31
+
+
+def hash32(ids: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Deterministic 32-bit mix of an int64 id column (vectorized).
+
+    ``((id mod 2^31) * KNUTH + seed) mod 2^32`` — every intermediate
+    fits int64 (2^31·KNUTH ≈ 5.7e18 < 2^63), so DuckDB BIGINT computes
+    the identical value and the sample is SQL-verifiable.
+    """
+    ids = ids.astype(np.int64, copy=False)
+    return ((ids % MOD31) * KNUTH + seed) % MOD32
+
+
+def bernoulli_mask(ids: np.ndarray, rate_permille: np.ndarray | int, seed: int = 42) -> np.ndarray:
+    """Keep-mask for a rate_permille/1000 hash-Bernoulli sample.
+
+    ``rate_permille`` may be a scalar or a per-row array (stratified
+    rates). Comparison is exact integer math: ``h·1000 <
+    rate·2^32``.
+    """
+    h = hash32(ids, seed)
+    rate = np.asarray(rate_permille, dtype=np.int64)
+    return h * 1000 < rate * MOD32
+
+
+def docs_stratified_sample(sf_dir: str, seed: int = 42) -> pd.DataFrame:
+    """STRATIFIED HASH SAMPLE (oracle-matched): per-source Bernoulli
+    rates — source ``srcN`` keeps ``((N mod 4)+1)·10``% of its docs —
+    then per-source sample aggregates (rows kept, chars kept).
+
+    This is the mixture-weighting pass of a training-data pipeline
+    (downsample over-represented crawls, keep rare sources whole). The
+    whole stage is one streaming ``map_batches``: membership is local
+    integer arithmetic per block (zero shuffle, zero state), the
+    per-source rollup is the usual per-block Arrow partial + adaptive
+    fold. Membership replays identically across retries/resumes and is
+    bit-verified against the same arithmetic in SQL.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def block_sample(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        src_num = pc.cast(pc.utf8_slice_codeunits(tbl.column("source"), 3, 32), pa.int64())
+        rates = (
+            src_num.combine_chunks().to_numpy(zero_copy_only=False) % 4 + 1
+        ) * 100  # permille
+        kept = tbl.append_column("rate_permille", pa.array(rates, pa.int64())).filter(
+            pa.array(bernoulli_mask(ids, rates, seed))
+        )
+        agg = kept.group_by(["source", "rate_permille"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        return agg.rename_columns(["source", "rate_permille", "n_kept", "chars_kept"])
+
+    part = ds.map_batches(block_sample, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(
+        part, ["source", "rate_permille"], {"n_kept": "sum", "chars_kept": "sum"}
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def docs_sample_bottomk(sf_dir: str, k: int = 16, seed: int = 42) -> pd.DataFrame:
+    """BOTTOM-K-BY-HASH UNIFORM SAMPLE (oracle-matched): the k docs
+    with the smallest ``hash32(doc_id)`` — a coordination-free uniform
+    k-subset (the distributed replacement for reservoir sampling:
+    order statistics of a uniform hash are a uniform sample, and
+    bottom-k sets MERGE by just keeping the k smallest again).
+
+    Scale shape: per-block bottom-k partials (numpy argpartition) →
+    driver merges #blocks × k candidate rows — never a sort of the
+    corpus, never more than k rows per block on the wire. Deterministic
+    tie-break (h asc, doc_id asc) keeps it hash-stable.
+    """
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def block_bottomk(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        h = hash32(ids, seed)
+        if len(ids) > k:
+            idx = np.argpartition(h, k)[:k]
+        else:
+            idx = np.arange(len(ids))
+        return pa.table(
+            {"doc_id": pa.array(ids[idx], pa.int64()), "h": pa.array(h[idx], pa.int64())}
+        )
+
+    cand = ds.map_batches(block_bottomk, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return (
+        cand.sort_values(["h", "doc_id"]).head(k).reset_index(drop=True)[["doc_id", "h"]]
+    )
+
+
+_H_SQL = f"((doc_id % {MOD31}) * {KNUTH} + 42) % {MOD32}"
+
+ORACLE_SQL = {
+    "docs_stratified_sample": f"""
+        SELECT source, rate_permille, COUNT(*) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        FROM (
+            SELECT source, n_chars,
+                   (CAST(SUBSTR(source, 4) AS BIGINT) % 4 + 1) * 100 AS rate_permille,
+                   {_H_SQL} AS h
+            FROM documents
+        ) WHERE h * 1000 < rate_permille * {MOD32}
+        GROUP BY source, rate_permille ORDER BY source
+    """,
+    "docs_sample_bottomk": f"""
+        SELECT doc_id, {_H_SQL} AS h
+        FROM documents ORDER BY h ASC, doc_id ASC LIMIT 16
+    """,
+}
+
+QUERIES = {
+    "docs_stratified_sample": docs_stratified_sample,
+    "docs_sample_bottomk": docs_sample_bottomk,
+}

@@ -412,3 +412,64 @@ QUERIES = {
     "docs_quality_ratios": docs_quality_ratios,
     "docs_fingerprints": docs_fingerprints,
 }
+
+
+def docs_vocab_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """CORPUS VOCABULARY TOP-K (oracle-matched): global token
+    frequencies over every document, deterministic top-k (count desc,
+    token asc).
+
+    The canonical wide-shuffle text job, built shuffle-light: each
+    block lowercases + regex-splits with Arrow kernels, flattens the
+    token lists, and collapses to its OWN (token, n) histogram via
+    ``value_counts`` before anything is exchanged — so the fold input
+    is #blocks × per-block-vocabulary, not total token count (at 100 TB
+    per-block vocab saturates near the language's vocabulary size while
+    token count keeps growing ~1000×). Above the fold cap the combine
+    is a Ray groupby keyed by token and only #blocks × k candidate rows
+    ever reach the driver (per-block top-k partials).
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def block_vocab(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(tbl.column("text")), "[^a-z]+")
+        flat = pc.list_flatten(toks.combine_chunks())
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    part = ds.map_batches(block_vocab, batch_format="pyarrow", zero_copy_batch=True)
+    folded, is_ds = adaptive_grouped_agg_ds(part, ["token"], {"n": "sum"})
+    if is_ds:
+        def block_topk(tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas()
+            return pa.Table.from_pandas(
+                df.sort_values(["n", "token"], ascending=[False, True]).head(k),
+                preserve_index=False,
+            )
+
+        folded = (
+            folded.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+    return (
+        folded.sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["docs_vocab_topk"] = docs_vocab_topk
+ORACLE_SQL["docs_vocab_topk"] = """
+    SELECT token, n FROM (
+        SELECT tok AS token, COUNT(*) AS n
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+            FROM documents
+        ) WHERE tok <> '' GROUP BY tok
+    ) ORDER BY n DESC, token ASC LIMIT 20
+"""
