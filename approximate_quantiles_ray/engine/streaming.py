@@ -667,6 +667,10 @@ def stream_keyed_windows(ds, specs, key_cols: list[str], batch_size: int = 8192,
     for batch in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
         rows.extend(agg.push(batch))
     rows.extend(agg.flush())
+    return _format_keyed_rows(rows, specs, key_cols, agg)
+
+
+def _format_keyed_rows(rows, specs, key_cols, agg) -> pd.DataFrame:
     out = []
     for r in rows:
         row = {"window_start_us": r["window_start_us"], "rows": r["rows"]}
@@ -695,6 +699,49 @@ def stream_keyed_windows(ds, specs, key_cols: list[str], batch_size: int = 8192,
     df.attrs["late_rows"] = agg.late_rows
     df.attrs["total_rows"] = agg.total_rows
     return df
+
+
+def stream_keyed_windows_distributed(ds, specs, key_cols: list[str],
+                                     batch_size: int = 8192,
+                                     **agg_kwargs) -> pd.DataFrame:
+    """DISTRIBUTED keyed streaming windows: every block replays through
+    its OWN :class:`KeyedStreamingWindowAggregator` inside ``map_batches``
+    (parallel, streaming, no shuffle — the per-window sketch/count state
+    is the only thing leaving a worker), the driver merges the #blocks
+    serialized aggregators with the partitioned-merge rules and flushes
+    once.
+
+    This is the multi-node shape of the streaming engine: state size per
+    worker is O(open windows × live keys × sketch size) and the driver
+    handles #blocks × that — never event rows. Worker aggregators run
+    with unbounded allowed-lateness so NO window finalizes before the
+    merge (finalize-early + merge is where partitioned streaming
+    double-counts; the merge rules route such state to the late side).
+    Consequently the result is the complete, exact window set — equal to
+    the sequential replay with unbounded lateness — and per-key
+    late-data accounting is only meaningful on the sequential path,
+    where a global arrival order exists.
+    """
+    from ray import cloudpickle as cp
+
+    kw = dict(agg_kwargs)
+    kw["allowed_lateness_us"] = 1 << 62  # workers must never finalize
+    kw.pop("batch_size", None)
+
+    def block_replay(tbl: pa.Table) -> pa.Table:
+        agg = KeyedStreamingWindowAggregator(specs, key_cols, **kw)
+        for off in range(0, tbl.num_rows, batch_size):
+            agg.push(tbl.slice(off, batch_size))
+        return pa.table({"blob": pa.array([cp.dumps(agg)], pa.large_binary())})
+
+    blobs = ds.map_batches(
+        block_replay, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    merged = KeyedStreamingWindowAggregator(specs, key_cols, **kw)
+    for row in blobs:
+        merged.merge(cp.loads(row["blob"]))
+    rows = merged.flush()
+    return _format_keyed_rows(rows, specs, key_cols, merged)
 
 
 def stream_windows(ds, specs, batch_size: int = 8192, **agg_kwargs) -> pd.DataFrame:

@@ -240,6 +240,31 @@ def events_sliding_stream_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
 
 
+def events_sliding_stream_counts_dist(sf_dir: str) -> pd.DataFrame:
+    """The SAME sliding-window computation through the DISTRIBUTED
+    streaming path (per-block aggregators replayed in map_batches, one
+    driver merge+flush of #blocks serialized states — event rows never
+    reach the driver), oracle-checked against the identical DuckDB
+    pane-offset expansion as the sequential replay."""
+    from approximate_quantiles_ray.engine.streaming import (
+        stream_keyed_windows_distributed,
+    )
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    df = stream_keyed_windows_distributed(
+        ds, [], ["event_type"], ts_col="ts",
+        window_us=3_600_000_000, slide_us=_SLIDE_US,
+    )
+    out = pd.DataFrame(
+        {
+            "window_start_us": df["window_start_us"].astype(np.int64),
+            "event_type": df["event_type"].astype(str),
+            "n_events": df["rows"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
+
+
 def oracle_sql(sf_dir: str) -> dict[str, str]:
     """sf-dir-dependent oracles (the transcript table lives under /tmp,
     not in the driver's pre-registered views)."""
@@ -278,6 +303,14 @@ ORACLE_SQL = {
                event_type, COUNT(*) AS n_events
         FROM e, offs GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "events_sliding_stream_counts_dist": f"""
+        WITH offs AS (SELECT UNNEST(range(0, 4)) AS i),
+        e AS (SELECT epoch_us(ts) AS t, event_type FROM events)
+        SELECT CAST((t // {_SLIDE_US}) * {_SLIDE_US} - i * {_SLIDE_US} AS BIGINT)
+                   AS window_start_us,
+               event_type, COUNT(*) AS n_events
+        FROM e, offs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "events_hourly_stats": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,
@@ -294,4 +327,5 @@ QUERIES = {
     "events_hourly_stream_counts": events_hourly_stream_counts,
     "events_hourly_keyed_stream_counts": events_hourly_keyed_stream_counts,
     "events_sliding_stream_counts": events_sliding_stream_counts,
+    "events_sliding_stream_counts_dist": events_sliding_stream_counts_dist,
 }

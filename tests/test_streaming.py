@@ -351,3 +351,74 @@ def test_stream_sessions_distributed_multi_key(ray_session):
         ),
         check_dtype=False,
     )
+
+
+def test_distributed_keyed_stream_equals_sequential(ray_session):
+    """Per-block aggregators merged on the driver must reproduce the
+    sequential replay exactly — counts AND sketch state — for tumbling
+    and sliding windows, on a multi-block, key-partitioned stream."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.streaming import (
+        stream_keyed_windows,
+        stream_keyed_windows_distributed,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 40_000
+    ts = rng.integers(0, 20 * WINDOW, n)  # unsorted arrival
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts.astype(np.int64), pa.int64()),
+            "v": pa.array(rng.lognormal(1, 0.5, n)),
+            "u": pa.array(rng.integers(0, 300, n).astype(np.int64)),
+            "k": pa.array(np.char.add("t", rng.integers(0, 5, n).astype(str))),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    for slide in (None, WINDOW // 4):
+        seq = stream_keyed_windows(
+            ds, _specs(), ["k"], batch_size=4096,
+            window_us=WINDOW, slide_us=slide, allowed_lateness_us=1 << 62,
+        )
+        dist = stream_keyed_windows_distributed(
+            ds, _specs(), ["k"], batch_size=4096,
+            window_us=WINDOW, slide_us=slide,
+        )
+        assert list(seq.columns) == list(dist.columns)
+        pd.testing.assert_frame_equal(
+            seq[["window_start_us", "k", "rows"]],
+            dist[["window_start_us", "k", "rows"]],
+        )
+        # sketch merges commute across the partitioning: HLL registers are
+        # max-merged (bit-exact under any split); t-digest medians agree
+        # within the sketch's own tolerance
+        assert np.allclose(seq["u_hll_est"], dist["u_hll_est"], rtol=0.15)
+        assert np.allclose(seq["v_td_p50"], dist["v_td_p50"], rtol=0.05)
+
+
+def test_distributed_stream_count_only_fast_path(ray_session):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.streaming import (
+        stream_keyed_windows,
+        stream_keyed_windows_distributed,
+    )
+
+    rng = np.random.default_rng(12)
+    n = 20_000
+    tbl = pa.table(
+        {
+            "ts": pa.array(rng.integers(0, 10 * WINDOW, n).astype(np.int64), pa.int64()),
+            "k": pa.array(np.char.add("e", rng.integers(0, 3, n).astype(str))),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(6)
+    seq = stream_keyed_windows(
+        ds, [], ["k"], window_us=WINDOW, allowed_lateness_us=1 << 62
+    )
+    dist = stream_keyed_windows_distributed(ds, [], ["k"], window_us=WINDOW)
+    pd.testing.assert_frame_equal(
+        seq[["window_start_us", "k", "rows"]], dist[["window_start_us", "k", "rows"]]
+    )
+    assert dist["rows"].sum() == n
