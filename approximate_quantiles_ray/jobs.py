@@ -121,6 +121,40 @@ def cmd_bucketize(args) -> None:
     _emit({"output": out, "key": args.key, "n_buckets": args.n_buckets}, None)
 
 
+def cmd_sample(args) -> None:
+    """Hash-Bernoulli sample a Parquet corpus and write the kept rows
+    as partitioned Parquet.
+
+    Membership is ``pipelines.sampling.bernoulli_mask`` — pure int64
+    arithmetic on the id column, so the stage is stateless, streaming
+    (one map_batches, no shuffle), and REPLAYABLE: a retried task or a
+    re-run keeps exactly the same rows, and the same predicate can
+    verify the output in SQL.
+    """
+    _ensure_ray()
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.sampling import bernoulli_mask
+
+    rate, seed, id_col = int(args.rate_permille), int(args.seed), args.id_col
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(bernoulli_mask(ids, rate, seed)))
+
+    ds = rd.read_parquet(args.input)
+    kept = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    kept.write_parquet(args.output)
+    import pyarrow.dataset as pads
+
+    n_kept = pads.dataset(args.output).count_rows()
+    _emit(
+        {"kept": n_kept, "rate_permille": rate, "seed": seed, "output": args.output},
+        None,
+    )
+
+
 def cmd_synth(args) -> None:
     from approximate_quantiles_ray.sources.transcripts import generate_transcripts
 
@@ -159,6 +193,14 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--key", default="conv_id")
     b.add_argument("--n-buckets", type=int, default=32)
     b.set_defaults(fn=cmd_bucketize)
+
+    sm = sub.add_parser("sample", help="hash-Bernoulli sample a corpus, write partitioned Parquet")
+    sm.add_argument("--input", required=True)
+    sm.add_argument("--output", required=True)
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--rate-permille", type=int, default=100)
+    sm.add_argument("--seed", type=int, default=42)
+    sm.set_defaults(fn=cmd_sample)
 
     s = sub.add_parser("synth", help="generate the deterministic synthetic transcript table")
     s.add_argument("--out", required=True)

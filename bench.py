@@ -117,12 +117,19 @@ def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
         bench_queries.update(textstats.QUERIES)
         bench_queries.update(te.QUERIES)
         try:
-            from approximate_quantiles_ray.pipelines import dedup, sessions, similarity, windows
+            from approximate_quantiles_ray.pipelines import (
+                dedup,
+                sampling,
+                sessions,
+                similarity,
+                windows,
+            )
 
             bench_queries.update(dedup.QUERIES)
             bench_queries.update(similarity.QUERIES)
             bench_queries.update(windows.QUERIES)
             bench_queries.update(sessions.QUERIES)
+            bench_queries.update(sampling.QUERIES)
         except ImportError:
             pass
         # best-of-2 per query: the sandbox VM's host load drifts on a

@@ -97,3 +97,32 @@ def test_bucketize(cli_table, capsys):
     dirs = bucket_dirs(out)
     assert len(dirs) == 4
     assert sum(pads.dataset(d).count_rows() for d in dirs) == pads.dataset(table).count_rows()
+
+
+def test_sample_cli_replayable(ray_session, tmp_path_factory, capsys):
+    """sample job keeps the hash-selected rows, writes partitioned
+    Parquet, and a re-run selects the identical set (replayability)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray import jobs
+    from approximate_quantiles_ray.pipelines.sampling import bernoulli_mask
+
+    root = tmp_path_factory.mktemp("sample")
+    src = str(root / "docs.parquet")
+    ids = np.arange(5000, dtype=np.int64)
+    pq.write_table(pa.table({"doc_id": ids, "n_chars": ids % 97}), src)
+
+    out1, out2 = str(root / "out1"), str(root / "out2")
+    jobs.main(["sample", "--input", src, "--output", out1,
+               "--rate-permille", "200", "--seed", "7"])
+    capsys.readouterr()
+    jobs.main(["sample", "--input", src, "--output", out2,
+               "--rate-permille", "200", "--seed", "7"])
+
+    got1 = sorted(pads.dataset(out1).to_table().column("doc_id").to_pylist())
+    got2 = sorted(pads.dataset(out2).to_table().column("doc_id").to_pylist())
+    want = sorted(ids[bernoulli_mask(ids, 200, 7)].tolist())
+    assert got1 == want and got2 == want
+    assert abs(len(want) / 5000 - 0.2) < 0.02
