@@ -1253,3 +1253,200 @@ QUERIES = {
     "docs_minhash_clusters": docs_minhash_clusters,
     "docs_simhash_pairs": docs_simhash_pairs,
 }
+
+
+# ---------------------------------------------------- exact Jaccard join
+
+
+def _word_shingle_hashes_flat(col, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """All word-k-gram shingle hashes per doc, vectorized end-to-end:
+    Arrow whitespace split → one ``hash_strings`` pass over the flat
+    word column → FNV-polynomial rolling window over the word-hash
+    array with the same segmented-arange gather as the char kernel
+    (:func:`_shingle_hashes_flat`). Docs with fewer than ``k`` words
+    produce no shingles (mirrors the SQL twin's empty
+    ``range(1, len-k+2)``).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    words = pc.utf8_split_whitespace(col)
+    off = np.asarray(words.offsets).astype(np.int64)
+    wc = off[1:] - off[:-1]
+    counts = np.maximum(wc - k + 1, 0)
+    out_start = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=out_start[1:])
+    flat = np.empty(int(out_start[-1]), np.uint64)
+    if not len(flat):
+        return flat, counts
+    wh = hash_strings(pc.list_flatten(words))
+    long_idx = np.flatnonzero(wc >= k)
+    win = np.lib.stride_tricks.sliding_window_view(wh, k)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(len(win), np.uint64)
+        for j in range(k):
+            acc = acc * _FNV_PRIME + win[:, j]
+    lcnt = counts[long_idx]
+    within = np.arange(int(lcnt.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(lcnt) - lcnt, lcnt
+    )
+    src = np.repeat(off[:-1][long_idx], lcnt) + within
+    dst = np.repeat(out_start[:-1][long_idx], lcnt) + within
+    flat[dst] = splitmix64(acc[src])
+    return flat, counts
+
+
+def _pair_inter_counts(df: pd.DataFrame, hot_cap: int = 1 << 14) -> pd.DataFrame:
+    """(sh, doc) rows → (a, b, inter) co-occurrence partials via a
+    vectorized self-merge per shingle (a < b). Shingles shared by more
+    than ``hot_cap`` docs are dropped with a warning — a degenerate
+    stop-shingle would otherwise expand quadratically (same guard
+    philosophy as `_hot_bucket_pairs`)."""
+    sizes = df.groupby("sh")["doc"].transform("size")
+    if (sizes > hot_cap).any():
+        import warnings
+
+        warnings.warn(
+            f"jaccard join: dropping {int((sizes > hot_cap).sum())} rows in "
+            f"stop-shingles shared by >{hot_cap} docs",
+            stacklevel=2,
+        )
+        df = df[sizes <= hot_cap]
+    m = df.merge(df, on="sh")
+    m = m[m["doc_x"] < m["doc_y"]]
+    out = m.groupby(["doc_x", "doc_y"]).size().reset_index(name="inter")
+    return out.rename(columns={"doc_x": "a", "doc_y": "b"})
+
+
+def jaccard_similarity_join(
+    ds,
+    k: int = 5,
+    tau_permille: int = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = 1 << 22,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """EXACT n-gram Jaccard SIMILARITY JOIN: every doc pair whose
+    word-k-gram shingle-set Jaccard ≥ τ, with exact intersection /
+    union counts (integer permille — hash-stable, SQL-oracle-able —
+    unlike the probabilistic minhash/simhash paths, whose recall
+    depends on banding).
+
+    Plan: one vectorized map_batches pass emits per-doc DISTINCT
+    shingle-hash rows (sh, doc) — the blocking key IS the shingle, so
+    recall is exact: any pair with Jaccard > 0 shares a shingle.
+    Pair co-occurrence counting is adaptive:
+
+    - under ``cap`` rows the (sh, doc) table collapses on the driver
+      (same adaptive-fold philosophy as engine/folds);
+    - above it, rows shuffle ONCE by ``vb = sh mod n_buckets`` and each
+      super-bucket counts its complete shingle groups independently
+      (``groupby(vb).map_groups``) — partial (a, b, inter) rows then
+      fold by pair. Per-doc shingle counts fold by doc. Only verified
+      pair stats reach the driver.
+
+    Scale caveat (documented, by design): shingle-blocking is exact but
+    quadratic in docs-per-shingle; corpora with stop-shingles need the
+    ``hot_cap`` guard (dropped shingles only LOWER intersection counts)
+    or the minhash path. Reference relationship: none — the reference
+    library has no join surface; this implements the standard
+    prefix/blocking similarity-join shape (e.g. Vernica et al. 2010)
+    on Ray Data.
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    def shingle_rows(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        flat, counts = _word_shingle_hashes_flat(tbl.column(text_col), k)
+        values, ucnt = _unique_per_doc(flat, counts)
+        return pa.table(
+            {
+                "sh": pa.array(values.view(np.int64), pa.int64()),
+                "doc": pa.array(np.repeat(ids.astype(np.int64), ucnt)),
+            }
+        )
+
+    sh_ds = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+    mat = sh_ds.materialize()
+    if mat.count() <= cap:
+        df = mat.to_pandas()
+        inter = _pair_inter_counts(df)
+        n_sh = df.groupby("doc").size()
+    else:
+        nb = n_buckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+        def add_vb(tbl: pa.Table) -> pa.Table:
+            sh = tbl.column("sh").combine_chunks().to_numpy(zero_copy_only=False)
+            vb = (sh.view(np.uint64) % np.uint64(nb)).astype(np.int32)
+            return tbl.append_column("vb", pa.array(vb))
+
+        def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            return _pair_inter_counts(g[["sh", "doc"]])
+
+        part = (
+            mat.map_batches(add_vb, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("vb")
+            .map_groups(bucket_pairs, batch_format="pandas")
+        )
+        inter = adaptive_grouped_agg(part, ["a", "b"], {"inter": "sum"})
+
+        def doc_counts(tbl: pa.Table) -> pa.Table:
+            agg = tbl.group_by(["doc"]).aggregate([([], "count_all")])
+            return agg.rename_columns(["doc", "n_sh"])
+
+        nsh_df = adaptive_grouped_agg(
+            mat.map_batches(doc_counts, batch_format="pyarrow", zero_copy_batch=True),
+            ["doc"],
+            {"n_sh": "sum"},
+        )
+        n_sh = nsh_df.set_index("doc")["n_sh"]
+    if not len(inter):
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ("a", "b", "inter", "n_union", "jacc_permille")}
+        )
+    inter = inter.reset_index(drop=True)
+    un = (
+        n_sh.loc[inter["a"]].to_numpy() + n_sh.loc[inter["b"]].to_numpy() - inter["inter"]
+    )
+    out = inter.assign(
+        n_union=un.astype(np.int64),
+        jacc_permille=(1000 * inter["inter"] // un).astype(np.int64),
+    )
+    out = out[out["jacc_permille"] >= tau_permille]
+    return (
+        out.sort_values(["a", "b"])
+        .reset_index(drop=True)[["a", "b", "inter", "n_union", "jacc_permille"]]
+        .astype(np.int64)
+    )
+
+
+def docs_jaccard_join(sf_dir: str) -> pd.DataFrame:
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return jaccard_similarity_join(ds)
+
+
+ORACLE_SQL["docs_jaccard_join"] = r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), s AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS sh
+      FROM w, LATERAL (SELECT UNNEST(range(1, len(ws) - 3)) AS i) t
+    ), c AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+    i AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+      FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, inter,
+           ca.n_sh + cb.n_sh - inter AS n_union,
+           (1000 * inter) // (ca.n_sh + cb.n_sh - inter) AS jacc_permille
+    FROM i JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+    WHERE (1000 * inter) // (ca.n_sh + cb.n_sh - inter) >= 500 ORDER BY a, b
+"""
+QUERIES["docs_jaccard_join"] = docs_jaccard_join

@@ -1143,3 +1143,47 @@ ORACLE_SQL["events_user_distinct"] = """
     FROM events GROUP BY event_type ORDER BY event_type
 """
 QUERIES["events_user_distinct"] = events_user_distinct
+
+
+_RANK_PROBES = (10.0, 50.0, 100.0, 200.0, 400.0)
+
+
+def events_value_ranks(sf_dir: str) -> pd.DataFrame:
+    """EXACT RANK-AT-VALUE (oracle-matched): for each probe value, the
+    exact count of rows ≤ probe — the exact counterpart of the sketch
+    layer's ``est_quantile_at_value`` (reference
+    ``t_digest.rs:301-361`` rank query; the sketches answer this in
+    O(centroids), this pipeline answers it exactly in one streaming
+    pass). Per-block partials are five vectorized ``less_equal``
+    reductions (no sort, no shuffle); the fold sums #blocks × #probes
+    tiny rows.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value")
+        n = tbl.num_rows
+        rows = {
+            "probe": pa.array(_RANK_PROBES, pa.float64()),
+            "n_le": pa.array(
+                [pc.sum(pc.less_equal(v, pa.scalar(p))).as_py() or 0 for p in _RANK_PROBES],
+                pa.int64(),
+            ),
+            "n_total": pa.array([n] * len(_RANK_PROBES), pa.int64()),
+        }
+        return pa.table(rows)
+
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(part, ["probe"], {"n_le": "sum", "n_total": "sum"})
+    return out.sort_values("probe").reset_index(drop=True)
+
+
+ORACLE_SQL["events_value_ranks"] = """
+    SELECT probe, COUNT(*) FILTER (WHERE value <= probe) AS n_le,
+           COUNT(*) AS n_total
+    FROM events, (SELECT UNNEST([10.0, 50.0, 100.0, 200.0, 400.0]) AS probe)
+    GROUP BY probe ORDER BY probe
+"""
+QUERIES["events_value_ranks"] = events_value_ranks

@@ -308,3 +308,46 @@ def test_shingle_flat_kernel_edge_cases():
     offs = np.concatenate(([0], np.cumsum(ucnt)))
     for i, r in enumerate(ref):
         assert np.array_equal(uvals[offs[i] : offs[i + 1]], np.unique(r))
+
+
+def test_jaccard_join_paths_agree_and_find_planted(ray_session):
+    """Exact word-shingle similarity join: the driver (under-cap) and
+    super-bucket (over-cap) plans must produce identical pair tables,
+    and a planted near-dup pair must surface with high jaccard."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.dedup import jaccard_similarity_join
+
+    rng = np.random.default_rng(5)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"])
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(60)]
+    near = texts[7].split()
+    near[3] = "CHANGED"
+    texts.append(" ".join(near))  # doc 60 ≈ doc 7
+    tbl = pa.table({"doc_id": pa.array(np.arange(61, dtype=np.int64)), "text": texts})
+    ds = rd.from_arrow(tbl).repartition(5)
+
+    under = jaccard_similarity_join(ds, tau_permille=400)
+    over = jaccard_similarity_join(ds, tau_permille=400, cap=0)
+    pd.testing.assert_frame_equal(under, over)
+    planted = under[(under.a == 7) & (under.b == 60)]
+    assert len(planted) == 1
+    assert planted.jacc_permille.iloc[0] >= 700
+
+
+def test_jaccard_join_hot_shingle_guard_warns():
+    from approximate_quantiles_ray.pipelines.dedup import _pair_inter_counts
+
+    df = pd.DataFrame({"sh": np.zeros(40, np.int64), "doc": np.arange(40)})
+    with pytest.warns(UserWarning, match="stop-shingles"):
+        out = _pair_inter_counts(df, hot_cap=10)
+    assert len(out) == 0
+
+
+def test_word_shingles_short_docs_empty():
+    from approximate_quantiles_ray.pipelines.dedup import _word_shingle_hashes_flat
+
+    col = pa.array(["one two three four", "", "a b c d e", None])
+    flat, counts = _word_shingle_hashes_flat(col, k=5)
+    assert counts.tolist() == [0, 0, 1, 0]
+    assert len(flat) == 1
