@@ -487,3 +487,97 @@ def embeddings_knn_ivf(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["embeddings_knn_ivf"] = embeddings_knn_ivf
+
+
+class _LabelTop1:
+    """Worker-cached stage: per-block per-label argmax cosine score
+    against one broadcast query vector (deterministic tie-break)."""
+
+    def __init__(self, queries_ref):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qid = int(q["qids"][0])
+        self.qvec = _normalize(np.asarray(q["matrix"], np.float64))[0]
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+        labels = tbl.column("label").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table(
+                {"label": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        emb = _normalize(_embedding_matrix(tbl, "embedding"))
+        s = emb @ self.qvec
+        s = np.where(ids == self.qid, -np.inf, s)  # exclude the query itself
+        # per-label argmax with (score desc, vec_id asc) tie-break
+        order = np.lexsort((ids, -s))
+        lab_sorted = labels[order]
+        first = np.unique(lab_sorted, return_index=True)[1]
+        pick = order[first]
+        keep = s[pick] > -np.inf
+        return pa.table(
+            {
+                "label": pa.array(labels[pick][keep].astype(np.int64)),
+                "vec_id": pa.array(ids[pick][keep].astype(np.int64)),
+                "score": pa.array(s[pick][keep], pa.float64()),
+            }
+        )
+
+
+def embeddings_label_knn(sf_dir: str) -> pd.DataFrame:
+    """GROUPED exact nearest neighbor (oracle-matched): for every label,
+    the corpus vector closest (cosine) to query vec 0 — the per-class
+    retrieval shape (nearest in-class exemplar / per-source centroid
+    probe) of a curation pipeline.
+
+    One streaming pass: each block scores against the ONE broadcast
+    query (vectorized matmul, worker-cached stage) and keeps its
+    per-label argmax — #blocks × #labels candidate rows; the driver
+    picks the final per-label winner with the deterministic (score
+    desc, vec_id asc) tie-break. Scores round to 4 dp like the other
+    green ANN entry (same float-parity idiom vs DuckDB
+    ``list_cosine_similarity`` on DOUBLE[]).
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
+    qids, qmat = _load_queries(sf_dir)
+    qref = ray.put({"qids": qids[:1], "matrix": qmat[:1]})
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    part = ds.map_batches(
+        worker_cached_stage(_LabelTop1, queries_ref=qref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    win = (
+        part.sort_values(["label", "score", "vec_id"], ascending=[True, False, True])
+        .groupby("label", as_index=False)
+        .first()
+    )
+    win["score"] = win["score"].round(4)
+    win["label"] = win["label"].astype(np.int64)
+    return win.sort_values("label").reset_index(drop=True)[["label", "vec_id", "score"]]
+
+
+ORACLE_SQL["embeddings_label_knn"] = """
+    SELECT CAST(label AS BIGINT) AS label, vec_id, score FROM (
+        SELECT e.label, e.vec_id,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.label
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC
+               ) AS rank
+        FROM embeddings e, embeddings q
+        WHERE q.vec_id = (SELECT MIN(vec_id) FROM embeddings)
+          AND e.vec_id <> q.vec_id
+    ) WHERE rank = 1 ORDER BY label
+"""
+QUERIES["embeddings_label_knn"] = embeddings_label_knn
