@@ -16,9 +16,11 @@ import numpy as np
 from approximate_quantiles_ray.functions.hashing import double_hash, hash_any
 from approximate_quantiles_ray.sketches.base import pack_state, register_sketch, unpack_state
 
+from approximate_quantiles_ray.sketches.slotted import SlotState
+
 
 @register_sketch
-class BloomFilter:
+class BloomFilter(SlotState):
     name = "bloom"
 
     __slots__ = ("num_bits", "num_hashes", "seed", "bits", "_count")

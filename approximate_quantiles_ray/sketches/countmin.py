@@ -15,9 +15,11 @@ import numpy as np
 from approximate_quantiles_ray.functions.hashing import double_hash, hash_any
 from approximate_quantiles_ray.sketches.base import pack_state, register_sketch, unpack_state
 
+from approximate_quantiles_ray.sketches.slotted import SlotState
+
 
 @register_sketch
-class CountMinSketch:
+class CountMinSketch(SlotState):
     """Count-min sketch: width buckets x depth rows of int64 counters."""
 
     name = "countmin"

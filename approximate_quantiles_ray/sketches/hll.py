@@ -23,6 +23,8 @@ import numpy as np
 from approximate_quantiles_ray.functions.hashing import hash_any
 from approximate_quantiles_ray.sketches.base import pack_state, register_sketch, unpack_state
 
+from approximate_quantiles_ray.sketches.slotted import SlotState
+
 
 def _bit_length_u64(v: np.ndarray) -> np.ndarray:
     """Exact vectorized bit_length of a uint64 array (no float rounding)."""
@@ -78,7 +80,7 @@ def _tau(x: float) -> float:
 
 
 @register_sketch
-class HLL:
+class HLL(SlotState):
     """HyperLogLog with 2**p registers (default p=14 → ~0.8% rel. error)."""
 
     name = "hll"

@@ -44,6 +44,8 @@ import numpy as np
 
 from approximate_quantiles_ray.sketches.base import pack_state, register_sketch, unpack_state
 
+from approximate_quantiles_ray.sketches.slotted import SlotState
+
 _GOLDEN = 0x9E3779B97F4A7C15
 _MASK64 = (1 << 64) - 1
 
@@ -65,7 +67,7 @@ def _trailing_ones(x: int) -> int:
 
 
 @register_sketch
-class KLL:
+class KLL(SlotState):
     """Mergeable relative-compactor quantile sketch over float64 values."""
 
     name = "kll"

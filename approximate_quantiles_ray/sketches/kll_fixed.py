@@ -27,9 +27,11 @@ import numpy as np
 from approximate_quantiles_ray.sketches.base import pack_state, register_sketch, unpack_state
 from approximate_quantiles_ray.sketches.kll import _splitmix64_scalar, _trailing_ones
 
+from approximate_quantiles_ray.sketches.slotted import SlotState
+
 
 @register_sketch
-class KLLFixed:
+class KLLFixed(SlotState):
     name = "kll_fixed"
 
     __slots__ = ("input_length", "k", "buffer_size", "seed", "fast", "compaction",

@@ -40,6 +40,8 @@ import numpy as np
 from approximate_quantiles_ray.sketches.base import pack_state, register_sketch, unpack_state
 from approximate_quantiles_ray.sketches.scale_functions import SCALE_FUNCTIONS
 
+from approximate_quantiles_ray.sketches.slotted import SlotState
+
 
 def weighted_average(x1: float, w1: float, x2: float, w2: float) -> float:
     """Weighted mean clamped into [min(x1,x2), max(x1,x2)]
@@ -50,7 +52,7 @@ def weighted_average(x1: float, w1: float, x2: float, w2: float) -> float:
 
 
 @register_sketch
-class TDigest:
+class TDigest(SlotState):
     """Mergeable t-digest over float64 values."""
 
     name = "tdigest"
