@@ -1187,3 +1187,114 @@ ORACLE_SQL["events_value_ranks"] = """
     GROUP BY probe ORDER BY probe
 """
 QUERIES["events_value_ranks"] = events_value_ranks
+
+
+def orders_priority_pivot(sf_dir: str) -> pd.DataFrame:
+    """PIVOT / conditional aggregation (oracle-matched): one row per
+    order priority with the order count and revenue cents PER STATUS as
+    columns (the wide layout a report consumes).
+
+    Scale shape: the pivot happens AFTER the reduction — per-block
+    Arrow partials keyed by (priority, status), the adaptive fold, and
+    only the tiny folded frame (≤ 15 rows) reshapes on the driver.
+    Pivoting pre-reduction (a CASE column per status inside the scan)
+    would multiply the fact-table width for no gain.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        t = int_cents(tbl, "o_totalprice", "cents")
+        agg = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [([], "count_all"), ("cents", "sum")]
+        )
+        return agg.rename_columns(["o_orderpriority", "o_orderstatus", "n", "cents"])
+
+    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    folded = adaptive_grouped_agg(
+        part, ["o_orderpriority", "o_orderstatus"], {"n": "sum", "cents": "sum"}
+    )
+    wide = folded.pivot_table(
+        index="o_orderpriority",
+        columns="o_orderstatus",
+        values=["n", "cents"],
+        fill_value=0,
+        aggfunc="sum",
+    )
+    out = pd.DataFrame({"o_orderpriority": wide.index})
+    for status in ("F", "O", "P"):
+        n = wide["n"][status] if status in wide["n"] else 0
+        c = wide["cents"][status] if status in wide["cents"] else 0
+        out[f"n_{status}"] = np.asarray(n, np.int64)
+        out[f"cents_{status}"] = np.asarray(c, np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORACLE_SQL["orders_priority_pivot"] = """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS cents_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS cents_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS cents_P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+QUERIES["orders_priority_pivot"] = orders_priority_pivot
+
+
+def supplier_volume_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP hierarchy totals (oracle-matched): the
+    ``supplier_volume_by_nation`` aggregate re-emitted at three grains —
+    (region, nation), per-region subtotal, grand total — the GROUPING
+    SETS shape of a reporting pipeline.
+
+    The rollup is pure driver arithmetic over the ALREADY-FOLDED
+    (#regions × #nations)-row frame: hierarchy totals are sums of the
+    finest grain, so no second pass over the fact table ever runs —
+    exactly how a 100 TB engine should compute ROLLUP.
+    """
+    base = supplier_volume_by_nation(sf_dir)
+    nation_rows = base.assign(grain="nation")
+    region_rows = (
+        base.groupby("r_name", as_index=False)[["n_items", "revenue_cents"]]
+        .sum()
+        .assign(n_name="ALL", grain="region")
+    )
+    total_rows = pd.DataFrame(
+        {
+            "r_name": ["ALL"],
+            "n_name": ["ALL"],
+            "n_items": [base["n_items"].sum()],
+            "revenue_cents": [base["revenue_cents"].sum()],
+            "grain": ["total"],
+        }
+    )
+    out = pd.concat([nation_rows, region_rows, total_rows], ignore_index=True)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return (
+        out.sort_values(["r_name", "n_name"])
+        .reset_index(drop=True)[["r_name", "n_name", "n_items", "revenue_cents", "grain"]]
+    )
+
+
+ORACLE_SQL["supplier_volume_rollup"] = """
+    SELECT COALESCE(r_name, 'ALL') AS r_name,
+           COALESCE(n_name, 'ALL') AS n_name,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CASE WHEN r_name IS NULL THEN 'total'
+                WHEN n_name IS NULL THEN 'region' ELSE 'nation' END AS grain
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name, n_name
+"""
+QUERIES["supplier_volume_rollup"] = supplier_volume_rollup
