@@ -351,3 +351,53 @@ def test_word_shingles_short_docs_empty():
     flat, counts = _word_shingle_hashes_flat(col, k=5)
     assert counts.tolist() == [0, 0, 1, 0]
     assert len(flat) == 1
+
+
+def test_jaccard_join_matches_python_reference_random_corpora(ray_session):
+    """Randomized cross-validation: the distributed join must equal a
+    pure-Python set-based reference on random corpora, for EVERY
+    partition layout (1, 3, 8 blocks) — partition-count independence is
+    the core Ray Data invariant."""
+    import itertools
+
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.dedup import jaccard_similarity_join
+
+    k = 5
+    for trial in range(3):
+        rng = np.random.default_rng(100 + trial)
+        vocab = np.array([f"w{i}" for i in range(6 + trial * 3)])
+        n_docs = 30 + 10 * trial
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(2, 30)))  # some < k words
+            for _ in range(n_docs)
+        ]
+        # python reference: word-shingle sets, all-pairs exact jaccard
+        def shset(t):
+            ws = t.split()
+            return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+        sets = {i: shset(t) for i, t in enumerate(texts)}
+        want = []
+        for a, b in itertools.combinations(range(n_docs), 2):
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            un = len(sets[a]) + len(sets[b]) - inter
+            jp = 1000 * inter // un
+            if jp >= 300:
+                want.append((a, b, inter, un, jp))
+        want_df = (
+            pd.DataFrame(want, columns=["a", "b", "inter", "n_union", "jacc_permille"])
+            .astype(np.int64)
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        tbl = pa.table(
+            {"doc_id": pa.array(np.arange(n_docs, dtype=np.int64)), "text": texts}
+        )
+        for n_parts in (1, 3, 8):
+            ds = rd.from_arrow(tbl).repartition(n_parts)
+            got = jaccard_similarity_join(ds, tau_permille=300)
+            pd.testing.assert_frame_equal(got, want_df), (trial, n_parts)
