@@ -121,6 +121,37 @@ def cmd_bucketize(args) -> None:
     _emit({"output": out, "key": args.key, "n_buckets": args.n_buckets}, None)
 
 
+def cmd_simjoin(args) -> None:
+    """Exact word-shingle Jaccard similarity self-join over a corpus;
+    writes the verified (a, b, inter, n_union, jacc_permille) pair
+    table as Parquet. Shingle blocking gives exact recall at the
+    configured threshold; pair counting is adaptive (driver under the
+    fold cap, one super-bucket shuffle above) — see
+    pipelines/dedup.jaccard_similarity_join."""
+    _ensure_ray()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.dedup import jaccard_similarity_join
+
+    ds = rd.read_parquet(args.input)
+    pairs = jaccard_similarity_join(
+        ds,
+        k=int(args.shingle_words),
+        tau_permille=int(args.tau_permille),
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    import os
+
+    os.makedirs(args.output, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False),
+                   f"{args.output}/pairs.parquet")
+    _emit({"pairs": len(pairs), "tau_permille": int(args.tau_permille),
+           "output": args.output}, None)
+
+
 def cmd_sample(args) -> None:
     """Hash-Bernoulli sample a Parquet corpus and write the kept rows
     as partitioned Parquet.
@@ -193,6 +224,15 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--key", default="conv_id")
     b.add_argument("--n-buckets", type=int, default=32)
     b.set_defaults(fn=cmd_bucketize)
+
+    sj = sub.add_parser("simjoin", help="exact Jaccard similarity self-join, write verified pairs")
+    sj.add_argument("--input", required=True)
+    sj.add_argument("--output", required=True)
+    sj.add_argument("--id-col", default="doc_id")
+    sj.add_argument("--text-col", default="text")
+    sj.add_argument("--shingle-words", type=int, default=5)
+    sj.add_argument("--tau-permille", type=int, default=500)
+    sj.set_defaults(fn=cmd_simjoin)
 
     sm = sub.add_parser("sample", help="hash-Bernoulli sample a corpus, write partitioned Parquet")
     sm.add_argument("--input", required=True)

@@ -126,3 +126,25 @@ def test_sample_cli_replayable(ray_session, tmp_path_factory, capsys):
     want = sorted(ids[bernoulli_mask(ids, 200, 7)].tolist())
     assert got1 == want and got2 == want
     assert abs(len(want) / 5000 - 0.2) < 0.02
+
+
+def test_simjoin_cli(ray_session, tmp_path_factory, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray import jobs
+
+    root = tmp_path_factory.mktemp("simjoin")
+    src = str(root / "docs.parquet")
+    words = [f"w{i}" for i in range(20)]
+    base = " ".join(words)  # 16 shingles; one changed word → 11 shared → 524‰
+    texts = [base, base.replace("w3", "CHANGED"), "unrelated words only here now maybe"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": texts}), src
+    )
+    out = str(root / "pairs")
+    jobs.main(["simjoin", "--input", src, "--output", out, "--tau-permille", "300"])
+    pairs = pads.dataset(out).to_table().to_pandas()
+    assert len(pairs) == 1
+    assert (pairs.a.iloc[0], pairs.b.iloc[0]) == (0, 1)
+    assert pairs.jacc_permille.iloc[0] >= 300
