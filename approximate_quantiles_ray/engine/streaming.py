@@ -753,6 +753,49 @@ def stream_windows(ds, specs, batch_size: int = 8192, **agg_kwargs) -> pd.DataFr
     for batch in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
         rows.extend(agg.push(batch))
     rows.extend(agg.flush())
+    return _format_global_rows(rows, specs, agg)
+
+
+def stream_windows_distributed(ds, specs, batch_size: int = 8192,
+                               **agg_kwargs) -> pd.DataFrame:
+    """DISTRIBUTED global (non-keyed) streaming windows: each block
+    replays through its OWN :class:`StreamingWindowAggregator` inside
+    ``map_batches`` (parallel, no shuffle — only the serialized
+    per-window sketch/count state leaves a worker), then the driver
+    merges the #blocks aggregators with the partitioned-merge rules and
+    flushes once.
+
+    Worker aggregators run with unbounded allowed-lateness so NO window
+    finalizes before the merge (a pre-merge finalize is exactly the
+    double-count case the merge rules route to the late side), making
+    the result equal to a sequential replay with unbounded lateness.
+    Driver state is O(#blocks × open windows × sketch size) — never
+    event rows. Mirrors :func:`stream_keyed_windows_distributed` for
+    the keyed engine.
+    """
+    from ray import cloudpickle as cp
+
+    kw = dict(agg_kwargs)
+    kw["allowed_lateness_us"] = 1 << 62  # workers must never finalize
+    kw.pop("batch_size", None)
+
+    def block_replay(tbl: pa.Table) -> pa.Table:
+        agg = StreamingWindowAggregator(specs, **kw)
+        for off in range(0, tbl.num_rows, batch_size):
+            agg.push(tbl.slice(off, batch_size))
+        return pa.table({"blob": pa.array([cp.dumps(agg)], pa.large_binary())})
+
+    blobs = ds.map_batches(
+        block_replay, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    merged = StreamingWindowAggregator(specs, **kw)
+    for row in blobs:
+        merged.merge(cp.loads(row["blob"]))
+    rows = merged.flush()
+    return _format_global_rows(rows, specs, merged)
+
+
+def _format_global_rows(rows, specs, agg) -> pd.DataFrame:
     out = []
     for r in rows:
         row = {"window_start_us": r["window_start_us"], "rows": r["rows"]}

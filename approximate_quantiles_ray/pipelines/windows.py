@@ -192,6 +192,27 @@ def events_hourly_stream_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def events_hourly_stream_counts_dist(sf_dir: str) -> pd.DataFrame:
+    """The SAME hourly tumbling-window computation through the
+    DISTRIBUTED global streaming path (per-block aggregators replayed in
+    map_batches, one driver merge+flush of #blocks serialized states —
+    event rows never reach the driver), oracle-checked against the same
+    batch date_trunc SQL as the sequential replay."""
+    from approximate_quantiles_ray.engine.streaming import stream_windows_distributed
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts"])
+    df = stream_windows_distributed(ds, [], ts_col="ts", window_us=3_600_000_000)
+    out = pd.DataFrame(
+        {
+            "window_start": pd.to_datetime(df["window_start_us"], unit="us").astype(
+                "datetime64[us]"
+            ),
+            "n_events": df["rows"].astype(np.int64),
+        }
+    )
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 def events_hourly_keyed_stream_counts(sf_dir: str) -> pd.DataFrame:
     """The KEYED streaming engine (per event_type state), oracle-checked
     against the batch grouping: replay events through hourly tumbling
@@ -288,6 +309,10 @@ ORACLE_SQL = {
         SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "events_hourly_stream_counts_dist": """
+        SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
     "events_hourly_keyed_stream_counts": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events
@@ -325,6 +350,7 @@ QUERIES = {
     "transcript_daily_text_len": transcript_daily_text_len,
     "transcript_daily_exact": transcript_daily_exact,
     "events_hourly_stream_counts": events_hourly_stream_counts,
+    "events_hourly_stream_counts_dist": events_hourly_stream_counts_dist,
     "events_hourly_keyed_stream_counts": events_hourly_keyed_stream_counts,
     "events_sliding_stream_counts": events_sliding_stream_counts,
     "events_sliding_stream_counts_dist": events_sliding_stream_counts_dist,

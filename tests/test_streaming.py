@@ -422,3 +422,52 @@ def test_distributed_stream_count_only_fast_path(ray_session):
         seq[["window_start_us", "k", "rows"]], dist[["window_start_us", "k", "rows"]]
     )
     assert dist["rows"].sum() == n
+
+
+def test_distributed_global_stream_equals_sequential(ray_session):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.streaming import stream_windows_distributed
+
+    rng = np.random.default_rng(13)
+    n = 40_000
+    tbl = pa.table(
+        {
+            "ts": pa.array(rng.integers(0, 20 * WINDOW, n).astype(np.int64), pa.int64()),
+            "v": pa.array(rng.lognormal(1, 0.5, n)),
+            "u": pa.array(rng.integers(0, 300, n).astype(np.int64)),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    seq = stream_windows(
+        ds, _specs(), batch_size=4096, window_us=WINDOW, allowed_lateness_us=1 << 62
+    )
+    dist = stream_windows_distributed(ds, _specs(), batch_size=4096, window_us=WINDOW)
+    assert list(seq.columns) == list(dist.columns)
+    pd.testing.assert_frame_equal(
+        seq[["window_start_us", "rows"]], dist[["window_start_us", "rows"]]
+    )
+    assert dist["rows"].sum() == n
+    # HLL register max-merge is bit-exact under any partitioning; the
+    # t-digest median agrees within the sketch's own tolerance
+    assert np.allclose(seq["u_hll_est"], dist["u_hll_est"], rtol=1e-12)
+    assert np.allclose(seq["v_td_p50"], dist["v_td_p50"], rtol=0.05)
+
+
+def test_distributed_global_stream_count_only(ray_session):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.streaming import stream_windows_distributed
+
+    rng = np.random.default_rng(14)
+    n = 10_000
+    tbl = pa.table(
+        {"ts": pa.array(rng.integers(0, 6 * WINDOW, n).astype(np.int64), pa.int64())}
+    )
+    ds = rd.from_arrow(tbl).repartition(5)
+    seq = stream_windows(ds, [], window_us=WINDOW, allowed_lateness_us=1 << 62)
+    dist = stream_windows_distributed(ds, [], window_us=WINDOW)
+    pd.testing.assert_frame_equal(
+        seq[["window_start_us", "rows"]], dist[["window_start_us", "rows"]]
+    )
+    assert dist["rows"].sum() == n
