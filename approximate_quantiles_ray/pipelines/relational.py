@@ -1298,3 +1298,380 @@ ORACLE_SQL["supplier_volume_rollup"] = """
     GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name, n_name
 """
 QUERIES["supplier_volume_rollup"] = supplier_volume_rollup
+
+
+_Q3_CUTOFF = "1998-06-01"
+
+
+def unshipped_orders_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 shape (oracle-matched): top-k BUILDING-segment orders by
+    revenue of lineitems shipped after the cutoff, for orders placed
+    before it.
+
+    Scale plan: lineitem (the 100 TB fact) is the ONLY streaming side.
+    The build side — orders pre-filtered by date AND semi-filtered by
+    the broadcast BUILDING custkey set — shrinks to a small fraction of
+    orders; below the ~4M-key cap it broadcasts as a sorted (orderkey →
+    orderdate) map probed per batch (zero shuffle), above it the plan
+    falls back to Ray's distributed hash join. Revenue is per-element
+    ``round(extprice*(1-discount)*100)`` int64 cents
+    (half-away-from-zero — DuckDB's ROUND), summed per orderkey in
+    per-block Arrow group_by partials; the adaptive fold plus per-block
+    top-k partials bound driver transfer to #blocks × k rows.
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+
+    cutoff = np.datetime64(_Q3_CUTOFF).astype("datetime64[us]").astype(np.int64)
+
+    # 1. BUILDING custkeys (dimension-sized) → broadcast semi filter
+    def building_keys(tbl: pa.Table) -> pa.Table:
+        keep = pc.equal(tbl.column("c_mktsegment"), "BUILDING")
+        return pa.table(
+            {"c_custkey": pc.unique(tbl.filter(keep).column("c_custkey").combine_chunks())}
+        )
+
+    ckeys = np.sort(
+        np.concatenate(
+            [
+                b.column("c_custkey").to_numpy(zero_copy_only=False)
+                for b in _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+                .map_batches(building_keys, batch_format="pyarrow", zero_copy_batch=True)
+                .iter_batches(batch_format="pyarrow")
+            ]
+            or [np.zeros(0, np.int64)]
+        )
+    )
+    ckeys_ref = ray.put(ckeys)
+
+    # 2. orders filtered by date + BUILDING membership → (orderkey, orderdate)
+    def order_build_rows(tbl: pa.Table) -> pa.Table:
+        od = tbl.column("o_orderdate").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ck = tbl.column("o_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        keys = ray.get(ckeys_ref)
+        mask = od < cutoff
+        if len(keys):
+            idx = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
+            mask &= keys[idx] == ck
+        else:
+            mask &= False
+        sub = tbl.filter(pa.array(mask))
+        return pa.table(
+            {
+                "o_orderkey": sub.column("o_orderkey"),
+                "o_orderdate_us": sub.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    build = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(order_build_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    # 3. lineitem probe: revenue cents per orderkey, ship-date filtered
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def line_partials(tbl: pa.Table) -> pa.Table:
+        sd = tbl.column("l_shipdate").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sub = tbl.filter(pa.array(sd > cutoff))
+        rev = pc.multiply(
+            pc.multiply(
+                sub.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), sub.column("l_discount")),
+            ),
+            pa.scalar(100.0),
+        )
+        cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"l_orderkey": sub.column("l_orderkey"), "cents": cents})
+        agg = t.group_by(["l_orderkey"]).aggregate([("cents", "sum")])
+        return agg.rename_columns(["l_orderkey", "revenue_cents"])
+
+    part = line.map_batches(line_partials, batch_format="pyarrow", zero_copy_batch=True)
+
+    n_build = build.count()
+    if n_build <= _ANTI_BROADCAST_KEY_CAP:
+        btbl = pa.concat_tables(build.iter_batches(batch_format="pyarrow"))
+        order_keys = btbl.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        order_dates = btbl.column("o_orderdate_us").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        srt = np.argsort(order_keys)
+        okeys_ref = ray.put(order_keys[srt])
+        odates_ref = ray.put(order_dates[srt])
+
+        def attach_date(tbl: pa.Table) -> pa.Table:
+            keys = ray.get(okeys_ref)
+            if not len(keys) or not tbl.num_rows:
+                return pa.table(
+                    {
+                        "o_orderkey": pa.array([], pa.int64()),
+                        "o_orderdate_us": pa.array([], pa.int64()),
+                        "revenue_cents": pa.array([], pa.int64()),
+                    }
+                )
+            ids = tbl.column("l_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
+            hit = keys[idx] == ids
+            sub = tbl.filter(pa.array(hit))
+            return pa.table(
+                {
+                    "o_orderkey": sub.column("l_orderkey"),
+                    "o_orderdate_us": pa.array(
+                        ray.get(odates_ref)[idx[hit]], pa.int64()
+                    ),
+                    "revenue_cents": sub.column("revenue_cents"),
+                }
+            )
+
+        joined = part.map_batches(attach_date, batch_format="pyarrow", zero_copy_batch=True)
+    else:  # corpus-sized build side: distributed hash join
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        joined = part.repartition(n_parts).join(
+            build.repartition(n_parts), "inner", n_parts,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ).rename_columns({"l_orderkey": "o_orderkey"})
+
+    folded, is_ds = adaptive_grouped_agg_ds(
+        joined, ["o_orderkey", "o_orderdate_us"], {"revenue_cents": "sum"}
+    )
+    if is_ds:
+        def block_topk(tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas()
+            return pa.Table.from_pandas(
+                df.sort_values(
+                    ["revenue_cents", "o_orderkey"], ascending=[False, True]
+                ).head(k),
+                preserve_index=False,
+            )
+
+        folded = folded.map_batches(
+            block_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+    top = (
+        folded.sort_values(["revenue_cents", "o_orderkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "o_orderkey": top["o_orderkey"].astype(np.int64),
+            "o_orderdate": pd.to_datetime(top["o_orderdate_us"], unit="us").astype(
+                "datetime64[us]"
+            ),
+            "revenue_cents": top["revenue_cents"].astype(np.int64),
+        }
+    )
+    return out
+
+
+ORACLE_SQL["unshipped_orders_topk"] = f"""
+    SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+    GROUP BY 1, 2
+    ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 10
+"""
+QUERIES["unshipped_orders_topk"] = unshipped_orders_topk
+
+
+def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape (oracle-matched): revenue from PROMO-type parts
+    vs all revenue in one shipment year, as two exact int64 cents sums
+    (the ratio is a trivially derived float; emitting the integer
+    numerator/denominator keeps the result reduction-order-insensitive
+    and hash-stable).
+
+    Scale plan: part is the dimension side — only (partkey → is_promo)
+    leaves the read, shipped once via ``ray.put`` as a sorted key array
+    + bool flags and probed per batch with searchsorted (zero shuffle).
+    lineitem streams; each block contributes one (promo_cents,
+    total_cents) partial row, so the driver folds #blocks rows.
+    """
+    import ray
+
+    lo = np.datetime64("1998-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1999-01-01").astype("datetime64[us]").astype(np.int64)
+
+    def promo_flags(tbl: pa.Table) -> pa.Table:
+        flag = pc.starts_with(tbl.column("p_type"), "PROMO")
+        return pa.table({"p_partkey": tbl.column("p_partkey"), "is_promo": flag})
+
+    flags = pa.concat_tables(
+        _read(sf_dir, "part", ["p_partkey", "p_type"])
+        .map_batches(promo_flags, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    pk = flags.column("p_partkey").combine_chunks().to_numpy(zero_copy_only=False)
+    fl = flags.column("is_promo").combine_chunks().to_numpy(zero_copy_only=False)
+    srt = np.argsort(pk)
+    pk_ref, fl_ref = ray.put(pk[srt]), ray.put(fl[srt])
+
+    line = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def block_partial(tbl: pa.Table) -> pa.Table:
+        sd = tbl.column("l_shipdate").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sub = tbl.filter(pa.array((sd >= lo) & (sd < hi)))
+        rev = pc.multiply(
+            pc.multiply(
+                sub.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), sub.column("l_discount")),
+            ),
+            pa.scalar(100.0),
+        )
+        cents = pc.cast(
+            pc.round(rev, round_mode="half_towards_infinity"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        keys = ray.get(pk_ref)
+        ids = sub.column("l_partkey").combine_chunks().to_numpy(zero_copy_only=False)
+        if len(keys) and len(ids):
+            idx = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
+            promo = ray.get(fl_ref)[idx] & (keys[idx] == ids)
+        else:
+            promo = np.zeros(len(ids), bool)
+        return pa.table(
+            {
+                "promo_cents": pa.array([int(cents[promo].sum())], pa.int64()),
+                "total_cents": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    part = line.map_batches(block_partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = part.to_pandas()
+    return pd.DataFrame(
+        {
+            "promo_cents": [np.int64(df["promo_cents"].sum())],
+            "total_cents": [np.int64(df["total_cents"].sum())],
+        }
+    )
+
+
+ORACLE_SQL["promo_revenue_share"] = """
+    SELECT
+        CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS promo_cents,
+        CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS BIGINT) AS total_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+"""
+QUERIES["promo_revenue_share"] = promo_revenue_share
+
+
+def late_shipment_priority_counts(sf_dir: str, grace_days: int = 90) -> pd.DataFrame:
+    """TPC-H Q4 shape (oracle-matched vs EXISTS): orders counted per
+    priority where SOME lineitem shipped more than ``grace_days`` after
+    the order date.
+
+    Scale plan: lineitem pre-reduces per block to per-orderkey MAX
+    shipdate partials (the EXISTS only needs the max), the adaptive
+    fold combines them, and the per-orderkey max attaches to the orders
+    stream via sorted-array broadcast probe below the key cap (zero
+    shuffle) or the distributed hash join above it. Orders then filter
+    ``max_ship > o_orderdate + grace`` per batch and reduce to
+    per-priority counts — both fact tables stream exactly once.
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import (
+        adaptive_grouped_agg,
+        adaptive_grouped_agg_ds,
+    )
+
+    grace_us = np.int64(grace_days) * 86_400_000_000
+
+    def ship_partials(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "ship_us": tbl.column("l_shipdate").cast(pa.int64()),
+            }
+        )
+        agg = t.group_by(["l_orderkey"]).aggregate([("ship_us", "max")])
+        return agg.rename_columns(["l_orderkey", "max_ship_us"])
+
+    part = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        ship_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded, is_ds = adaptive_grouped_agg_ds(
+        part, ["l_orderkey"], {"max_ship_us": "max"}
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    if is_ds:  # corpus-sized key set: distributed hash join, never the driver
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        joined = orders.repartition(n_parts).join(
+            folded.repartition(n_parts), "inner", n_parts,
+            on=("o_orderkey",), right_on=("l_orderkey",),
+        )
+
+        def late_counts_joined(tbl: pa.Table) -> pa.Table:
+            od = tbl.column("o_orderdate").combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            ms = tbl.column("max_ship_us").combine_chunks().to_numpy(zero_copy_only=False)
+            sub = tbl.filter(pa.array(ms > od + grace_us)).select(["o_orderpriority"])
+            agg = sub.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+            return agg.rename_columns(["o_orderpriority", "n_orders"])
+
+        cpart = joined.map_batches(
+            late_counts_joined, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        keys = folded["l_orderkey"].to_numpy()
+        maxs = folded["max_ship_us"].to_numpy()
+        srt = np.argsort(keys)
+        keys_ref, maxs_ref = ray.put(keys[srt]), ray.put(maxs[srt])
+
+        def late_counts(tbl: pa.Table) -> pa.Table:
+            keys_s = ray.get(keys_ref)
+            ids = tbl.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+            od = tbl.column("o_orderdate").combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            if len(keys_s):
+                idx = np.minimum(np.searchsorted(keys_s, ids), len(keys_s) - 1)
+                late = (keys_s[idx] == ids) & (ray.get(maxs_ref)[idx] > od + grace_us)
+            else:
+                late = np.zeros(len(ids), bool)
+            sub = tbl.filter(pa.array(late)).select(["o_orderpriority"])
+            agg = sub.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+            return agg.rename_columns(["o_orderpriority", "n_orders"])
+
+        cpart = orders.map_batches(late_counts, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(cpart, ["o_orderpriority"], {"n_orders": "sum"})
+    if not len(out):
+        out = pd.DataFrame(
+            {"o_orderpriority": pd.Series(dtype=object), "n_orders": pd.Series(dtype=np.int64)}
+        )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORACLE_SQL["late_shipment_priority_counts"] = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+QUERIES["late_shipment_priority_counts"] = late_shipment_priority_counts

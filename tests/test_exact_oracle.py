@@ -56,3 +56,37 @@ def test_anti_join_broadcast_and_shuffle_paths_agree(ray_session, monkeypatch):
     import pandas as pd
 
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_q3_broadcast_and_shuffle_paths_agree(ray_session, monkeypatch):
+    """unshipped_orders_topk: the broadcast orderkey-map path and the
+    distributed hash-join path must return identical top-k rows."""
+    import pandas as pd
+
+    import approximate_quantiles_ray.pipelines.relational as r
+
+    sf = "/root/testdata/sf0.001"
+    fast = r.unshipped_orders_topk(sf)
+    monkeypatch.setattr(r, "_ANTI_BROADCAST_KEY_CAP", 0)  # force the join
+    slow = r.unshipped_orders_topk(sf)
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_q4_pandas_and_distributed_join_paths_agree(ray_session, monkeypatch):
+    """late_shipment_priority_counts: the under-cap broadcast probe and
+    the over-cap distributed hash-join path must agree."""
+    import pandas as pd
+
+    import approximate_quantiles_ray.engine.folds as folds
+    import approximate_quantiles_ray.pipelines.relational as r
+
+    sf = "/root/testdata/sf0.001"
+    fast = r.late_shipment_priority_counts(sf)
+    orig = folds.adaptive_grouped_agg_ds
+
+    def force_ds(part_ds, keys, spec, cap=0):
+        return orig(part_ds, keys, spec, cap=0)
+
+    monkeypatch.setattr(folds, "adaptive_grouped_agg_ds", force_ds)
+    slow = r.late_shipment_priority_counts(sf)
+    pd.testing.assert_frame_equal(fast, slow)
