@@ -271,3 +271,154 @@ def broadcast_join(ds, small: pa.Table, left_key: str, right_key: str, how: str 
         return joiner(batch)
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
+
+
+class BroadcastIntervalJoiner:
+    """Callable-class stage: MULTI-MATCH overlapping-interval join.
+
+    Each probe row (key, ts) matches EVERY build-side interval
+    [start, end) of the same key that contains ts — the general case
+    :class:`broadcast_range_join` documents as out of scope (it keeps
+    only the latest-starting match). Matched probes EXPLODE into one
+    output row per containing interval.
+
+    Mechanism (built once per worker from the broadcast table): build
+    intervals sort by (key, start) into contiguous per-key slices. A
+    probe at ts can only match intervals whose start lies in
+    ``(ts − L_key, ts]`` where ``L_key`` is that key's longest interval
+    — two ``searchsorted`` calls bound the candidate run, an explicit
+    ``start ≤ ts < end`` mask makes it exact. Candidate count per probe
+    is the true match count plus intervals starting within L of ts that
+    already ended — bounded by the key's overlap depth, NOT the total
+    interval count, so dense-but-short interval sets stay cheap. One
+    pathological long interval per key degrades the bound (documented
+    trade-off of the sort-based scheme vs an interval tree).
+
+    ``how="left"`` additionally emits one row with nulled interval
+    columns for each probe that matches nothing; ``"inner"`` drops it.
+    ``left_key=None`` treats the whole build side as one group
+    (global windows).
+    """
+
+    def __init__(self, small_ref: Any, left_ts: str, start_col: str, end_col: str,
+                 left_key: str | None = None, right_key: str | None = None,
+                 how: str = "inner"):
+        import ray
+
+        small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
+        if not isinstance(small, pa.Table):
+            small = pa.Table.from_pandas(small, preserve_index=False)
+        self.left_ts = left_ts
+        self.left_key = left_key
+        self.how = how
+        starts = _asof_ts_key(small.column(start_col))
+        ends = _asof_ts_key(small.column(end_col))
+        if left_key is not None:
+            keys = small.column(right_key).combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((starts, keys))
+            keys = keys[order]
+            # contiguous per-key slices over the sorted build arrays
+            self.ukeys, first = np.unique(keys, return_index=True)
+            self.offsets = np.append(first, len(keys))
+        else:
+            order = np.argsort(starts, kind="stable")
+            self.ukeys = None
+            self.offsets = np.array([0, len(starts)])
+        self.starts = starts[order]
+        self.ends = ends[order]
+        # per-group longest interval → candidate lower bound
+        self.max_len = np.array(
+            [
+                (self.ends[a:b] - self.starts[a:b]).max() if b > a else 0
+                for a, b in zip(self.offsets[:-1], self.offsets[1:])
+            ],
+            dtype=np.int64,
+        )
+        self.payload = small.drop_columns(
+            [c for c in (right_key,) if c is not None]
+        )
+        self.payload_order = order
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        overlap = set(self.payload.column_names) & set(batch.column_names)
+        if overlap:
+            raise ValueError(
+                f"broadcast_interval_join: payload columns {sorted(overlap)} collide "
+                "with probe-side columns; rename one side before joining"
+            )
+        ts = _asof_ts_key(batch.column(self.left_ts))
+        n = len(ts)
+        if self.left_key is not None:
+            pk = batch.column(self.left_key).combine_chunks().to_numpy(zero_copy_only=False)
+            gi = np.searchsorted(self.ukeys, pk)
+            gi_c = np.clip(gi, 0, len(self.ukeys) - 1)
+            valid = (len(self.ukeys) > 0) & (self.ukeys[gi_c] == pk) if len(self.ukeys) else np.zeros(n, bool)
+            gi = np.where(valid, gi_c, -1)
+        else:
+            gi = np.zeros(n, np.int64)
+            if self.offsets[-1] == 0:
+                gi -= 1
+        probe_rep, cand_idx = [], []
+        for g in np.unique(gi[gi >= 0]):
+            a, b = self.offsets[g], self.offsets[g + 1]
+            rows = np.flatnonzero(gi == g)
+            t = ts[rows]
+            lo = a + np.searchsorted(self.starts[a:b], t - self.max_len[g], side="left")
+            hi = a + np.searchsorted(self.starts[a:b], t, side="right")
+            counts = hi - lo
+            if not counts.any():
+                continue
+            rep = np.repeat(rows, counts)
+            # candidate indices: per-probe arange(lo, hi), flattened
+            cidx = np.repeat(lo, counts) + (
+                np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts, counts)
+            )
+            ok = (self.starts[cidx] <= ts[rep]) & (ts[rep] < self.ends[cidx])
+            probe_rep.append(rep[ok])
+            cand_idx.append(cidx[ok])
+        if probe_rep:
+            rep = np.concatenate(probe_rep)
+            cidx = np.concatenate(cand_idx)
+            srt = np.argsort(rep, kind="stable")  # preserve probe order
+            rep, cidx = rep[srt], cidx[srt]
+        else:
+            rep = np.zeros(0, np.int64)
+            cidx = np.zeros(0, np.int64)
+        out = batch.take(pa.array(rep, pa.int64()))
+        picked = self.payload.take(pa.array(self.payload_order[cidx], pa.int64()))
+        for name, col in zip(picked.column_names, picked.columns):
+            out = out.append_column(name, col)
+        if self.how == "left":
+            matched = np.zeros(n, bool)
+            matched[rep] = True
+            miss = batch.filter(pa.array(~matched))
+            if miss.num_rows:
+                for name in self.payload.column_names:
+                    miss = miss.append_column(
+                        name, pa.nulls(miss.num_rows, self.payload.schema.field(name).type)
+                    )
+                out = pa.concat_tables([out, miss])
+        return out
+
+
+def broadcast_interval_join(ds, intervals, left_ts: str, start_col: str, end_col: str,
+                            left_key: str | None = None, right_key: str | None = None,
+                            how: str = "inner"):
+    """big Dataset ⋈ broadcast intervals, ALL containing intervals per
+    probe row (multi-match explode; see :class:`BroadcastIntervalJoiner`)."""
+    import ray
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
+    if isinstance(intervals, pd.DataFrame):
+        intervals = pa.Table.from_pandas(intervals, preserve_index=False)
+    ref = ray.put(intervals)
+    return ds.map_batches(
+        worker_cached_stage(
+            BroadcastIntervalJoiner,
+            small_ref=ref, left_ts=left_ts, start_col=start_col, end_col=end_col,
+            left_key=left_key, right_key=right_key, how=how,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1675,3 +1675,93 @@ ORACLE_SQL["late_shipment_priority_counts"] = """
     GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 QUERIES["late_shipment_priority_counts"] = late_shipment_priority_counts
+
+
+def events_two_day_window_stats(sf_dir: str) -> pd.DataFrame:
+    """MULTI-MATCH OVERLAPPING-INTERVAL JOIN (oracle-matched): 48-hour
+    windows anchored at every distinct event day OVERLAP at depth 2 —
+    each event belongs to up to two windows, so the single-match as-of
+    plan (`events_in_daily_window`) is semantically wrong here and the
+    explode-per-containing-interval join (`broadcast_interval_join`,
+    engine/broadcast.py) is required. Per-window row count + exact
+    int64 cents sum.
+
+    Scale plan: the window set derives from per-block DISTINCT-day
+    partials (#days rows — tiny, broadcast once); events stream through
+    the interval-join stage (per-worker sorted build side, two
+    searchsorted calls + containment mask per batch, zero shuffle) and
+    reduce via per-block Arrow group_by partials + the adaptive fold.
+    """
+    from approximate_quantiles_ray.engine.broadcast import broadcast_interval_join
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    day_us = np.int64(86_400_000_000)
+
+    def distinct_days(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").combine_chunks().cast(pa.int64())
+        days = pc.unique(
+            pc.multiply(pc.divide(ts, day_us.item()), day_us.item())
+        )
+        return pa.table({"day_us": days})
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    days = np.unique(
+        np.concatenate(
+            [
+                b.column("day_us").to_numpy(zero_copy_only=False)
+                for b in _read(sf_dir, "events", ["ts"])
+                .map_batches(distinct_days, batch_format="pyarrow", zero_copy_batch=True)
+                .iter_batches(batch_format="pyarrow")
+            ]
+            or [np.zeros(0, np.int64)]
+        )
+    )
+    intervals = pa.table(
+        {
+            "win_start_us": pa.array(days, pa.int64()),
+            "win_end_us": pa.array(days + 2 * day_us, pa.int64()),
+        }
+    )
+
+    joined = broadcast_interval_join(
+        ev, intervals, left_ts="ts", start_col="win_start_us", end_col="win_end_us",
+        how="inner",
+    )
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(tbl.column("value"), pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table({"win_start_us": tbl.column("win_start_us"), "cents": cents})
+        agg = t.group_by(["win_start_us"]).aggregate([([], "count_all"), ("cents", "sum")])
+        return agg.rename_columns(["win_start_us", "n_events", "value_cents"])
+
+    part = joined.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(
+        part, ["win_start_us"], {"n_events": "sum", "value_cents": "sum"}
+    )
+    res = pd.DataFrame(
+        {
+            "window_start": pd.to_datetime(out["win_start_us"], unit="us").astype(
+                "datetime64[us]"
+            ),
+            "n_events": out["n_events"].astype(np.int64),
+            "value_cents": out["value_cents"].astype(np.int64),
+        }
+    )
+    return res.sort_values("window_start").reset_index(drop=True)
+
+
+ORACLE_SQL["events_two_day_window_stats"] = """
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)
+    SELECT d AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM days JOIN events ON ts >= d AND ts < d + INTERVAL 2 DAY
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["events_two_day_window_stats"] = events_two_day_window_stats

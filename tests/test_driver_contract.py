@@ -175,3 +175,98 @@ def test_broadcast_join_left_with_misses(ray_session):
         small, "k", "kk", how="inner",
     ).to_pandas()
     assert sorted(inner["k"]) == [2, 4]
+
+
+def test_broadcast_interval_join_matches_bruteforce(ray_session):
+    """Randomized cross-validation: the multi-match interval join must
+    emit exactly the (probe, interval) pairs a brute-force nested loop
+    finds — overlapping intervals, string keys, multi-block probe."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.broadcast import broadcast_interval_join
+
+    rng = np.random.default_rng(7)
+    n_iv, n_probe = 60, 5000
+    keys = np.array(["k0", "k1", "k2"], object)
+    iv_key = keys[rng.integers(0, 3, n_iv)]
+    starts = rng.integers(0, 1000, n_iv).astype(np.int64)
+    lengths = rng.integers(1, 400, n_iv).astype(np.int64)  # heavy overlap
+    intervals = pa.table(
+        {
+            "k": pa.array(iv_key, pa.string()),
+            "s": pa.array(starts, pa.int64()),
+            "e": pa.array(starts + lengths, pa.int64()),
+            "iv_id": pa.array(np.arange(n_iv), pa.int64()),
+        }
+    )
+    p_key = keys[rng.integers(0, 3, n_probe)]
+    p_ts = rng.integers(-50, 1500, n_probe).astype(np.int64)
+    probe = pa.table(
+        {
+            "k": pa.array(p_key, pa.string()),
+            "ts": pa.array(p_ts, pa.int64()),
+            "row_id": pa.array(np.arange(n_probe), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(probe).repartition(4)
+    got = (
+        broadcast_interval_join(
+            ds, intervals.rename_columns(["kk", "s", "e", "iv_id"]),
+            left_ts="ts", start_col="s", end_col="e",
+            left_key="k", right_key="kk", how="inner",
+        )
+        .to_pandas()
+        .sort_values(["row_id", "iv_id"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for r in range(n_probe):
+        for i in range(n_iv):
+            if iv_key[i] == p_key[r] and starts[i] <= p_ts[r] < starts[i] + lengths[i]:
+                want.append((r, i))
+    got_pairs = list(zip(got["row_id"], got["iv_id"]))
+    assert got_pairs == sorted(want)
+    # left join: every probe appears; unmatched rows carry null interval cols
+    left = broadcast_interval_join(
+        ds, intervals.rename_columns(["kk", "s", "e", "iv_id"]),
+        left_ts="ts", start_col="s", end_col="e",
+        left_key="k", right_key="kk", how="left",
+    ).to_pandas()
+    matched_rows = {r for r, _ in want}
+    assert len(left) == len(want) + (n_probe - len(matched_rows))
+    assert left[left["iv_id"].isna()]["row_id"].nunique() == n_probe - len(matched_rows)
+
+
+def test_broadcast_interval_join_global_key_and_empty(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.broadcast import broadcast_interval_join
+
+    probe = pa.table({"ts": pa.array([5, 15, 25], pa.int64())})
+    iv = pa.table(
+        {
+            "s": pa.array([0, 10, 0], pa.int64()),
+            "e": pa.array([20, 30, 30], pa.int64()),
+            "iv_id": pa.array([0, 1, 2], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(probe)
+    got = broadcast_interval_join(
+        ds, iv, left_ts="ts", start_col="s", end_col="e", how="inner"
+    ).to_pandas()
+    pairs = sorted(zip(got["ts"], got["iv_id"]))
+    assert pairs == [(5, 0), (5, 2), (15, 0), (15, 1), (15, 2), (25, 1), (25, 2)]
+    # empty build side: inner drops everything, left keeps probes with nulls
+    empty = iv.slice(0, 0)
+    inner = broadcast_interval_join(
+        ds, empty, left_ts="ts", start_col="s", end_col="e", how="inner"
+    ).to_pandas()
+    assert len(inner) == 0
+    left = broadcast_interval_join(
+        ds, empty, left_ts="ts", start_col="s", end_col="e", how="left"
+    ).to_pandas()
+    assert len(left) == 3 and left["iv_id"].isna().all()
