@@ -645,3 +645,143 @@ def segmented_rolling_max(
     out["max_roll"] = out["max_roll"].astype(np.int64)
     out = out.rename(columns={"key": key_col})
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+_TRANSITION_SCHEMA = pa.schema(
+    [
+        pa.field("kind", pa.int8()),
+        pa.field("prev", pa.string()),
+        pa.field("nxt", pa.string()),
+        pa.field("n", pa.int64()),
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int64()),
+        pa.field("val", pa.string()),
+    ]
+)
+
+
+def segmented_transitions(
+    ds,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    val_col: str = "role",
+    hash_key: bool = False,
+) -> "pd.DataFrame":
+    """Exact adjacent-pair (LAG) transition counts per segment: for each
+    segment ordered by ``order_col``, count every consecutive
+    (val[i-1] → val[i]) pair, summed over all segments.
+
+    Same fused one-sort shape as :func:`segmented_gap_hist`: range sort
+    by (key, order) → ONE per-block pass that reduces in-block pairs to
+    (prev, nxt, n) partial counts (≤ |alphabet|² rows per block — tiny
+    for categorical columns like role) and emits the 2-per-block
+    head/tail boundary rows; the driver stitches the ≤ #blocks−1
+    block-straddling pairs with the same TAIL→HEAD pairing rule as the
+    gap engine and folds everything into one count table. Driver
+    traffic is O(#blocks × alphabet²), never row-scale.
+    """
+    import pandas as pd
+
+    sorted_ds = sort_segments(ds, key_col, order_col, hash_key)
+
+    def block_fn(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return _TRANSITION_SCHEMA.empty_table()
+        conv = tbl.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        val = tbl.column(val_col).combine_chunks().to_numpy(zero_copy_only=False)
+        turn = (
+            tbl.column(order_col)
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        same = conv[1:] == conv[:-1]
+        # factorize pairs → count per (prev, nxt) without Python loops
+        uvals, codes = np.unique(val, return_inverse=True)
+        pair_codes = codes[:-1][same] * len(uvals) + codes[1:][same]
+        upair, cnt = np.unique(pair_codes, return_counts=True)
+        prev_c = uvals[upair // len(uvals)]
+        nxt_c = uvals[upair % len(uvals)]
+        if n == 1:
+            bkinds, bturns = np.int8([HEADTAIL]), np.int64([turn[0]])
+            bconvs, bvals = [conv[0]], [val[0]]
+        else:
+            bkinds = np.int8([HEAD, TAIL])
+            bturns = np.int64([turn[0], turn[-1]])
+            bconvs, bvals = [conv[0], conv[-1]], [val[0], val[-1]]
+        k = len(upair)
+        b = len(bkinds)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate([np.zeros(k, np.int8), bkinds]), pa.int8()),
+                pa.array(np.concatenate([prev_c, np.full(b, None, object)]), pa.string()),
+                pa.array(np.concatenate([nxt_c, np.full(b, None, object)]), pa.string()),
+                pa.array(np.concatenate([cnt.astype(np.int64), np.zeros(b, np.int64)]), pa.int64()),
+                pa.array(np.concatenate([np.full(k, None, object), bconvs]), pa.string()),
+                pa.array(np.concatenate([np.zeros(k, np.int64), bturns]), pa.int64()),
+                pa.array(np.concatenate([np.full(k, None, object), bvals]), pa.string()),
+            ],
+            schema=_TRANSITION_SCHEMA,
+        )
+
+    tagged = sorted_ds.map_batches(
+        block_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+    part = (
+        tagged.filter(expr="kind == 0").select_columns(["prev", "nxt", "n"]).to_pandas()
+    )
+    bnd = (
+        tagged.filter(expr="kind > 0")
+        .select_columns(["kind", "conv_id", "turn_idx", "val"])
+        .to_pandas()
+    )
+    extra = _stitch_boundary_transitions(bnd)
+    allp = pd.concat([part, extra], ignore_index=True)
+    if not len(allp):
+        return pd.DataFrame(
+            {
+                "prev": pd.Series(dtype=object),
+                "nxt": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64),
+            }
+        )
+    out = allp.groupby(["prev", "nxt"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["prev", "nxt"]).reset_index(drop=True)
+
+
+def _stitch_boundary_transitions(bnd: "pd.DataFrame") -> "pd.DataFrame":
+    """Block-straddling adjacent pairs, same pairing rule as
+    :func:`_stitch_boundaries_keyed` (TAIL-before-HEAD on order ties,
+    HEADTAIL chains both sides)."""
+    import pandas as pd
+
+    if not len(bnd):
+        return pd.DataFrame(
+            {"prev": pd.Series(dtype=object), "nxt": pd.Series(dtype=object),
+             "n": pd.Series(dtype=np.int64)}
+        )
+    rank = np.select(
+        [bnd["kind"].to_numpy() == TAIL, bnd["kind"].to_numpy() == HEADTAIL],
+        [0, 1],
+        default=2,
+    )
+    b = (
+        bnd.assign(_rank=rank)
+        .sort_values(["conv_id", "turn_idx", "_rank"])
+        .reset_index(drop=True)
+    )
+    kind = b["kind"].to_numpy()
+    conv = b["conv_id"].to_numpy()
+    val = b["val"].to_numpy()
+    tailish = np.isin(kind, (TAIL, HEADTAIL))
+    headish = np.isin(kind, (HEAD, HEADTAIL))
+    is_pair = tailish[:-1] & headish[1:] & (conv[:-1] == conv[1:])
+    return pd.DataFrame(
+        {
+            "prev": val[:-1][is_pair],
+            "nxt": val[1:][is_pair],
+            "n": np.ones(int(is_pair.sum()), np.int64),
+        }
+    )

@@ -185,6 +185,16 @@ def oracle_sql(sf_dir_for_oracle: str) -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS sorted_ok
             FROM read_parquet('{glob}')
         """,
+        "transcript_role_transitions": f"""
+            WITH t AS (
+                SELECT role,
+                       LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                           AS prev_role
+                FROM read_parquet('{glob}'))
+            SELECT prev_role, role AS next_role, COUNT(*) AS n_transitions
+            FROM t WHERE prev_role IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         # Bloom no-false-negative law over a SQL-reproducible probe set
         # (first 200 sorted distinct conv_ids)
         "transcript_membership": f"""
@@ -196,10 +206,50 @@ def oracle_sql(sf_dir_for_oracle: str) -> dict[str, str]:
     }
 
 
+def role_transitions(sf_dir: str, layout: str = "auto") -> pd.DataFrame:
+    """CONVERSATION-STRUCTURE analysis (oracle-matched vs SQL LAG):
+    count every adjacent (prev_role → next_role) pair within a
+    conversation's turn order — the role-transition matrix of the
+    corpus (who answers whom, tool-call cadence).
+
+    ``layout="auto"``: per-bucket complete counts over the cached
+    conv_id-bucketed layout (zero shuffle / zero stitching);
+    ``"sort"`` forces the general one-sort fused plan with TAIL→HEAD
+    boundary stitching (engine/segmented.segmented_transitions).
+    """
+    allp = None
+    if layout in ("auto", "bucketed"):
+        try:
+            from approximate_quantiles_ray.sources.bucketed import (
+                ensure_bucketed,
+                transitions_bucketed,
+            )
+
+            root = ensure_bucketed(transcripts_dir_for(sf_dir))
+            allp = transitions_bucketed(root).to_pandas()
+            if len(allp):
+                allp = allp.groupby(["prev", "nxt"], as_index=False)["n"].sum()
+        except Exception:
+            if layout == "bucketed":
+                raise
+            allp = None
+    if allp is None:
+        from approximate_quantiles_ray.engine.segmented import segmented_transitions
+
+        ds = read_transcripts_ds(sf_dir, ["conv_id", "turn_idx", "role"])
+        allp = segmented_transitions(ds, "conv_id", "turn_idx", "role")
+    out = allp.rename(
+        columns={"prev": "prev_role", "nxt": "next_role", "n": "n_transitions"}
+    )
+    out["n_transitions"] = out["n_transitions"].astype(np.int64)
+    return out.sort_values(["prev_role", "next_role"]).reset_index(drop=True)
+
+
 QUERIES = {
     "transcript_role_stats": role_stats,
     "transcript_tool_topk": tool_topk,
     "transcript_latency_quantiles": latency_quantiles_exact,
+    "transcript_role_transitions": role_transitions,
 }
 
 

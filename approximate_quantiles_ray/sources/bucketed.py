@@ -307,3 +307,65 @@ def grouped_sketches_bucketed(bucket_root: str, group_key: str, specs,
     wide = parts.pivot(index="group", columns="sketch_key", values="state").reset_index()
     wide.columns.name = None
     return wide.rename(columns={"group": group_key})
+
+
+class BucketTransitions:
+    """map_batches task over bucket dirs: read one bucket, local
+    (conv, turn) lexsort, count adjacent same-conv (prev, nxt) value
+    pairs. Buckets own whole conversations, so per-bucket counts are
+    complete — zero shuffle, zero boundary stitching (the bucketed twin
+    of engine/segmented.segmented_transitions)."""
+
+    def __init__(self, key: str = "conv_id", order: str = "turn_idx", val: str = "role"):
+        self.key = key
+        self.order = order
+        self.val = val
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        prev_all, nxt_all, n_all = [], [], []
+        for d in batch.column("path").to_pylist():
+            tbl = pq.read_table(d, columns=[self.key, self.order, self.val], use_threads=False)
+            if tbl.num_rows < 2:
+                continue
+            conv = tbl.column(self.key).combine_chunks().to_numpy(zero_copy_only=False)
+            turn = tbl.column(self.order).combine_chunks().to_numpy(zero_copy_only=False)
+            val = tbl.column(self.val).combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((turn, conv))
+            conv, val = conv[order], val[order]
+            same = conv[1:] == conv[:-1]
+            uvals, codes = np.unique(val, return_inverse=True)
+            pair = codes[:-1][same] * len(uvals) + codes[1:][same]
+            upair, cnt = np.unique(pair, return_counts=True)
+            prev_all.append(uvals[upair // len(uvals)])
+            nxt_all.append(uvals[upair % len(uvals)])
+            n_all.append(cnt.astype(np.int64))
+        if not prev_all:
+            return pa.table(
+                {"prev": pa.array([], pa.string()), "nxt": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "prev": pa.array(np.concatenate(prev_all), pa.string()),
+                "nxt": pa.array(np.concatenate(nxt_all), pa.string()),
+                "n": pa.array(np.concatenate(n_all)),
+            }
+        )
+
+
+def transitions_bucketed(bucket_root: str, key: str = "conv_id",
+                         order: str = "turn_idx", val: str = "role"):
+    """Distributed (prev, nxt, n) transition partials over a bucketed
+    layout; fold with a small groupby-sum (≤ #buckets × alphabet² rows)."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
+    dirs = bucket_dirs(bucket_root)
+    if not dirs:
+        raise ValueError(f"no bucket=* dirs under {bucket_root}")
+    return rd.from_items([{"path": d} for d in dirs]).map_batches(
+        worker_cached_stage(BucketTransitions, key=key, order=order, val=val),
+        batch_format="pyarrow",
+        batch_size=1,
+    )

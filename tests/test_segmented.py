@@ -218,3 +218,47 @@ def test_segmented_rolling_max_matches_pandas(ray_session, window):
         .rename(columns={"roll": "max_roll"})
     )
     pd.testing.assert_frame_equal(got, want.astype({"max_roll": np.int64}))
+
+
+def test_segmented_transitions_matches_pandas(ray_session):
+    """Random segments split across many tiny blocks: the fused
+    transition counts (in-block partials + TAIL→HEAD stitching) must
+    equal a driver-side pandas LAG reference."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.segmented import segmented_transitions
+
+    rng = np.random.default_rng(21)
+    n = 20_000
+    conv = np.char.add("c", rng.integers(0, 500, n).astype(str))
+    # include single-turn conversations and long ones
+    df = pd.DataFrame(
+        {
+            "conv_id": conv,
+            "turn_idx": np.zeros(n, np.int64),
+            "role": np.array(["user", "assistant", "tool", "system"], object)[
+                rng.integers(0, 4, n)
+            ],
+        }
+    )
+    df["turn_idx"] = df.groupby("conv_id").cumcount().astype(np.int64)
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(16)
+    got = segmented_transitions(ds, "conv_id", "turn_idx", "role")
+
+    ref = df.sort_values(["conv_id", "turn_idx"])
+    prev = ref.groupby("conv_id")["role"].shift(1)
+    mask = prev.notna()
+    want = (
+        pd.DataFrame({"prev": prev[mask], "nxt": ref["role"][mask]})
+        .groupby(["prev", "nxt"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["prev", "nxt"])
+        .reset_index(drop=True)
+    )
+    want["n"] = want["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+    assert int(got["n"].sum()) == int(mask.sum())
