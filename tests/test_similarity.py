@@ -128,3 +128,74 @@ def test_ivf_recall_on_clustered_data(ray_session):
         g = set(ann[ann["query_id"] == q]["vec_id"])
         recalls.append(len(t & g) / len(t))
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_pq_recall_and_exact_rerank_scores(ray_session):
+    """PQ/ADC with exact re-rank: high recall vs brute force on
+    clustered data, and every returned score must be the EXACT cosine
+    (the re-rank pass guarantees it), so matching (query, vec) pairs
+    agree with brute force to float precision."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.similarity import knn_brute_force, knn_pq
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((8, 32)) * 3
+    points = np.vstack([c + rng.standard_normal((200, 32)) for c in centers]).astype(np.float32)
+    ids = np.arange(len(points), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(points.ravel(), pa.float32()), 32
+            ),
+        }
+    )
+    qids = ids[:3]
+    qmat = points[:3].astype(np.float64)
+    bf = knn_brute_force(rd.from_arrow(tbl), qids, qmat, k=10)
+    ann = knn_pq(
+        rd.from_arrow(tbl).repartition(4), qids, qmat, k=10, m=8, ks=256,
+        sample_size=1600, refine_mult=4,
+    )
+    recalls = []
+    for q in qids:
+        t = set(bf[bf["query_id"] == q]["vec_id"])
+        g = set(ann[ann["query_id"] == q]["vec_id"])
+        recalls.append(len(t & g) / len(t))
+    assert np.mean(recalls) >= 0.85, recalls
+    merged = ann.merge(bf, on=["query_id", "vec_id"], suffixes=("_pq", "_bf"))
+    assert len(merged)  # overlap exists
+    assert np.allclose(merged["score_pq"], merged["score_bf"], atol=1e-12)
+
+
+def test_pq_codes_roundtrip_determinism(ray_session):
+    """Same corpus through two independent encode passes → identical
+    codes (seeded training, deterministic argmax)."""
+    import pyarrow as pa
+
+    from approximate_quantiles_ray.pipelines.similarity import (
+        _normalize,
+        _pq_codes,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((500, 64))
+    coarse, books = train_pq_codebooks(x, m=8, ks=32, seed=9)
+    coarse2, books2 = train_pq_codebooks(x, m=8, ks=32, seed=9)
+    assert np.array_equal(books, books2) and np.array_equal(coarse, coarse2)
+    a1, c1 = _pq_codes(_normalize(x), coarse, books)
+    a2, c2 = _pq_codes(_normalize(x), coarse, books)
+    assert np.array_equal(c1, c2) and np.array_equal(a1, a2)
+    assert c1.shape == (500, 8) and c1.dtype == np.uint8
+    # quantization actually reconstructs: cosine of recon vs input near 1
+    m, ks, sub = books.shape
+    recon = coarse[a1] + np.concatenate(
+        [books[s][c1[:, s]] for s in range(m)], axis=1
+    )
+    cos = (recon * _normalize(x)).sum(axis=1) / np.linalg.norm(recon, axis=1)
+    # isotropic 64-dim data is the quantization worst case (no cluster
+    # structure for the coarse stage); 8 bytes/vector still keeps ~0.7
+    assert cos.mean() > 0.6
