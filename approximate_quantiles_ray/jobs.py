@@ -186,6 +186,51 @@ def cmd_sample(args) -> None:
     )
 
 
+def cmd_pq_index(args) -> None:
+    """Build and persist a residual-PQ code table for an embedding
+    corpus: train coarse centroids + codebooks on a hash sample, encode
+    every vector to (id, pq_cell, pq_code) — ~26× smaller than d=64
+    float32 payloads — and write partitioned Parquet plus the codebook
+    blob. A 100 TB deploy runs this ONCE; ANN queries then ADC-scan the
+    code table (pipelines/similarity.PQTopK) and re-rank the few
+    candidates against the cold raw vectors."""
+    _ensure_ray()
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+    from approximate_quantiles_ray.pipelines.similarity import (
+        PQEncoder,
+        _hash_sample,
+        train_pq_codebooks,
+    )
+
+    ds = rd.read_parquet(args.input)
+    sample = _hash_sample(ds, int(args.sample_size), seed=int(args.seed),
+                          id_col=args.id_col, col=args.col)
+    coarse, books = train_pq_codebooks(
+        sample, m=int(args.m), ks=int(args.ks), seed=int(args.seed),
+        n_coarse=int(args.n_coarse),
+    )
+    bref = ray.put({"coarse": coarse, "books": books})
+    encoded = ds.map_batches(
+        worker_cached_stage(PQEncoder, books_ref=bref, id_col=args.id_col, col=args.col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    encoded.write_parquet(args.output)
+    n = rd.read_parquet(args.output).count()
+    # codebooks live NEXT TO the code dir so the dir stays pure Parquet
+    np.savez(args.output.rstrip("/") + "_codebooks.npz", coarse=coarse, books=books)
+    _emit(
+        {"rows": int(n), "m": int(args.m), "ks": int(books.shape[1]),
+         "n_coarse": int(coarse.shape[0]),
+         "bytes_per_vector": 4 + int(args.m), "output": args.output},
+        None,
+    )
+
+
 def cmd_synth(args) -> None:
     from approximate_quantiles_ray.sources.transcripts import generate_transcripts
 
@@ -241,6 +286,18 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--rate-permille", type=int, default=100)
     sm.add_argument("--seed", type=int, default=42)
     sm.set_defaults(fn=cmd_sample)
+
+    pqp = sub.add_parser("pq-index", help="train + persist a residual-PQ code table for ANN")
+    pqp.add_argument("--input", required=True)
+    pqp.add_argument("--output", required=True)
+    pqp.add_argument("--id-col", default="vec_id")
+    pqp.add_argument("--col", default="embedding")
+    pqp.add_argument("--m", default=8)
+    pqp.add_argument("--ks", default=256)
+    pqp.add_argument("--n-coarse", default=16)
+    pqp.add_argument("--sample-size", default=4096)
+    pqp.add_argument("--seed", default=42)
+    pqp.set_defaults(fn=cmd_pq_index)
 
     s = sub.add_parser("synth", help="generate the deterministic synthetic transcript table")
     s.add_argument("--out", required=True)

@@ -148,3 +148,57 @@ def test_simjoin_cli(ray_session, tmp_path_factory, capsys):
     assert len(pairs) == 1
     assert (pairs.a.iloc[0], pairs.b.iloc[0]) == (0, 1)
     assert pairs.jacc_permille.iloc[0] >= 300
+
+
+def test_pq_index_job_persists_searchable_codes(ray_session, tmp_path_factory, capsys):
+    """pq-index writes a pure-Parquet code table + codebook blob; an ADC
+    scan over the PERSISTED codes must reproduce the candidates a fresh
+    in-memory encode produces (the job is the run-once scale path)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from approximate_quantiles_ray import jobs
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+    from approximate_quantiles_ray.pipelines.similarity import PQTopK, _merge_topk
+
+    root = tmp_path_factory.mktemp("pqjob")
+    src = str(root / "emb.parquet")
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((4, 32)) * 3
+    pts = np.vstack([c + rng.standard_normal((100, 32)) for c in centers])
+    ids = np.arange(len(pts), dtype=np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": ids,
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(pts.astype(np.float32).ravel(), pa.float32()), 32
+                ),
+            }
+        ),
+        src,
+    )
+    out = str(root / "codes")
+    jobs.main(["pq-index", "--input", src, "--output", out,
+               "--sample-size", "400", "--ks", "64"])
+    codes = rd.read_parquet(out)
+    assert codes.count() == len(pts)
+    z = np.load(out + "_codebooks.npz")
+    qref = ray.put({"qids": ids[:2], "matrix": pts[:2]})
+    bref = ray.put({"coarse": z["coarse"], "books": z["books"]})
+    got = _merge_topk(
+        codes.map_batches(
+            worker_cached_stage(PQTopK, queries_ref=qref, books_ref=bref, k=20),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).to_pandas(),
+        20,
+    )
+    assert set(got["query_id"]) == {0, 1}
+    assert (got.groupby("query_id").size() == 20).all()
+    # self-similar cluster members dominate: top hits share the query's cluster
+    for q in (0, 1):
+        top = got[got["query_id"] == q].nsmallest(5, "rank")["vec_id"].to_numpy()
+        assert (top // 100 == q // 100).mean() >= 0.8
