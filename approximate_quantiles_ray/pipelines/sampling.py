@@ -142,7 +142,50 @@ def docs_sample_bottomk(sf_dir: str, k: int = 16, seed: int = 42) -> pd.DataFram
     )
 
 
+def docs_sample_weighted(sf_dir: str, k: int = 16, seed: int = 7) -> pd.DataFrame:
+    """PRIORITY SAMPLING (oracle-matched; Duffield–Lund–Thorup): keep
+    the k docs with the smallest priority ``h(id) / w`` where the
+    weight w is the doc's char count — a weighted-without-replacement
+    sample that favors long documents, mergeable exactly like the
+    uniform bottom-k (order statistics again; partials combine by
+    re-taking the k smallest).
+
+    Hash-stability: the priority is ONE IEEE double division of two
+    exactly-representable int64s — numpy and DuckDB produce the
+    bit-identical double, so even the float column passes the value
+    hash (the same trick the lang-ID oracle uses; a pow/log-based
+    Efraimidis–Spirtes key would NOT be safe — libm differs across
+    vectorized implementations).
+
+    Scale shape: identical to ``docs_sample_bottomk`` — per-block
+    bottom-k partials, #blocks × k rows to the driver, no shuffle.
+    """
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def block_bottomk(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        w = tbl.column("n_chars").combine_chunks().to_numpy(zero_copy_only=False)
+        pri = hash32(ids, seed).astype(np.float64) / w
+        if len(ids) > k:
+            idx = np.argpartition(pri, k)[:k]
+        else:
+            idx = np.arange(len(ids))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[idx], pa.int64()),
+                "n_chars": pa.array(w[idx]),
+                "pri": pa.array(pri[idx], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(block_bottomk, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = cand.sort_values(["pri", "doc_id"]).head(k).reset_index(drop=True)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out[["doc_id", "n_chars", "pri"]]
+
+
 _H_SQL = f"((doc_id % {MOD31}) * {KNUTH} + 42) % {MOD32}"
+_H7_SQL = f"((doc_id % {MOD31}) * {KNUTH} + 7) % {MOD32}"
 
 ORACLE_SQL = {
     "docs_stratified_sample": f"""
@@ -160,9 +203,15 @@ ORACLE_SQL = {
         SELECT doc_id, {_H_SQL} AS h
         FROM documents ORDER BY h ASC, doc_id ASC LIMIT 16
     """,
+    "docs_sample_weighted": f"""
+        SELECT doc_id, n_chars,
+               CAST({_H7_SQL} AS DOUBLE) / n_chars AS pri
+        FROM documents ORDER BY pri ASC, doc_id ASC LIMIT 16
+    """,
 }
 
 QUERIES = {
+    "docs_sample_weighted": docs_sample_weighted,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_sample_bottomk": docs_sample_bottomk,
 }

@@ -84,3 +84,24 @@ def test_stratified_sample_rates_and_bottomk_pipeline(ray_session):
     assert len(bk) == 16
     assert bk.h.is_monotonic_increasing
     assert (hash32(bk.doc_id.to_numpy()) == bk.h.to_numpy()).all()
+
+
+def test_weighted_priority_sample_favors_heavy_docs(ray_session):
+    """Priority sampling must over-represent heavy (long) documents and
+    merge like bottom-k: global result == merge of per-block partials."""
+    import duckdb
+    import numpy as np
+
+    from approximate_quantiles_ray.pipelines.sampling import docs_sample_weighted
+
+    sf = "/root/testdata/sf0.01"
+    out = docs_sample_weighted(sf, k=32)
+    assert len(out) == 32
+    corpus_mean = duckdb.sql(
+        f"select avg(n_chars) from read_parquet('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    # selection prob ∝ w ⇒ sampled mean length must exceed corpus mean
+    assert out["n_chars"].mean() > corpus_mean
+    # deterministic: second run identical
+    out2 = docs_sample_weighted(sf, k=32)
+    assert np.array_equal(out["doc_id"].to_numpy(), out2["doc_id"].to_numpy())
