@@ -1765,3 +1765,106 @@ ORACLE_SQL["events_two_day_window_stats"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["events_two_day_window_stats"] = events_two_day_window_stats
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_user_type_profiles(sf_dir: str) -> pd.DataFrame:
+    """SET-OVERLAP / BEHAVIOR-PROFILE pipeline (oracle-matched): which
+    COMBINATIONS of event types do users perform? Each user gets a
+    bitmask over the (alphabetical) event-type alphabet — restricted to
+    HIGH-VALUE events (value > 90, else every user trivially has every
+    type) — and the output is one row per observed mask with its
+    distinct-user count: the exact overlap structure (e.g.
+    mask=click|purchase counts users with high-value events of both
+    types and no other).
+
+    Scale plan — OR as chained SUM folds, no special combiner needed:
+    (1) per-block DISTINCT (user, bit) partials (Arrow group_by);
+    (2) adaptive fold dedups (user, bit) globally — after this every
+    (user, bit) exists ONCE, so per-user SUM of bits ≡ bitwise OR;
+    (3) per-block per-user bit sums fold to full masks, (4) tiny
+    per-mask count fold. Driver traffic is bounded by #users rows at
+    the fold (adaptive: distributed above the cap), and every stage is
+    a plain sum/count aggregate a 100 TB run shuffles by hash key.
+    """
+    from approximate_quantiles_ray.engine.folds import (
+        adaptive_grouped_agg,
+        adaptive_grouped_agg_ds,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    types = np.array(_EVENT_TYPES, object)
+
+    def distinct_bits(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.greater(tbl.column("value"), 90.0))
+        agg = tbl.group_by(["user_id", "event_type"]).aggregate([])
+        et = agg.column("event_type").combine_chunks().to_numpy(zero_copy_only=False)
+        bit = np.int64(1) << np.searchsorted(types, et)
+        return pa.table(
+            {"user_id": agg.column("user_id"), "bit": pa.array(bit, pa.int64())}
+        )
+
+    pairs = ds.map_batches(distinct_bits, batch_format="pyarrow", zero_copy_batch=True)
+    # global (user, bit) dedup: grouped count whose value we discard
+    deduped, is_ds = adaptive_grouped_agg_ds(
+        pairs.map_batches(
+            lambda t: t.append_column("n", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        ["user_id", "bit"],
+        {"n": "sum"},
+    )
+    if is_ds:
+        def mask_partials(tbl: pa.Table) -> pa.Table:
+            agg = tbl.select(["user_id", "bit"]).group_by(["user_id"]).aggregate(
+                [("bit", "sum")]
+            )
+            return agg.rename_columns(["user_id", "mask"])
+
+        masks = adaptive_grouped_agg(
+            deduped.map_batches(mask_partials, batch_format="pyarrow", zero_copy_batch=True),
+            ["user_id"],
+            {"mask": "sum"},
+        )
+    else:
+        masks = deduped.groupby("user_id", as_index=False)["bit"].sum().rename(
+            columns={"bit": "mask"}
+        )
+    out = masks.groupby("mask", as_index=False).agg(n_users=("user_id", "size"))
+    out["mask"] = out["mask"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    names = [
+        "|".join(t for j, t in enumerate(_EVENT_TYPES) if m & (1 << j))
+        for m in out["mask"]
+    ]
+    out["types"] = names
+    return out.sort_values("mask").reset_index(drop=True)[["mask", "types", "n_users"]]
+
+
+_BIT_CASE = " + ".join(
+    f"(CASE WHEN type_set & {1 << j} > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(len(_EVENT_TYPES))
+)
+_TYPE_BIT_SQL = "CASE event_type " + " ".join(
+    f"WHEN '{t}' THEN {1 << j}" for j, t in enumerate(_EVENT_TYPES)
+) + " END"
+_TYPE_NAME_SQL = (
+    "concat_ws('|', "
+    + ", ".join(
+        f"CASE WHEN mask & {1 << j} > 0 THEN '{t}' END"
+        for j, t in enumerate(_EVENT_TYPES)
+    )
+    + ")"
+)
+
+ORACLE_SQL["events_user_type_profiles"] = f"""
+    WITH masks AS (
+        SELECT user_id,
+               CAST(SUM(DISTINCT {_TYPE_BIT_SQL}) AS BIGINT) AS mask
+        FROM events WHERE value > 90 GROUP BY user_id)
+    SELECT mask, {_TYPE_NAME_SQL} AS types, COUNT(*) AS n_users
+    FROM masks GROUP BY mask ORDER BY mask
+"""
+QUERIES["events_user_type_profiles"] = events_user_type_profiles
