@@ -1868,3 +1868,98 @@ ORACLE_SQL["events_user_type_profiles"] = f"""
     FROM masks GROUP BY mask ORDER BY mask
 """
 QUERIES["events_user_type_profiles"] = events_user_type_profiles
+
+
+def events_daily_retention(sf_dir: str) -> pd.DataFrame:
+    """NEXT-DAY RETENTION (oracle-matched): for each day, how many
+    distinct users are also active the following day — the cohort
+    health pass every product pipeline runs.
+
+    Scale plan: (1) per-block DISTINCT (user, day) partials (Arrow
+    group_by) fold to the globally deduped activity table (adaptive —
+    distributed above the cap); (2) below the cap one vectorized
+    driver pass sorts (user, day) and counts day→day+1 adjacencies;
+    above it the same adjacency is a distributed self-join of the
+    deduped Dataset against its day+1 shift (hash join on (user,
+    day)), so nothing row-scale ever sits on the driver.
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import (
+        adaptive_grouped_agg,
+        adaptive_grouped_agg_ds,
+    )
+
+    day_us = np.int64(86_400_000_000)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def distinct_days(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").combine_chunks().cast(pa.int64())
+        day = pc.multiply(pc.divide(ts, day_us.item()), day_us.item())
+        t = pa.table({"user_id": tbl.column("user_id"), "day_us": day})
+        agg = t.group_by(["user_id", "day_us"]).aggregate([])
+        return agg.append_column("n", pa.array(np.ones(agg.num_rows, np.int64)))
+
+    pairs = ds.map_batches(distinct_days, batch_format="pyarrow", zero_copy_batch=True)
+    deduped, is_ds = adaptive_grouped_agg_ds(pairs, ["user_id", "day_us"], {"n": "sum"})
+    if not is_ds:
+        df = deduped.sort_values(["user_id", "day_us"]).reset_index(drop=True)
+        u = df["user_id"].to_numpy()
+        d = df["day_us"].to_numpy()
+        adj = (u[:-1] == u[1:]) & (d[1:] == d[:-1] + day_us)
+        days = d[:-1][adj]
+        if len(days):
+            vals, cnts = np.unique(days, return_counts=True)
+        else:
+            vals, cnts = np.zeros(0, np.int64), np.zeros(0, np.int64)
+        out = pd.DataFrame({"day_us": vals, "n_retained": cnts.astype(np.int64)})
+    else:
+        def shift_day(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": tbl.column("user_id"),
+                    "next_day_us": pc.add(tbl.column("day_us"), day_us.item()),
+                }
+            )
+
+        base = deduped.select_columns(["user_id", "day_us"]).materialize()
+        shifted = base.map_batches(shift_day, batch_format="pyarrow", zero_copy_batch=True)
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        joined = shifted.repartition(n_parts).join(
+            base.repartition(n_parts), "inner", n_parts,
+            on=("user_id", "next_day_us"), right_on=("user_id", "day_us"),
+        )
+
+        def day_counts(tbl: pa.Table) -> pa.Table:
+            # the matched shifted row's ORIGINAL day = next_day − 1
+            day = pc.subtract(tbl.column("next_day_us"), day_us.item())
+            agg = pa.table({"day_us": day}).group_by(["day_us"]).aggregate(
+                [([], "count_all")]
+            )
+            return agg.rename_columns(["day_us", "n_retained"])
+
+        out = adaptive_grouped_agg(
+            joined.map_batches(day_counts, batch_format="pyarrow", zero_copy_batch=True),
+            ["day_us"],
+            {"n_retained": "sum"},
+        )
+    if not len(out):
+        return pd.DataFrame(
+            {"day": pd.Series(dtype="datetime64[us]"), "n_retained": pd.Series(dtype=np.int64)}
+        )
+    res = pd.DataFrame(
+        {
+            "day": pd.to_datetime(out["day_us"], unit="us").astype("datetime64[us]"),
+            "n_retained": out["n_retained"].astype(np.int64),
+        }
+    )
+    return res.sort_values("day").reset_index(drop=True)
+
+
+ORACLE_SQL["events_daily_retention"] = """
+    WITH p AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT a.d AS day, COUNT(*) AS n_retained
+    FROM p a JOIN p b ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["events_daily_retention"] = events_daily_retention

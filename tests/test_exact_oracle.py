@@ -90,3 +90,23 @@ def test_q4_pandas_and_distributed_join_paths_agree(ray_session, monkeypatch):
     monkeypatch.setattr(folds, "adaptive_grouped_agg_ds", force_ds)
     slow = r.late_shipment_priority_counts(sf)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_retention_pandas_and_join_paths_agree(ray_session, monkeypatch):
+    """events_daily_retention: under-cap vectorized adjacency and the
+    over-cap distributed self-join must agree."""
+    import pandas as pd
+
+    import approximate_quantiles_ray.engine.folds as folds
+    import approximate_quantiles_ray.pipelines.relational as r
+
+    sf = "/root/testdata/sf0.001"
+    fast = r.events_daily_retention(sf)
+    orig = folds.adaptive_grouped_agg_ds
+
+    def force_ds(part_ds, keys, spec, cap=0):
+        return orig(part_ds, keys, spec, cap=0)
+
+    monkeypatch.setattr(folds, "adaptive_grouped_agg_ds", force_ds)
+    slow = r.events_daily_retention(sf)
+    pd.testing.assert_frame_equal(fast, slow)
