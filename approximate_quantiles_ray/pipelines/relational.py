@@ -1963,3 +1963,191 @@ ORACLE_SQL["events_daily_retention"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["events_daily_retention"] = events_daily_retention
+
+
+_FK_EDGES = [
+    # (child table, child key, parent table, parent key, parent is dimension)
+    ("orders", "o_custkey", "customer", "c_custkey", True),
+    ("lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", False),
+]
+
+
+def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """DATA-QUALITY AUDIT (oracle-matched): for every foreign-key edge
+    of the star schema, the count of DISTINCT child keys and how many
+    of them are orphans (no parent row) — the pre-flight check a
+    100 TB ingest runs before joining anything.
+
+    Scale plan per edge: the child streams once and reduces to
+    per-block DISTINCT keys (Arrow group_by) folded adaptively; the
+    parent side is a broadcast sorted key array when it is a dimension
+    table, and the same distinct-fold when it is a fact (orders), with
+    membership tested by vectorized searchsorted — the audit never
+    ships raw rows, only deduplicated keys.
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+
+    def distinct_keys(col):
+        def fn(tbl: pa.Table) -> pa.Table:
+            u = pc.unique(tbl.column(col).combine_chunks())
+            return pa.table({col: u, "n": pa.array(np.ones(len(u), np.int64))})
+
+        return fn
+
+    def fold_distinct(table: str, col: str) -> np.ndarray:
+        ds = _read(sf_dir, table, [col])
+        part = ds.map_batches(distinct_keys(col), batch_format="pyarrow", zero_copy_batch=True)
+        folded, is_ds = adaptive_grouped_agg_ds(part, [col], {"n": "sum"})
+        if is_ds:
+            arrs = [
+                b.column(col).to_numpy(zero_copy_only=False)
+                for b in folded.iter_batches(batch_format="pyarrow")
+            ]
+            keys = np.concatenate(arrs) if arrs else np.zeros(0, np.int64)
+        else:
+            keys = folded[col].to_numpy()
+        return np.sort(keys)
+
+    rows = []
+    for child, ckey, parent, pkey, _dim in _FK_EDGES:
+        ckeys = fold_distinct(child, ckey)
+        pkeys = fold_distinct(parent, pkey)
+        if len(pkeys) and len(ckeys):
+            idx = np.minimum(np.searchsorted(pkeys, ckeys), len(pkeys) - 1)
+            orphans = int((pkeys[idx] != ckeys).sum())
+        else:
+            orphans = len(ckeys)
+        rows.append(
+            {
+                "edge": f"{child}.{ckey}->{parent}.{pkey}",
+                "n_child_keys": np.int64(len(ckeys)),
+                "n_orphans": np.int64(orphans),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("edge").reset_index(drop=True)
+
+
+ORACLE_SQL["referential_integrity_audit"] = """
+    SELECT * FROM (
+        SELECT 'orders.o_custkey->customer.c_custkey' AS edge,
+               COUNT(*) AS n_child_keys,
+               COUNT(*) FILTER (WHERE c_custkey IS NULL) AS n_orphans
+        FROM (SELECT DISTINCT o_custkey FROM orders) o
+        LEFT JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part.p_partkey',
+               COUNT(*), COUNT(*) FILTER (WHERE p_partkey IS NULL)
+        FROM (SELECT DISTINCT l_partkey FROM lineitem) l
+        LEFT JOIN part ON l_partkey = p_partkey
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+               COUNT(*), COUNT(*) FILTER (WHERE s_suppkey IS NULL)
+        FROM (SELECT DISTINCT l_suppkey FROM lineitem) l
+        LEFT JOIN supplier ON l_suppkey = s_suppkey
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+               COUNT(*), COUNT(*) FILTER (WHERE o_orderkey IS NULL)
+        FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+        LEFT JOIN orders ON l_orderkey = o_orderkey
+    ) ORDER BY edge
+"""
+QUERIES["referential_integrity_audit"] = referential_integrity_audit
+
+
+def events_column_profile(sf_dir: str) -> pd.DataFrame:
+    """COLUMN PROFILER (oracle-matched): per-column null count and
+    exact distinct count over the events table — the schema-audit
+    pass that sizes dictionaries, picks partition keys and catches
+    ingest breakage.
+
+    Scale plan: ONE streaming pass; each block emits, per column, its
+    null count and its set of distinct values pre-hashed to int64
+    (so strings, floats and timestamps all travel as 8-byte keys);
+    per-column adaptive distinct folds count the survivors. Null
+    counts are a plain sum fold. 64-bit hashing makes the distinct
+    count exact up to birthday collisions (P < 1e-7 below ~10^6
+    distincts per column; switch to the 16-byte key scheme of
+    pipelines/dedup.exact_dedup for 10^9+ cardinalities).
+    """
+    import polars as pl
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ds = _read(sf_dir, "events", cols)
+
+    def block_profile(tbl: pa.Table) -> pa.Table:
+        names, nulls, hashes = [], [], []
+        for c in cols:
+            col = tbl.column(c).combine_chunks()
+            n_null = int(col.null_count)
+            # distinct values as 64-bit hashes (polars xxhash over Arrow
+            # buffers — no Python objects); nulls excluded
+            u = pc.unique(pc.drop_null(col))
+            h = pl.from_arrow(pa.table({"v": u}))["v"].hash(seed=7).to_numpy()
+            names.append(np.full(len(h) + 1, c, object))
+            # one marker row per column carries the null count (h = -1,
+            # never a hash collision issue: counts fold separately)
+            nulls.append(np.concatenate([[n_null], np.zeros(len(h), np.int64)]))
+            hashes.append(np.concatenate([[-1], h.astype(np.int64)]))
+        return pa.table(
+            {
+                "col": pa.array(np.concatenate(names), pa.string()),
+                "h": pa.array(np.concatenate(hashes), pa.int64()),
+                "n_null": pa.array(np.concatenate(nulls), pa.int64()),
+            }
+        )
+
+    part = ds.map_batches(block_profile, batch_format="pyarrow", zero_copy_batch=True)
+    folded, is_ds = adaptive_grouped_agg_ds(part, ["col", "h"], {"n_null": "sum"})
+    if is_ds:
+        def block_counts(tbl: pa.Table) -> pa.Table:
+            mark = pc.equal(tbl.column("h"), -1)
+            agg = (
+                tbl.append_column("is_val", pc.cast(pc.invert(mark), pa.int64()))
+                .select(["col", "is_val", "n_null"])
+                .group_by(["col"])
+                .aggregate([("is_val", "sum"), ("n_null", "sum")])
+            )
+            return agg.rename_columns(["col", "n_distinct", "n_nulls"])
+
+        out = adaptive_grouped_agg(
+            folded.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True),
+            ["col"],
+            {"n_distinct": "sum", "n_nulls": "sum"},
+        )
+    else:
+        g = folded.assign(is_val=(folded["h"] != -1).astype(np.int64))
+        out = g.groupby("col", as_index=False).agg(
+            n_distinct=("is_val", "sum"), n_nulls=("n_null", "sum")
+        )
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    out["n_nulls"] = out["n_nulls"].astype(np.int64)
+    return out.sort_values("col").reset_index(drop=True)[["col", "n_distinct", "n_nulls"]]
+
+
+ORACLE_SQL["events_column_profile"] = """
+    SELECT * FROM (
+        SELECT 'event_id' AS col, COUNT(DISTINCT event_id) AS n_distinct,
+               COUNT(*) FILTER (WHERE event_id IS NULL) AS n_nulls FROM events
+        UNION ALL
+        SELECT 'ts', COUNT(DISTINCT ts), COUNT(*) FILTER (WHERE ts IS NULL) FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(DISTINCT user_id),
+               COUNT(*) FILTER (WHERE user_id IS NULL) FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(DISTINCT event_type),
+               COUNT(*) FILTER (WHERE event_type IS NULL) FROM events
+        UNION ALL
+        SELECT 'value', COUNT(DISTINCT value),
+               COUNT(*) FILTER (WHERE value IS NULL) FROM events
+        UNION ALL
+        SELECT 'props', COUNT(DISTINCT props),
+               COUNT(*) FILTER (WHERE props IS NULL) FROM events
+    ) ORDER BY col
+"""
+QUERIES["events_column_profile"] = events_column_profile
