@@ -185,6 +185,16 @@ def oracle_sql(sf_dir_for_oracle: str) -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS sorted_ok
             FROM read_parquet('{glob}')
         """,
+        "transcript_conv_dedup": f"""
+            WITH fp AS (
+                SELECT conv_id,
+                       string_agg(text, chr(31) ORDER BY turn_idx) AS f
+                FROM read_parquet('{glob}') GROUP BY conv_id)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_convs,
+                   CAST(COUNT(DISTINCT f) AS BIGINT) AS n_distinct_convs,
+                   CAST(COUNT(*) - COUNT(DISTINCT f) AS BIGINT) AS n_dup_convs
+            FROM fp
+        """,
         "transcript_role_transitions": f"""
             WITH t AS (
                 SELECT role,
@@ -245,11 +255,68 @@ def role_transitions(sf_dir: str, layout: str = "auto") -> pd.DataFrame:
     return out.sort_values(["prev_role", "next_role"]).reset_index(drop=True)
 
 
+def conv_dedup_stats(sf_dir: str) -> pd.DataFrame:
+    """CONVERSATION-LEVEL EXACT DEDUP (oracle-matched): count
+    conversations whose full ordered text content duplicates another
+    conversation — the corpus-hygiene pass a transcript pipeline runs
+    before training (near-dup lives in pipelines/dedup.py; this is the
+    exact tier at conversation granularity).
+
+    Scale plan: the conv_id-bucketed layout gives each bucket whole
+    conversations; one pass computes an ORDER-SENSITIVE 64-bit
+    polynomial fingerprint per conversation
+    (sources/bucketed.BucketConvFingerprints — text hash × B^position,
+    so turn order matters), then per-block distinct-fp partials fold
+    adaptively and the driver sees counts only. Exact up to 64-bit
+    birthday collisions (P < 1e-7 below ~10^6 convs; swap in the
+    16-byte key scheme of dedup.exact_dedup beyond).
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+    from approximate_quantiles_ray.sources.bucketed import (
+        conv_fingerprints_bucketed,
+        ensure_bucketed,
+    )
+
+    root = ensure_bucketed(transcripts_dir_for(sf_dir))
+    fps = conv_fingerprints_bucketed(root)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        agg = tbl.select(["fp"]).group_by(["fp"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["fp", "n_convs"])
+
+    folded, is_ds = adaptive_grouped_agg_ds(
+        fps.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["fp"],
+        {"n_convs": "sum"},
+    )
+    if is_ds:
+        import ray
+
+        n_distinct = folded.count()
+        n_convs = int(
+            folded.map_batches(
+                lambda t: pa.table({"s": pa.array([int(np.sum(t.column("n_convs").to_numpy(zero_copy_only=False)))], pa.int64())}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).to_pandas()["s"].sum()
+        )
+    else:
+        n_distinct = len(folded)
+        n_convs = int(folded["n_convs"].sum())
+    return pd.DataFrame(
+        {
+            "n_convs": [np.int64(n_convs)],
+            "n_distinct_convs": [np.int64(n_distinct)],
+            "n_dup_convs": [np.int64(n_convs - n_distinct)],
+        }
+    )
+
+
 QUERIES = {
     "transcript_role_stats": role_stats,
     "transcript_tool_topk": tool_topk,
     "transcript_latency_quantiles": latency_quantiles_exact,
     "transcript_role_transitions": role_transitions,
+    "transcript_conv_dedup": conv_dedup_stats,
 }
 
 

@@ -369,3 +369,90 @@ def transitions_bucketed(bucket_root: str, key: str = "conv_id",
         batch_format="pyarrow",
         batch_size=1,
     )
+
+
+class BucketConvFingerprints:
+    """map_batches task over bucket dirs: order-sensitive 64-bit
+    conversation fingerprint per conv — fp(conv) = Σ_turns
+    splitmix64(hash(text)) · B^position (mod 2^64), a polynomial hash
+    in the turn ORDER (position = rank of the turn within its
+    conversation, so two identical conversations match even if their
+    absolute turn_idx values are shifted). Reordered turns (and of
+    course edited text) change the fingerprint; a different
+    partitioning of the same conversation cannot (buckets own whole
+    conversations). Emits one (conv_id, fp) row per conversation."""
+
+    _B = np.uint64(0x9E3779B97F4A7C15)  # odd → invertible mod 2^64
+
+    def __init__(self, key: str = "conv_id", order: str = "turn_idx", text: str = "text"):
+        self.key = key
+        self.order = order
+        self.text = text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from approximate_quantiles_ray.functions.hashing import hash_strings, splitmix64
+
+        convs, fps = [], []
+        for d in batch.column("path").to_pylist():
+            tbl = pq.read_table(d, columns=[self.key, self.order, self.text], use_threads=False)
+            if not tbl.num_rows:
+                continue
+            conv = tbl.column(self.key).combine_chunks().to_numpy(zero_copy_only=False)
+            turn = tbl.column(self.order).combine_chunks().to_numpy(zero_copy_only=False)
+            h = splitmix64(hash_strings(tbl.column(self.text), seed=11))
+            order = np.lexsort((turn, conv))
+            conv, h = conv[order], h[order]
+            first = np.concatenate([[True], conv[1:] != conv[:-1]])
+            starts = np.flatnonzero(first)
+            counts = np.diff(np.append(starts, len(conv)))
+            pos = np.arange(len(conv), dtype=np.uint64) - np.repeat(
+                starts.astype(np.uint64), counts
+            )
+            with np.errstate(over="ignore"):
+                term = h * _pow_u64(self._B, pos)
+                fp = np.add.reduceat(term, starts)
+            convs.append(conv[starts])
+            fps.append(fp.astype(np.int64))
+        if not convs:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()), "fp": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "conv_id": pa.array(np.concatenate(convs), pa.string()),
+                "fp": pa.array(np.concatenate(fps)),
+            }
+        )
+
+
+def _pow_u64(base: np.uint64, exp: np.ndarray) -> np.ndarray:
+    """Vectorized base**exp (mod 2^64) by square-and-multiply over the
+    exponent bits (exp < 2^20 in practice — ≤ 20 rounds)."""
+    result = np.ones(len(exp), np.uint64)
+    b = base
+    e = exp.copy()
+    with np.errstate(over="ignore"):
+        while e.any():
+            odd = (e & np.uint64(1)).astype(bool)
+            result[odd] *= b
+            b = b * b
+            e >>= np.uint64(1)
+    return result
+
+
+def conv_fingerprints_bucketed(bucket_root: str, key: str = "conv_id",
+                               order: str = "turn_idx", text: str = "text"):
+    """Distributed (conv_id, fp) rows over a bucketed layout — one
+    complete fingerprint per conversation, zero shuffle."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
+    dirs = bucket_dirs(bucket_root)
+    if not dirs:
+        raise ValueError(f"no bucket=* dirs under {bucket_root}")
+    return rd.from_items([{"path": d} for d in dirs]).map_batches(
+        worker_cached_stage(BucketConvFingerprints, key=key, order=order, text=text),
+        batch_format="pyarrow",
+        batch_size=1,
+    )

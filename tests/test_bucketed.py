@@ -113,3 +113,44 @@ def test_bucketed_gap_hist_quantiles_match_segmented(bucketed_root):
         hist, "gap_us", qs, extra_values=boundary, pre_grouped=False
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_conv_fingerprints_detect_planted_dups(ray_session, tmp_path_factory):
+    """Order-sensitive conversation fingerprints: identical ordered
+    content (even with shifted absolute turn_idx and a different
+    conv_id, split across different buckets) collides; reordered or
+    edited content does not."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.sources.bucketed import (
+        conv_fingerprints_bucketed,
+        write_bucketed,
+    )
+
+    rows = []
+    texts = ["hello", "world", "how are you", "fine"]
+    # base conversation
+    for i, t in enumerate(texts):
+        rows.append(("conv_a", i, t))
+    # exact duplicate, different id + shifted turn indices
+    for i, t in enumerate(texts):
+        rows.append(("conv_b", i + 7, t))
+    # same multiset, different order → different fingerprint
+    for i, t in enumerate(reversed(texts)):
+        rows.append(("conv_c", i, t))
+    # one edited turn → different fingerprint
+    for i, t in enumerate(["hello", "world", "how are you", "FINE"]):
+        rows.append(("conv_d", i, t))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int64)
+    out = str(tmp_path_factory.mktemp("convdup") / "buckets")
+    write_bucketed(rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+                   out, key="conv_id", n_buckets=4)
+    fps = conv_fingerprints_bucketed(out).to_pandas().set_index("conv_id")["fp"]
+    assert fps["conv_a"] == fps["conv_b"]  # duplicate found across buckets
+    assert fps["conv_a"] != fps["conv_c"]  # order matters
+    assert fps["conv_a"] != fps["conv_d"]  # content matters
+    assert fps["conv_c"] != fps["conv_d"]
