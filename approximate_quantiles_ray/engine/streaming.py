@@ -823,3 +823,99 @@ def _format_global_rows(rows, specs, agg) -> pd.DataFrame:
     df.attrs["late_rows"] = agg.late_rows
     df.attrs["total_rows"] = agg.total_rows
     return df
+
+
+# ------------------------------------------------------------- durable replay
+
+
+STREAM_CKPT_VERSION = 1
+
+
+def save_stream_state(agg, emitted: list, batches_done: int, path: str) -> None:
+    """Atomically persist a streaming aggregator mid-replay: serialized
+    state + the rows already emitted + the replay offset. tmp+rename —
+    a kill mid-write leaves the previous checkpoint intact."""
+    import os
+
+    from ray import cloudpickle as cp
+
+    blob = cp.dumps(
+        {
+            "version": STREAM_CKPT_VERSION,
+            "agg": agg,
+            "emitted": emitted,
+            "batches_done": int(batches_done),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_stream_state(path: str):
+    """Load a checkpoint written by :func:`save_stream_state`;
+    returns None when absent/unreadable (start fresh)."""
+    import os
+
+    from ray import cloudpickle as cp
+
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            state = cp.loads(f.read())
+        if state.get("version") != STREAM_CKPT_VERSION:
+            return None
+        return state
+    except Exception:
+        return None  # truncated/corrupt checkpoint → fresh replay
+
+
+def stream_windows_resumable(ds, specs, checkpoint_path: str,
+                             every_n_batches: int = 8,
+                             batch_size: int = 8192,
+                             keyed: list[str] | None = None,
+                             **agg_kwargs) -> pd.DataFrame:
+    """Durable micro-batch replay: like :func:`stream_windows` /
+    :func:`stream_keyed_windows` but the aggregator state, the windows
+    already emitted, and the replay offset checkpoint to disk every
+    ``every_n_batches`` batches — a killed job re-run with the same
+    arguments resumes from the last checkpoint instead of the start,
+    and a completed checkpoint makes the re-run a no-op replaying
+    nothing.
+
+    Relies on ``iter_batches`` yielding a deterministic batch sequence
+    for the same Dataset + batch_size (row order of the dataset), the
+    same property the exactness tests of the sequential replay already
+    assume. State size on disk is O(open windows × sketch size) —
+    never event rows.
+    """
+    if keyed is not None:
+        agg_cls = lambda: KeyedStreamingWindowAggregator(specs, keyed, **agg_kwargs)  # noqa: E731
+    else:
+        agg_cls = lambda: StreamingWindowAggregator(specs, **agg_kwargs)  # noqa: E731
+    state = load_stream_state(checkpoint_path)
+    if state is not None:
+        agg = state["agg"]
+        rows: list = list(state["emitted"])
+        done = state["batches_done"]
+    else:
+        agg = agg_cls()
+        rows = []
+        done = 0
+    i = -1
+    for i, batch in enumerate(
+        ds.iter_batches(batch_format="pyarrow", batch_size=batch_size)
+    ):
+        if i < done:
+            continue  # already folded into the checkpointed state
+        rows.extend(agg.push(batch))
+        if (i + 1) % every_n_batches == 0:
+            save_stream_state(agg, rows, i + 1, checkpoint_path)
+    if i + 1 > done:
+        save_stream_state(agg, rows, i + 1, checkpoint_path)
+    rows = rows + agg.flush()
+    if keyed is not None:
+        return _format_keyed_rows(rows, specs, keyed, agg)
+    return _format_global_rows(rows, specs, agg)
