@@ -473,3 +473,44 @@ ORACLE_SQL["docs_vocab_topk"] = """
         ) WHERE tok <> '' GROUP BY tok
     ) ORDER BY n DESC, token ASC LIMIT 20
 """
+
+
+def docs_content_ids(sf_dir: str) -> pd.DataFrame:
+    """CONTENT-ADDRESSABLE IDS (oracle-matched): md5 hex digest of each
+    document's text — the cross-run-stable content key an ingest uses
+    to dedup against an existing corpus (the 64-bit xxhash fingerprint
+    in ``docs_fingerprints`` is the fast in-pipeline key; md5 is the
+    durable, SQL-reproducible one).
+
+    Per-document crypto hashing is inherently per-item work (like media
+    decode); it runs in C via hashlib inside map_batches, streaming,
+    embarrassingly parallel, no shuffle.
+    """
+    import hashlib
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def batch_md5(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").combine_chunks()
+        # hash straight off the Arrow UTF-8 value buffer (no Python
+        # string materialization — only the digest loop is per-item)
+        off_dtype = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+        bufs = texts.buffers()
+        off = np.frombuffer(bufs[1], off_dtype)[texts.offset : texts.offset + len(texts) + 1]
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        digests = [
+            hashlib.md5(data[off[i] : off[i + 1]]).hexdigest() for i in range(len(texts))
+        ]
+        return pa.table(
+            {"doc_id": tbl.column("doc_id"), "content_md5": pa.array(digests, pa.string())}
+        )
+
+    out = ds.map_batches(batch_md5, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["docs_content_ids"] = """
+    SELECT doc_id, md5(text) AS content_md5
+    FROM documents ORDER BY doc_id
+"""
+QUERIES["docs_content_ids"] = docs_content_ids

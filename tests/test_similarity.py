@@ -199,3 +199,34 @@ def test_pq_codes_roundtrip_determinism(ray_session):
     # isotropic 64-dim data is the quantization worst case (no cluster
     # structure for the coarse stage); 8 bytes/vector still keeps ~0.7
     assert cos.mean() > 0.6
+
+
+def test_pq_partition_independence(ray_session):
+    """ADC candidate generation + exact re-rank must be independent of
+    the corpus partitioning (per-batch top-k partials merge to the
+    exact global top-k; deterministic tie-breaks)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.similarity import knn_pq
+
+    rng = np.random.default_rng(41)
+    pts = np.vstack(
+        [c + rng.standard_normal((150, 32)) for c in rng.standard_normal((4, 32)) * 3]
+    ).astype(np.float32)
+    ids = np.arange(len(pts), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.ravel(), pa.float32()), 32
+            ),
+        }
+    )
+    qids, qmat = ids[:2], pts[:2].astype(np.float64)
+    results = [
+        knn_pq(rd.from_arrow(tbl).repartition(p), qids, qmat, k=5, ks=64,
+               sample_size=600)
+        for p in (2, 8)
+    ]
+    pd.testing.assert_frame_equal(results[0], results[1])
