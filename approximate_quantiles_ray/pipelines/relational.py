@@ -2151,3 +2151,59 @@ ORACLE_SQL["events_column_profile"] = """
     ) ORDER BY col
 """
 QUERIES["events_column_profile"] = events_column_profile
+
+
+def _priority_rev_reduce(j: pa.Table) -> pa.Table:
+    """Per-bucket reducer for the co-partitioned orders⋈lineitem join:
+    (priority, n_items, revenue_cents) partials — join rows never leave
+    the bucket task."""
+    rev = pc.multiply(
+        pc.multiply(
+            j.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), j.column("l_discount")),
+        ),
+        pa.scalar(100.0),
+    )
+    cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"), pa.int64())
+    t = pa.table({"o_orderpriority": j.column("o_orderpriority"), "cents": cents})
+    agg = t.group_by(["o_orderpriority"]).aggregate([([], "count_all"), ("cents", "sum")])
+    return agg.rename_columns(["o_orderpriority", "n_items", "revenue_cents"])
+
+
+def priority_lineitem_stats_bucketed(sf_dir: str) -> pd.DataFrame:
+    """CO-PARTITIONED FACT-FACT JOIN (oracle-matched): orders ⋈
+    lineitem per-priority item counts and revenue, executed with ZERO
+    query-time shuffle — both tables ride a bucket layout hashed by the
+    SAME orderkey (built once, cached), so bucket i of orders joins
+    bucket i of lineitem locally in each task
+    (sources/bucketed.cobucket_join) and only per-priority partials
+    leave the task. This is the reuse-one-partitioning-key plan for
+    repeated fact-fact joins at 100 TB: pay the layout shuffle once
+    (jobs `bucketize`), then every orderkey join/group is
+    embarrassingly parallel.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.sources.bucketed import cobucket_join, ensure_bucketed
+
+    lo = ensure_bucketed(f"{sf_dir}/orders.parquet", key="o_orderkey", n_buckets=16)
+    ll = ensure_bucketed(f"{sf_dir}/lineitem.parquet", key="l_orderkey", n_buckets=16)
+    part = cobucket_join(
+        lo, ll, "o_orderkey", "l_orderkey",
+        columns_left=["o_orderkey", "o_orderpriority"],
+        columns_right=["l_orderkey", "l_extendedprice", "l_discount"],
+        post_fn=_priority_rev_reduce,
+    )
+    out = adaptive_grouped_agg(
+        part, ["o_orderpriority"], {"n_items": "sum", "revenue_cents": "sum"}
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORACLE_SQL["priority_lineitem_stats_bucketed"] = """
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["priority_lineitem_stats_bucketed"] = priority_lineitem_stats_bucketed

@@ -64,7 +64,10 @@ def ensure_bucketed(
     import hashlib
     import json
 
-    files = sorted(glob.glob(os.path.join(table_dir, "*.parquet")))
+    if os.path.isfile(table_dir):  # single-file tables (the testdata shape)
+        files = [table_dir]
+    else:
+        files = sorted(glob.glob(os.path.join(table_dir, "*.parquet")))
     if not files:
         raise ValueError(f"no parquet files under {table_dir}")
     stamp = [(os.path.basename(f), os.path.getmtime(f), os.path.getsize(f)) for f in files]
@@ -453,6 +456,94 @@ def conv_fingerprints_bucketed(bucket_root: str, key: str = "conv_id",
         raise ValueError(f"no bucket=* dirs under {bucket_root}")
     return rd.from_items([{"path": d} for d in dirs]).map_batches(
         worker_cached_stage(BucketConvFingerprints, key=key, order=order, text=text),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+
+
+class CoBucketJoiner:
+    """map_batches task over PAIRED bucket dirs: read bucket i of two
+    layouts bucketed by the SAME key function and join them locally
+    with Arrow's C++ hash join — matching keys land in the same bucket
+    index by construction, so the join needs NO shuffle at query time.
+    ``post_fn`` (optional, top-level or None) reduces each bucket's
+    join output before it leaves the task (project/aggregate partials)
+    so corpus-scale join rows never materialize as a Dataset."""
+
+    def __init__(self, left_key: str, right_key: str, columns_left=None,
+                 columns_right=None, how: str = "inner", post_fn_ref=None):
+        import ray
+
+        self.left_key = left_key
+        self.right_key = right_key
+        self.columns_left = columns_left
+        self.columns_right = columns_right
+        self.how = how
+        # the reducer travels as a ray.put ref (functions can't be
+        # cache-keyed by value; the ref hex is the stable key)
+        self.post_fn = (
+            ray.get(post_fn_ref) if isinstance(post_fn_ref, ray.ObjectRef) else post_fn_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for la, lb in zip(
+            batch.column("left").to_pylist(), batch.column("right").to_pylist()
+        ):
+            lt = pq.read_table(
+                la,
+                columns=list(self.columns_left) if self.columns_left else None,
+                use_threads=False,
+            )
+            rt = pq.read_table(
+                lb,
+                columns=list(self.columns_right) if self.columns_right else None,
+                use_threads=False,
+            )
+            j = lt.join(
+                rt, keys=[self.left_key], right_keys=[self.right_key],
+                join_type=self.how,
+            )
+            outs.append(self.post_fn(j) if self.post_fn else j)
+        if not outs:
+            raise ValueError("empty bucket-pair batch")
+        return pa.concat_tables(outs, promote_options="default")
+
+
+def cobucket_join(left_root: str, right_root: str, left_key: str, right_key: str,
+                  columns_left=None, columns_right=None, how: str = "inner",
+                  post_fn=None):
+    """Zero-shuffle equi-join of two layouts bucketed by the same key
+    hash (``write_bucketed`` with equal n_buckets): one task per bucket
+    pair, Arrow hash join inside the task. The 100 TB plan this
+    encodes: pay the partitioning shuffle ONCE per table (jobs
+    `bucketize`), then every subsequent join/group on that key is
+    embarrassingly parallel. Both layouts must use the same
+    ``hash_strings``-based bucket function and bucket count (checked).
+    """
+    import ray
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
+    ld, rdirs = bucket_dirs(left_root), bucket_dirs(right_root)
+    if len(ld) != len(rdirs) or not ld:
+        raise ValueError(
+            f"bucket layouts disagree: {len(ld)} vs {len(rdirs)} buckets "
+            f"under {left_root} / {right_root}"
+        )
+    for a, b in zip(ld, rdirs):
+        if os.path.basename(a) != os.path.basename(b):
+            raise ValueError(f"bucket mismatch: {a} vs {b}")
+    pairs = [{"left": a, "right": b} for a, b in zip(ld, rdirs)]
+    return rd.from_items(pairs).map_batches(
+        worker_cached_stage(
+            CoBucketJoiner,
+            left_key=left_key, right_key=right_key,
+            columns_left=tuple(columns_left) if columns_left else None,
+            columns_right=tuple(columns_right) if columns_right else None,
+            how=how, post_fn_ref=ray.put(post_fn) if post_fn else None,
+        ),
         batch_format="pyarrow",
         batch_size=1,
     )

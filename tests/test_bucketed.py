@@ -154,3 +154,47 @@ def test_conv_fingerprints_detect_planted_dups(ray_session, tmp_path_factory):
     assert fps["conv_a"] != fps["conv_c"]  # order matters
     assert fps["conv_a"] != fps["conv_d"]  # content matters
     assert fps["conv_c"] != fps["conv_d"]
+
+
+def test_cobucket_join_matches_pandas(ray_session, tmp_path_factory):
+    """Co-partitioned bucket join == pandas merge on random int keys;
+    layouts with mismatched bucket counts are rejected."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from approximate_quantiles_ray.sources.bucketed import cobucket_join, write_bucketed
+
+    rng = np.random.default_rng(55)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 300, 500).astype(np.int64), "a": rng.integers(0, 10, 500)}
+    )
+    right = pd.DataFrame(
+        {"kk": rng.integers(0, 300, 400).astype(np.int64), "b": rng.integers(0, 10, 400)}
+    )
+    root = tmp_path_factory.mktemp("cbj")
+    lo, ro = str(root / "l"), str(root / "r")
+    write_bucketed(rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)), lo,
+                   key="k", n_buckets=8)
+    write_bucketed(rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)), ro,
+                   key="kk", n_buckets=8)
+    got = (
+        cobucket_join(lo, ro, "k", "kk", columns_left=["k", "a"], columns_right=["kk", "b"])
+        .to_pandas()
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="kk")[["k", "a", "b"]]
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "a", "b"]], want)
+    # bucket-count mismatch must fail loudly, not silently drop matches
+    ro4 = str(root / "r4")
+    write_bucketed(rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)), ro4,
+                   key="kk", n_buckets=4)
+    with pytest.raises(ValueError, match="disagree"):
+        cobucket_join(lo, ro4, "k", "kk")
