@@ -831,10 +831,26 @@ def _format_global_rows(rows, specs, agg) -> pd.DataFrame:
 STREAM_CKPT_VERSION = 1
 
 
-def save_stream_state(agg, emitted: list, batches_done: int, path: str) -> None:
+def replay_config_sig(specs, keyed, batch_size: int, agg_kwargs: dict) -> str:
+    """Deterministic signature of a resumable replay's parameters —
+    stored in the checkpoint so a re-run with different windows/specs/
+    batching starts fresh instead of resuming mismatched state."""
+    return repr(
+        (
+            sorted(s.key for s in specs),
+            keyed,
+            int(batch_size),
+            sorted(agg_kwargs.items()),
+        )
+    )
+
+
+def save_stream_state(agg, emitted: list, batches_done: int, path: str,
+                      config_sig: str = "") -> None:
     """Atomically persist a streaming aggregator mid-replay: serialized
-    state + the rows already emitted + the replay offset. tmp+rename —
-    a kill mid-write leaves the previous checkpoint intact."""
+    state + the rows already emitted + the replay offset + the replay
+    config signature. tmp+rename — a kill mid-write leaves the
+    previous checkpoint intact."""
     import os
 
     from ray import cloudpickle as cp
@@ -842,6 +858,7 @@ def save_stream_state(agg, emitted: list, batches_done: int, path: str) -> None:
     blob = cp.dumps(
         {
             "version": STREAM_CKPT_VERSION,
+            "config_sig": config_sig,
             "agg": agg,
             "emitted": emitted,
             "batches_done": int(batches_done),
@@ -853,9 +870,11 @@ def save_stream_state(agg, emitted: list, batches_done: int, path: str) -> None:
     os.replace(tmp, path)
 
 
-def load_stream_state(path: str):
-    """Load a checkpoint written by :func:`save_stream_state`;
-    returns None when absent/unreadable (start fresh)."""
+def load_stream_state(path: str, config_sig: str | None = None):
+    """Load a checkpoint written by :func:`save_stream_state`; returns
+    None when absent/unreadable OR when ``config_sig`` differs from the
+    recorded one (changed window/batch/spec parameters must NOT resume
+    stale state — same invalidation rule as state/checkpoint.py)."""
     import os
 
     from ray import cloudpickle as cp
@@ -866,6 +885,8 @@ def load_stream_state(path: str):
         with open(path, "rb") as f:
             state = cp.loads(f.read())
         if state.get("version") != STREAM_CKPT_VERSION:
+            return None
+        if config_sig is not None and state.get("config_sig") != config_sig:
             return None
         return state
     except Exception:
@@ -895,7 +916,8 @@ def stream_windows_resumable(ds, specs, checkpoint_path: str,
         agg_cls = lambda: KeyedStreamingWindowAggregator(specs, keyed, **agg_kwargs)  # noqa: E731
     else:
         agg_cls = lambda: StreamingWindowAggregator(specs, **agg_kwargs)  # noqa: E731
-    state = load_stream_state(checkpoint_path)
+    sig = replay_config_sig(specs, keyed, batch_size, agg_kwargs)
+    state = load_stream_state(checkpoint_path, config_sig=sig)
     if state is not None:
         agg = state["agg"]
         rows: list = list(state["emitted"])
@@ -912,9 +934,9 @@ def stream_windows_resumable(ds, specs, checkpoint_path: str,
             continue  # already folded into the checkpointed state
         rows.extend(agg.push(batch))
         if (i + 1) % every_n_batches == 0:
-            save_stream_state(agg, rows, i + 1, checkpoint_path)
+            save_stream_state(agg, rows, i + 1, checkpoint_path, config_sig=sig)
     if i + 1 > done:
-        save_stream_state(agg, rows, i + 1, checkpoint_path)
+        save_stream_state(agg, rows, i + 1, checkpoint_path, config_sig=sig)
     rows = rows + agg.flush()
     if keyed is not None:
         return _format_keyed_rows(rows, specs, keyed, agg)

@@ -207,26 +207,25 @@ def cmd_pq_index(args) -> None:
     )
 
     ds = rd.read_parquet(args.input)
-    sample = _hash_sample(ds, int(args.sample_size), seed=int(args.seed),
+    sample = _hash_sample(ds, args.sample_size, seed=args.seed,
                           id_col=args.id_col, col=args.col)
     coarse, books = train_pq_codebooks(
-        sample, m=int(args.m), ks=int(args.ks), seed=int(args.seed),
-        n_coarse=int(args.n_coarse),
+        sample, m=args.m, ks=args.ks, seed=args.seed, n_coarse=args.n_coarse,
     )
     bref = ray.put({"coarse": coarse, "books": books})
     encoded = ds.map_batches(
         worker_cached_stage(PQEncoder, books_ref=bref, id_col=args.id_col, col=args.col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()  # encode once; write + count reuse the same blocks
     encoded.write_parquet(args.output)
-    n = rd.read_parquet(args.output).count()
+    n = encoded.count()  # free metadata on the materialized dataset
     # codebooks live NEXT TO the code dir so the dir stays pure Parquet
     np.savez(args.output.rstrip("/") + "_codebooks.npz", coarse=coarse, books=books)
     _emit(
-        {"rows": int(n), "m": int(args.m), "ks": int(books.shape[1]),
+        {"rows": int(n), "m": args.m, "ks": int(books.shape[1]),
          "n_coarse": int(coarse.shape[0]),
-         "bytes_per_vector": 4 + int(args.m), "output": args.output},
+         "bytes_per_vector": 4 + args.m, "output": args.output},
         None,
     )
 
@@ -292,11 +291,11 @@ def main(argv: list[str] | None = None) -> int:
     pqp.add_argument("--output", required=True)
     pqp.add_argument("--id-col", default="vec_id")
     pqp.add_argument("--col", default="embedding")
-    pqp.add_argument("--m", default=8)
-    pqp.add_argument("--ks", default=256)
-    pqp.add_argument("--n-coarse", default=16)
-    pqp.add_argument("--sample-size", default=4096)
-    pqp.add_argument("--seed", default=42)
+    pqp.add_argument("--m", type=int, default=8)
+    pqp.add_argument("--ks", type=int, default=256)
+    pqp.add_argument("--n-coarse", type=int, default=16)
+    pqp.add_argument("--sample-size", type=int, default=4096)
+    pqp.add_argument("--seed", type=int, default=42)
     pqp.set_defaults(fn=cmd_pq_index)
 
     s = sub.add_parser("synth", help="generate the deterministic synthetic transcript table")

@@ -42,6 +42,19 @@ def int_cents(tbl: pa.Table, src: str, dst: str) -> pa.Table:
     return tbl.append_column(dst, cents)
 
 
+def revenue_cents_arr(tbl: pa.Table, price: str = "l_extendedprice",
+                      discount: str = "l_discount") -> pa.Array:
+    """round(price·(1−discount)·100) as int64 — HALF-AWAY-FROM-ZERO,
+    the exact per-element arithmetic DuckDB's ROUND uses, so sums are
+    order-insensitive and hash-stable. ONE definition: every revenue
+    query and its oracle must stay bit-identical together."""
+    rev = pc.multiply(
+        pc.multiply(tbl.column(price), pc.subtract(pa.scalar(1.0), tbl.column(discount))),
+        pa.scalar(100.0),
+    )
+    return pc.cast(pc.round(rev, round_mode="half_towards_infinity"), pa.int64())
+
+
 # --------------------------------------------------------------- exact quantile
 
 
@@ -1029,15 +1042,9 @@ def supplier_volume_by_nation(sf_dir: str) -> pd.DataFrame:
     line = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
 
     def revenue_cents(tbl: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            pc.multiply(
-                tbl.column("l_extendedprice"),
-                pc.subtract(pa.scalar(1.0), tbl.column("l_discount")),
-            ),
-            pa.scalar(100.0),
+        return pa.table(
+            {"l_suppkey": tbl.column("l_suppkey"), "cents": revenue_cents_arr(tbl)}
         )
-        cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"), pa.int64())
-        return pa.table({"l_suppkey": tbl.column("l_suppkey"), "cents": cents})
 
     fact = line.map_batches(revenue_cents, batch_format="pyarrow", zero_copy_batch=True)
     supplier = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
@@ -1382,15 +1389,9 @@ def unshipped_orders_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
             zero_copy_only=False
         )
         sub = tbl.filter(pa.array(sd > cutoff))
-        rev = pc.multiply(
-            pc.multiply(
-                sub.column("l_extendedprice"),
-                pc.subtract(pa.scalar(1.0), sub.column("l_discount")),
-            ),
-            pa.scalar(100.0),
+        t = pa.table(
+            {"l_orderkey": sub.column("l_orderkey"), "cents": revenue_cents_arr(sub)}
         )
-        cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"), pa.int64())
-        t = pa.table({"l_orderkey": sub.column("l_orderkey"), "cents": cents})
         agg = t.group_by(["l_orderkey"]).aggregate([("cents", "sum")])
         return agg.rename_columns(["l_orderkey", "revenue_cents"])
 
@@ -1529,27 +1530,22 @@ def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
             zero_copy_only=False
         )
         sub = tbl.filter(pa.array((sd >= lo) & (sd < hi)))
-        rev = pc.multiply(
-            pc.multiply(
-                sub.column("l_extendedprice"),
-                pc.subtract(pa.scalar(1.0), sub.column("l_discount")),
-            ),
-            pa.scalar(100.0),
-        )
-        cents = pc.cast(
-            pc.round(rev, round_mode="half_towards_infinity"), pa.int64()
-        ).to_numpy(zero_copy_only=False)
+        cents = revenue_cents_arr(sub).to_numpy(zero_copy_only=False)
         keys = ray.get(pk_ref)
         ids = sub.column("l_partkey").combine_chunks().to_numpy(zero_copy_only=False)
         if len(keys) and len(ids):
             idx = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
-            promo = ray.get(fl_ref)[idx] & (keys[idx] == ids)
+            matched = keys[idx] == ids
+            promo = ray.get(fl_ref)[idx] & matched
         else:
-            promo = np.zeros(len(ids), bool)
+            matched = np.zeros(len(ids), bool)
+            promo = matched
+        # totals mirror the oracle's INNER JOIN: an orphan l_partkey (no
+        # part row) contributes to NEITHER sum
         return pa.table(
             {
                 "promo_cents": pa.array([int(cents[promo].sum())], pa.int64()),
-                "total_cents": pa.array([int(cents.sum())], pa.int64()),
+                "total_cents": pa.array([int(cents[matched].sum())], pa.int64()),
             }
         )
 
@@ -1801,9 +1797,12 @@ def events_user_type_profiles(sf_dir: str) -> pd.DataFrame:
         tbl = tbl.filter(pc.greater(tbl.column("value"), 90.0))
         agg = tbl.group_by(["user_id", "event_type"]).aggregate([])
         et = agg.column("event_type").combine_chunks().to_numpy(zero_copy_only=False)
-        bit = np.int64(1) << np.searchsorted(types, et)
+        idx = np.minimum(np.searchsorted(types, et), len(types) - 1)
+        known = types[idx] == et  # oracle CASE → NULL for unknown types
+        sub = agg.filter(pa.array(known))
+        bit = np.int64(1) << idx[known]
         return pa.table(
-            {"user_id": agg.column("user_id"), "bit": pa.array(bit, pa.int64())}
+            {"user_id": sub.column("user_id"), "bit": pa.array(bit, pa.int64())}
         )
 
     pairs = ds.map_batches(distinct_bits, batch_format="pyarrow", zero_copy_batch=True)
@@ -1843,10 +1842,6 @@ def events_user_type_profiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("mask").reset_index(drop=True)[["mask", "types", "n_users"]]
 
 
-_BIT_CASE = " + ".join(
-    f"(CASE WHEN type_set & {1 << j} > 0 THEN {1 << j} ELSE 0 END)"
-    for j in range(len(_EVENT_TYPES))
-)
 _TYPE_BIT_SQL = "CASE event_type " + " ".join(
     f"WHEN '{t}' THEN {1 << j}" for j, t in enumerate(_EVENT_TYPES)
 ) + " END"
@@ -1966,11 +1961,11 @@ QUERIES["events_daily_retention"] = events_daily_retention
 
 
 _FK_EDGES = [
-    # (child table, child key, parent table, parent key, parent is dimension)
-    ("orders", "o_custkey", "customer", "c_custkey", True),
-    ("lineitem", "l_partkey", "part", "p_partkey", True),
-    ("lineitem", "l_suppkey", "supplier", "s_suppkey", True),
-    ("lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    # (child table, child key, parent table, parent key)
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
 ]
 
 
@@ -1980,12 +1975,11 @@ def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
     of them are orphans (no parent row) — the pre-flight check a
     100 TB ingest runs before joining anything.
 
-    Scale plan per edge: the child streams once and reduces to
-    per-block DISTINCT keys (Arrow group_by) folded adaptively; the
-    parent side is a broadcast sorted key array when it is a dimension
-    table, and the same distinct-fold when it is a fact (orders), with
-    membership tested by vectorized searchsorted — the audit never
-    ships raw rows, only deduplicated keys.
+    Scale plan per edge: both sides stream once and reduce to
+    per-block DISTINCT keys (Arrow group_by) folded adaptively;
+    membership is a vectorized searchsorted of child keys against the
+    sorted parent key set — the audit never ships raw rows, only
+    deduplicated keys.
     """
     import ray
 
@@ -2013,7 +2007,7 @@ def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
         return np.sort(keys)
 
     rows = []
-    for child, ckey, parent, pkey, _dim in _FK_EDGES:
+    for child, ckey, parent, pkey in _FK_EDGES:
         ckeys = fold_distinct(child, ckey)
         pkeys = fold_distinct(parent, pkey)
         if len(pkeys) and len(ckeys):
@@ -2157,15 +2151,9 @@ def _priority_rev_reduce(j: pa.Table) -> pa.Table:
     """Per-bucket reducer for the co-partitioned orders⋈lineitem join:
     (priority, n_items, revenue_cents) partials — join rows never leave
     the bucket task."""
-    rev = pc.multiply(
-        pc.multiply(
-            j.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), j.column("l_discount")),
-        ),
-        pa.scalar(100.0),
+    t = pa.table(
+        {"o_orderpriority": j.column("o_orderpriority"), "cents": revenue_cents_arr(j)}
     )
-    cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"), pa.int64())
-    t = pa.table({"o_orderpriority": j.column("o_orderpriority"), "cents": cents})
     agg = t.group_by(["o_orderpriority"]).aggregate([([], "count_all"), ("cents", "sum")])
     return agg.rename_columns(["o_orderpriority", "n_items", "revenue_cents"])
 

@@ -128,10 +128,10 @@ def docs_sample_bottomk(sf_dir: str, k: int = 16, seed: int = 42) -> pd.DataFram
     def block_bottomk(tbl: pa.Table) -> pa.Table:
         ids = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
         h = hash32(ids, seed)
-        if len(ids) > k:
-            idx = np.argpartition(h, k)[:k]
-        else:
-            idx = np.arange(len(ids))
+        # the block cut must use the GLOBAL tie order (h asc, doc_id
+        # asc) — an argpartition cut breaks h-ties arbitrarily and can
+        # drop the doc the global order keeps
+        idx = np.lexsort((ids, h))[:k]
         return pa.table(
             {"doc_id": pa.array(ids[idx], pa.int64()), "h": pa.array(h[idx], pa.int64())}
         )
@@ -166,10 +166,9 @@ def docs_sample_weighted(sf_dir: str, k: int = 16, seed: int = 7) -> pd.DataFram
         ids = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
         w = tbl.column("n_chars").combine_chunks().to_numpy(zero_copy_only=False)
         pri = hash32(ids, seed).astype(np.float64) / w
-        if len(ids) > k:
-            idx = np.argpartition(pri, k)[:k]
-        else:
-            idx = np.arange(len(ids))
+        # lexsort cut: h/w ratios collide more readily than raw hashes,
+        # and the block cut must respect the global (pri, doc_id) order
+        idx = np.lexsort((ids, pri))[:k]
         return pa.table(
             {
                 "doc_id": pa.array(ids[idx], pa.int64()),

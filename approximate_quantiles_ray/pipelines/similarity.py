@@ -779,7 +779,15 @@ def knn_pq(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
     parts = (
         ds.map_batches(keep_candidates, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(
-            worker_cached_stage(BatchTopK, queries_ref=qref, k=k, id_col=id_col, col=col),
+            # k here must cover the WHOLE candidate pool: with plain k,
+            # another query's candidates can crowd a query's own out of
+            # the per-batch top-k before the allowed-pair filter below
+            # removes them — silently losing true re-ranked neighbors
+            # (partition-dependent!). The pool is ≤ #queries×refine×k
+            # rows, so keeping every scored pair is cheap and exact.
+            worker_cached_stage(
+                BatchTopK, queries_ref=qref, k=int(len(cand_ids)), id_col=id_col, col=col
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

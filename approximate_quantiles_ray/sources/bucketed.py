@@ -535,6 +535,20 @@ def cobucket_join(left_root: str, right_root: str, left_key: str, right_key: str
     for a, b in zip(ld, rdirs):
         if os.path.basename(a) != os.path.basename(b):
             raise ValueError(f"bucket mismatch: {a} vs {b}")
+    # a layout bucketed by the WRONG column has matching counts and dir
+    # names but silently drops every cross-bucket match — verify the
+    # manifest (written by ensure_bucketed) records the expected keys
+    for root, key in ((left_root, left_key), (right_root, right_key)):
+        mf = os.path.join(root, "_MANIFEST.json")
+        if os.path.exists(mf):
+            import json
+
+            meta = json.load(open(mf))
+            if meta.get("key") != key:
+                raise ValueError(
+                    f"{root} is bucketed by {meta.get('key')!r}, not the "
+                    f"join key {key!r} — rebuild the layout on the join key"
+                )
     pairs = [{"left": a, "right": b} for a, b in zip(ld, rdirs)]
     return rd.from_items(pairs).map_batches(
         worker_cached_stage(

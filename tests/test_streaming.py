@@ -480,6 +480,7 @@ def test_resumable_replay_matches_one_shot(ray_session, tmp_path):
     import ray.data as rd
 
     from approximate_quantiles_ray.engine.streaming import (
+        replay_config_sig,
         save_stream_state,
         stream_windows_resumable,
     )
@@ -503,7 +504,10 @@ def test_resumable_replay_matches_one_shot(ray_session, tmp_path):
         rows.extend(agg.push(b))
         if i == 2:
             break
-    save_stream_state(agg, rows, 3, ck)
+    sig = replay_config_sig(
+        _specs(), None, 4096, dict(window_us=WINDOW, allowed_lateness_us=1 << 62)
+    )
+    save_stream_state(agg, rows, 3, ck, config_sig=sig)
     resumed = stream_windows_resumable(
         ds, _specs(), ck, every_n_batches=2, batch_size=4096,
         window_us=WINDOW, allowed_lateness_us=1 << 62,
@@ -515,6 +519,14 @@ def test_resumable_replay_matches_one_shot(ray_session, tmp_path):
         window_us=WINDOW, allowed_lateness_us=1 << 62,
     )
     pd.testing.assert_frame_equal(one_shot, again)
+    # changed parameters must NOT resume stale state: a different
+    # window width with the same checkpoint path starts fresh
+    changed = stream_windows_resumable(
+        ds, _specs(), ck, every_n_batches=2, batch_size=4096,
+        window_us=2 * WINDOW, allowed_lateness_us=1 << 62,
+    )
+    assert (np.diff(changed["window_start_us"]) >= 2 * WINDOW).all()
+    assert changed["rows"].sum() == one_shot["rows"].sum()
 
 
 def test_resumable_keyed_replay(ray_session, tmp_path):
