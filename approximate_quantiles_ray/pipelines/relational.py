@@ -2195,3 +2195,77 @@ ORACLE_SQL["priority_lineitem_stats_bucketed"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["priority_lineitem_stats_bucketed"] = priority_lineitem_stats_bucketed
+
+
+def events_value_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """DISTRIBUTED WINDOW FUNCTION (oracle-matched vs PERCENT_RANK):
+    each event's percent rank of ``value`` within its event_type —
+    ``cnt_lt / (n − 1)`` where cnt_lt counts strictly-smaller values in
+    the partition. The float IS hash-stable: one IEEE division of two
+    exact int64s, computed identically by DuckDB's PERCENT_RANK.
+
+    Scale plan: per-(type, value) counts fold adaptively (bounded by
+    value cardinality, not rows); the driver turns them into per-type
+    sorted value arrays with shifted cumulative counts and broadcasts
+    them once; one streaming map then ranks every event with a
+    searchsorted — no sort of the fact table, no per-partition
+    shuffle. Output is one row per event (write it, don't collect, at
+    corpus scale — the query surface materializes sf-test sizes only).
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def vc_partials(tbl: pa.Table) -> pa.Table:
+        agg = tbl.select(["event_type", "value"]).group_by(
+            ["event_type", "value"]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["event_type", "value", "n"])
+
+    counts = adaptive_grouped_agg(
+        ds.map_batches(vc_partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "value"],
+        {"n": "sum"},
+    )
+    tables = {}
+    for et, g in counts.groupby("event_type"):
+        g = g.sort_values("value")
+        n = g["n"].to_numpy()
+        tables[et] = (
+            g["value"].to_numpy(),
+            (np.cumsum(n) - n).astype(np.int64),  # strictly-less counts
+            np.int64(n.sum()),
+        )
+    tab_ref = ray.put(tables)
+
+    def rank_rows(tbl: pa.Table) -> pa.Table:
+        tabs = ray.get(tab_ref)
+        et = tbl.column("event_type").combine_chunks().to_numpy(zero_copy_only=False)
+        val = tbl.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        pr = np.zeros(len(et), np.float64)
+        for t in np.unique(et):
+            rows = np.flatnonzero(et == t)
+            vals, lt, n = tabs[t]
+            idx = np.searchsorted(vals, val[rows], side="left")
+            cnt = lt[np.minimum(idx, len(lt) - 1)]
+            pr[rows] = cnt / (n - 1) if n > 1 else 0.0
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "event_type": tbl.column("event_type"),
+                "pr": pa.array(pr, pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(rank_rows, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ORACLE_SQL["events_value_percent_rank"] = """
+    SELECT event_id, event_type,
+           PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) AS pr
+    FROM events ORDER BY event_id
+"""
+QUERIES["events_value_percent_rank"] = events_value_percent_rank
