@@ -2269,3 +2269,61 @@ ORACLE_SQL["events_value_percent_rank"] = """
     FROM events ORDER BY event_id
 """
 QUERIES["events_value_percent_rank"] = events_value_percent_rank
+
+
+def supplier_volume_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE grouping sets (oracle-matched): all four grains of
+    (region, nation) — finest, per-region, per-nation-across-regions,
+    grand total. Like the ROLLUP twin, every coarser grain is driver
+    arithmetic over the already-folded finest-grain frame (nation →
+    region is functional, but the per-nation grain is still its own
+    grouping set under CUBE); the fact table streams exactly once.
+    """
+    base = supplier_volume_by_nation(sf_dir)
+    nation_rows = base.assign(grain="nation")
+    region_rows = (
+        base.groupby("r_name", as_index=False)[["n_items", "revenue_cents"]]
+        .sum()
+        .assign(n_name="ALL", grain="region")
+    )
+    nation_all_rows = (
+        base.groupby("n_name", as_index=False)[["n_items", "revenue_cents"]]
+        .sum()
+        .assign(r_name="ALL", grain="nation_total")
+    )
+    total_rows = pd.DataFrame(
+        {
+            "r_name": ["ALL"],
+            "n_name": ["ALL"],
+            "n_items": [base["n_items"].sum()],
+            "revenue_cents": [base["revenue_cents"].sum()],
+            "grain": ["total"],
+        }
+    )
+    out = pd.concat(
+        [nation_rows, region_rows, nation_all_rows, total_rows], ignore_index=True
+    )
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return (
+        out.sort_values(["r_name", "n_name", "grain"])
+        .reset_index(drop=True)[["r_name", "n_name", "n_items", "revenue_cents", "grain"]]
+    )
+
+
+ORACLE_SQL["supplier_volume_cube"] = """
+    SELECT COALESCE(r_name, 'ALL') AS r_name,
+           COALESCE(n_name, 'ALL') AS n_name,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CASE WHEN r_name IS NULL AND n_name IS NULL THEN 'total'
+                WHEN r_name IS NULL THEN 'nation_total'
+                WHEN n_name IS NULL THEN 'region' ELSE 'nation' END AS grain
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE(r_name, n_name) ORDER BY r_name, n_name, grain
+"""
+QUERIES["supplier_volume_cube"] = supplier_volume_cube
