@@ -2327,3 +2327,108 @@ ORACLE_SQL["supplier_volume_cube"] = """
     GROUP BY CUBE(r_name, n_name) ORDER BY r_name, n_name, grain
 """
 QUERIES["supplier_volume_cube"] = supplier_volume_cube
+
+
+def orders_above_customer_avg(sf_dir: str) -> pd.DataFrame:
+    """CORRELATED-SUBQUERY shape (oracle-matched): per market segment,
+    how many orders exceed THEIR OWN customer's average order value.
+    The comparison ``price > avg`` is evaluated as the exact integer
+    cross-multiplication ``price_cents × n_orders > total_cents`` —
+    no float average ever materializes, so reduction order cannot
+    perturb boundary rows (a float AVG would flip ties between numpy
+    and SQL summation orders).
+
+    Scale plan: per-custkey (n, cents) partials fold adaptively; the
+    per-customer table broadcasts as sorted arrays (at 10^9+ customers
+    swap the broadcast for the co-partitioned bucket join —
+    sources/bucketed.cobucket_join); orders stream once through the
+    filter + a broadcast segment lookup, reducing to per-segment
+    counts.
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cust_partials(tbl: pa.Table) -> pa.Table:
+        t = int_cents(tbl, "o_totalprice", "cents").select(["o_custkey", "cents"])
+        agg = t.group_by(["o_custkey"]).aggregate([([], "count_all"), ("cents", "sum")])
+        return agg.rename_columns(["o_custkey", "n", "cents"])
+
+    per_cust = adaptive_grouped_agg(
+        orders.map_batches(cust_partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        {"n": "sum", "cents": "sum"},
+    )
+    ck = per_cust["o_custkey"].to_numpy()
+    srt = np.argsort(ck)
+    ck_ref = ray.put(ck[srt])
+    n_ref = ray.put(per_cust["n"].to_numpy()[srt])
+    sum_ref = ray.put(per_cust["cents"].to_numpy()[srt])
+
+    import pyarrow.parquet as pq_mod
+
+    seg = pq_mod.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    sk = seg.column("c_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+    sv = seg.column("c_mktsegment").combine_chunks().to_numpy(zero_copy_only=False)
+    ssrt = np.argsort(sk)
+    segk_ref, segv_ref = ray.put(sk[ssrt]), ray.put(sv[ssrt])
+
+    def above_avg_counts(tbl: pa.Table) -> pa.Table:
+        keys = ray.get(ck_ref)
+        t = int_cents(tbl, "o_totalprice", "cents")
+        ids = t.column("o_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = t.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(keys) or not len(ids):
+            return pa.table(
+                {"c_mktsegment": pa.array([], pa.string()),
+                 "n_orders": pa.array([], pa.int64())}
+            )
+        idx = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
+        n = ray.get(n_ref)[idx]
+        s = ray.get(sum_ref)[idx]
+        above = (keys[idx] == ids) & (cents * n > s)
+        sub_ids = ids[above]
+        segk = ray.get(segk_ref)
+        if not len(segk) or not len(sub_ids):
+            return pa.table(
+                {"c_mktsegment": pa.array([], pa.string()),
+                 "n_orders": pa.array([], pa.int64())}
+            )
+        sidx = np.minimum(np.searchsorted(segk, sub_ids), len(segk) - 1)
+        # inner-join semantics: drop orphan custkeys with no customer row
+        hit = segk[sidx] == sub_ids
+        segs = ray.get(segv_ref)[sidx[hit]]
+        vals, cnts = np.unique(segs, return_counts=True)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(vals, pa.string()),
+                "n_orders": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    out = adaptive_grouped_agg(
+        orders.map_batches(above_avg_counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_mktsegment"],
+        {"n_orders": "sum"},
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+ORACLE_SQL["orders_above_customer_avg"] = """
+    WITH w AS (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    OVER (PARTITION BY o_custkey) AS BIGINT) AS s,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders)
+    SELECT c_mktsegment, COUNT(*) AS n_orders
+    FROM w JOIN customer ON o_custkey = c_custkey
+    WHERE cents * n > s
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["orders_above_customer_avg"] = orders_above_customer_avg
