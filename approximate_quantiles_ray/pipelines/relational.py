@@ -1985,31 +1985,55 @@ def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
 
     from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
 
-    def distinct_keys(col):
+    # ONE streaming pass per table, however many key columns the edge
+    # set needs from it (lineitem feeds three edges — reading it three
+    # times tripled this audit's cost): each block emits its distinct
+    # keys per column as stacked (col, key) rows, one fold per table.
+    table_cols: dict[str, list[str]] = {}
+    for child, ckey, parent, pkey in _FK_EDGES:
+        table_cols.setdefault(child, []).append(ckey)
+        table_cols.setdefault(parent, []).append(pkey)
+    table_cols = {t: sorted(set(cs)) for t, cs in table_cols.items()}
+
+    def distinct_keys_stacked(cols):
         def fn(tbl: pa.Table) -> pa.Table:
-            u = pc.unique(tbl.column(col).combine_chunks())
-            return pa.table({col: u, "n": pa.array(np.ones(len(u), np.int64))})
+            names, keys = [], []
+            for c in cols:
+                u = pc.unique(tbl.column(c).combine_chunks()).to_numpy(
+                    zero_copy_only=False
+                )
+                names.append(np.full(len(u), c, object))
+                keys.append(u.astype(np.int64))
+            name_arr = np.concatenate(names) if names else np.zeros(0, object)
+            key_arr = np.concatenate(keys) if keys else np.zeros(0, np.int64)
+            return pa.table(
+                {
+                    "col": pa.array(name_arr, pa.string()),
+                    "key": pa.array(key_arr, pa.int64()),
+                    "n": pa.array(np.ones(len(key_arr), np.int64)),
+                }
+            )
 
         return fn
 
-    def fold_distinct(table: str, col: str) -> np.ndarray:
-        ds = _read(sf_dir, table, [col])
-        part = ds.map_batches(distinct_keys(col), batch_format="pyarrow", zero_copy_batch=True)
-        folded, is_ds = adaptive_grouped_agg_ds(part, [col], {"n": "sum"})
+    distinct: dict[tuple[str, str], np.ndarray] = {}
+    for table, cols in table_cols.items():
+        ds = _read(sf_dir, table, cols)
+        part = ds.map_batches(
+            distinct_keys_stacked(cols), batch_format="pyarrow", zero_copy_batch=True
+        )
+        folded, is_ds = adaptive_grouped_agg_ds(part, ["col", "key"], {"n": "sum"})
         if is_ds:
-            arrs = [
-                b.column(col).to_numpy(zero_copy_only=False)
-                for b in folded.iter_batches(batch_format="pyarrow")
-            ]
-            keys = np.concatenate(arrs) if arrs else np.zeros(0, np.int64)
-        else:
-            keys = folded[col].to_numpy()
-        return np.sort(keys)
+            folded = pa.concat_tables(
+                folded.iter_batches(batch_format="pyarrow")
+            ).to_pandas()
+        for c, g in folded.groupby("col"):
+            distinct[(table, c)] = np.sort(g["key"].to_numpy())
 
     rows = []
     for child, ckey, parent, pkey in _FK_EDGES:
-        ckeys = fold_distinct(child, ckey)
-        pkeys = fold_distinct(parent, pkey)
+        ckeys = distinct.get((child, ckey), np.zeros(0, np.int64))
+        pkeys = distinct.get((parent, pkey), np.zeros(0, np.int64))
         if len(pkeys) and len(ckeys):
             idx = np.minimum(np.searchsorted(pkeys, ckeys), len(pkeys) - 1)
             orphans = int((pkeys[idx] != ckeys).sum())
