@@ -2456,3 +2456,60 @@ ORACLE_SQL["orders_above_customer_avg"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["orders_above_customer_avg"] = orders_above_customer_avg
+
+
+def events_outlier_counts(sf_dir: str, q: float = 0.99) -> pd.DataFrame:
+    """TWO-PHASE DEPENDENT AGGREGATE (oracle-matched): per event type,
+    the exact q-quantile of value (quantile_disc element selection) AND
+    the count of events strictly above it — the outlier-rate profile of
+    a monitoring pipeline.
+
+    Scale plan: ONE streaming pass folds per-(type, value) counts
+    (bounded by value cardinality); both the quantile (cumsum walk to
+    the ceil(q·n)−1 element) and the outlier count (sum of counts
+    past it) come from that histogram on the driver — the naive plan's
+    second scan of the fact table never happens.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def vc_partials(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["event_type", "value"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["event_type", "value", "n"])
+
+    counts = adaptive_grouped_agg(
+        ds.map_batches(vc_partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "value"],
+        {"n": "sum"},
+    )
+    rows = []
+    for et, g in counts.groupby("event_type"):
+        g = g.sort_values("value")
+        n = g["n"].to_numpy()
+        vals = g["value"].to_numpy()
+        total = int(n.sum())
+        # quantile_disc: element at sorted index max(0, ceil(q·n) − 1)
+        target = max(0, int(np.ceil(q * total)) - 1)
+        cum = np.cumsum(n)
+        pos = int(np.searchsorted(cum, target + 1))
+        p = float(vals[pos])
+        n_outliers = int(n[vals > p].sum())
+        rows.append(
+            {"event_type": et, "n_events": np.int64(total), "p99": p,
+             "n_outliers": np.int64(n_outliers)}
+        )
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_SQL["events_outlier_counts"] = """
+    WITH qs AS (
+        SELECT event_type, quantile_disc(value, 0.99) AS p99
+        FROM events GROUP BY 1)
+    SELECT e.event_type, COUNT(*) AS n_events,
+           ANY_VALUE(qs.p99) AS p99,
+           COUNT(*) FILTER (WHERE e.value > qs.p99) AS n_outliers
+    FROM events e JOIN qs USING (event_type)
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["events_outlier_counts"] = events_outlier_counts
