@@ -514,3 +514,80 @@ ORACLE_SQL["docs_content_ids"] = """
     FROM documents ORDER BY doc_id
 """
 QUERIES["docs_content_ids"] = docs_content_ids
+
+
+def docs_bigram_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """CORPUS BIGRAM TOP-K (oracle-matched): frequencies of adjacent
+    token pairs WITHIN documents (never across a document boundary),
+    deterministic top-k. The sequence-aware sibling of
+    ``docs_vocab_topk`` — same shuffle-light shape: each block reduces
+    its own (bigram, n) histogram via Arrow kernels before anything is
+    exchanged; the adaptive fold + per-block top-k partials bound the
+    driver at #blocks × k rows on the distributed path.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def block_bigrams(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(tbl.column("text")), "[^a-z]+"
+        ).combine_chunks()
+        flat = pc.list_flatten(toks)
+        # doc index per flattened token, then drop empty tokens while
+        # keeping the doc attribution
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        doc = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offs))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc = doc[keep]
+        if len(doc) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        same = doc[1:] == doc[:-1]
+        left = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+        right = flat.slice(1).filter(pa.array(same))
+        bi = pc.binary_join_element_wise(left, right, " ")
+        vc = bi.value_counts()
+        return pa.table(
+            {"bigram": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    part = ds.map_batches(block_bigrams, batch_format="pyarrow", zero_copy_batch=True)
+    folded, is_ds = adaptive_grouped_agg_ds(part, ["bigram"], {"n": "sum"})
+    if is_ds:
+        def block_topk(tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas()
+            return pa.Table.from_pandas(
+                df.sort_values(["n", "bigram"], ascending=[False, True]).head(k),
+                preserve_index=False,
+            )
+
+        folded = (
+            folded.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+    return (
+        folded.sort_values(["n", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["docs_bigram_topk"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+    u AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               unnest(generate_series(1, len(toks))) AS i
+        FROM t)
+    SELECT a.tok || ' ' || b.tok AS bigram, COUNT(*) AS n
+    FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+QUERIES["docs_bigram_topk"] = docs_bigram_topk
