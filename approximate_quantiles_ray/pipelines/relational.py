@@ -2093,7 +2093,10 @@ def events_column_profile(sf_dir: str) -> pd.DataFrame:
     """
     import polars as pl
 
-    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+    from approximate_quantiles_ray.engine.folds import (
+        adaptive_grouped_agg,
+        adaptive_grouped_agg_ds,
+    )
 
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     ds = _read(sf_dir, "events", cols)

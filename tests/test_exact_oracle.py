@@ -110,3 +110,40 @@ def test_retention_pandas_and_join_paths_agree(ray_session, monkeypatch):
     monkeypatch.setattr(folds, "adaptive_grouped_agg_ds", force_ds)
     slow = r.events_daily_retention(sf)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+@pytest.mark.parametrize(
+    "fn_name",
+    [
+        "events_column_profile",
+        "referential_integrity_audit",
+        "events_user_type_profiles",
+        "transcript_conv_dedup_forced",
+    ],
+)
+def test_overcap_distributed_paths_agree(ray_session, monkeypatch, fn_name):
+    """Every new adaptive-fold query must produce identical results on
+    the under-cap pandas path and the forced over-cap distributed path
+    (the branch that only runs at corpus scale)."""
+    import pandas as pd
+
+    import approximate_quantiles_ray.engine.folds as folds
+
+    sf = "/root/testdata/sf0.001"
+    if fn_name == "transcript_conv_dedup_forced":
+        from approximate_quantiles_ray.pipelines.transcript_exact import conv_dedup_stats
+
+        fn = conv_dedup_stats
+    else:
+        import approximate_quantiles_ray.pipelines.relational as r
+
+        fn = getattr(r, fn_name)
+    fast = fn(sf)
+    orig = folds.adaptive_grouped_agg_ds
+
+    def force_ds(part_ds, keys, spec, cap=0):
+        return orig(part_ds, keys, spec, cap=0)
+
+    monkeypatch.setattr(folds, "adaptive_grouped_agg_ds", force_ds)
+    slow = fn(sf)
+    pd.testing.assert_frame_equal(fast, slow)
