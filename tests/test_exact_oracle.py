@@ -147,3 +147,25 @@ def test_overcap_distributed_paths_agree(ray_session, monkeypatch, fn_name):
     monkeypatch.setattr(folds, "adaptive_grouped_agg_ds", force_ds)
     slow = fn(sf)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+@pytest.mark.parametrize("fn_name", ["docs_vocab_topk", "docs_bigram_topk"])
+def test_overcap_topk_paths_agree(ray_session, monkeypatch, fn_name):
+    import pandas as pd
+
+    import approximate_quantiles_ray.engine.folds as folds
+    import approximate_quantiles_ray.pipelines.textstats as tx
+
+    sf = "/root/testdata/sf0.001"
+    fn = getattr(tx, fn_name)
+    fast = fn(sf)
+    orig = folds.adaptive_grouped_agg_ds
+
+    def force_ds(part_ds, keys, spec, cap=0):
+        return orig(part_ds, keys, spec, cap=0)
+
+    monkeypatch.setattr(folds, "adaptive_grouped_agg_ds", force_ds)
+    slow = fn(sf)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True)
+    )
