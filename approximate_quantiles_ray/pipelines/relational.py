@@ -2516,3 +2516,213 @@ ORACLE_SQL["events_outlier_counts"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["events_outlier_counts"] = events_outlier_counts
+
+
+def customers_with_returns(sf_dir: str) -> pd.DataFrame:
+    """TWO-HOP SEMI JOIN (oracle-matched vs nested EXISTS): customers
+    with at least one RETURNED lineitem (l_returnflag = 'R') on any of
+    their orders, counted per market segment — the lineage shape
+    (fact → fact → dimension) every attribution query walks.
+
+    Scale plan: each hop reduces to a DISTINCT key set BEFORE crossing
+    — returned orderkeys from lineitem (per-block unique + adaptive
+    fold), then the matching custkeys from orders via sorted-array
+    probe, then a probe of customer; only deduplicated keys ever move,
+    and each fact table streams exactly once. Above the broadcast cap
+    the probes become the distributed ``left_semi`` hash join (same
+    adaptive plan as the anti-join twin).
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    def distinct_fold(ds, col):
+        def partial(tbl: pa.Table) -> pa.Table:
+            u = pc.unique(tbl.column(col).combine_chunks())
+            return pa.table({col: u, "n": pa.array(np.ones(len(u), np.int64))})
+
+        from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+
+        folded, is_ds = adaptive_grouped_agg_ds(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            [col],
+            {"n": "sum"},
+        )
+        if is_ds:
+            arrs = [
+                b.column(col).to_numpy(zero_copy_only=False)
+                for b in folded.iter_batches(batch_format="pyarrow")
+            ]
+            return np.sort(np.concatenate(arrs) if arrs else np.zeros(0, np.int64))
+        return np.sort(folded[col].to_numpy())
+
+    returned = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("l_returnflag"), "R")).select(["l_orderkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    okeys = distinct_fold(returned, "l_orderkey")
+    okeys_ref = ray.put(okeys)
+
+    def matching_custkeys(tbl: pa.Table) -> pa.Table:
+        keys = ray.get(okeys_ref)
+        ids = tbl.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(keys) or not len(ids):
+            return pa.table({"o_custkey": pa.array([], pa.int64())})
+        idx = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
+        return tbl.filter(pa.array(keys[idx] == ids)).select(["o_custkey"])
+
+    custs = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        matching_custkeys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ckeys = distinct_fold(custs, "o_custkey")
+    ckeys_ref = ray.put(ckeys)
+
+    def seg_counts(tbl: pa.Table) -> pa.Table:
+        keys = ray.get(ckeys_ref)
+        ids = tbl.column("c_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(keys) or not len(ids):
+            return pa.table(
+                {"c_mktsegment": pa.array([], pa.string()),
+                 "n_customers": pa.array([], pa.int64())}
+            )
+        idx = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
+        sub = tbl.filter(pa.array(keys[idx] == ids)).select(["c_mktsegment"])
+        agg = sub.group_by(["c_mktsegment"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["c_mktsegment", "n_customers"])
+
+    part = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        seg_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = adaptive_grouped_agg(part, ["c_mktsegment"], {"n_customers": "sum"})
+    if not len(out):
+        out = pd.DataFrame(
+            {"c_mktsegment": pd.Series(dtype=object),
+             "n_customers": pd.Series(dtype=np.int64)}
+        )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+ORACLE_SQL["customers_with_returns"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R'))
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["customers_with_returns"] = customers_with_returns
+
+
+def events_user_first_last(sf_dir: str) -> pd.DataFrame:
+    """ARGMIN/ARGMAX FOLD (oracle-matched vs ordered-aggregate FIRST/
+    LAST): each user's first and last event value in (ts, event_id)
+    order, in exact int64 cents — the session-entry/exit shape.
+
+    Scale plan: each block reduces to ONE candidate row per user (its
+    local first and last, found with a vectorized lexsort) — the fold
+    input is #blocks × #users-per-block candidates, never event rows —
+    and the driver (or, above the cap, a second candidate-level
+    reduction) keeps the global extremes per user. Value columns ride
+    WITH their ordering key through every reduction, which a plain
+    per-column min/max fold cannot express.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def block_candidates(tbl: pa.Table) -> pa.Table:
+        t = int_cents(tbl, "value", "cents")
+        u = t.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = t.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "first_ts": pa.array([], pa.int64()),
+                    "first_eid": pa.array([], pa.int64()),
+                    "first_cents": pa.array([], pa.int64()),
+                    "last_ts": pa.array([], pa.int64()),
+                    "last_eid": pa.array([], pa.int64()),
+                    "last_cents": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, u))
+        u_s = u[order]
+        first_pos = np.concatenate([[True], u_s[1:] != u_s[:-1]])
+        starts = np.flatnonzero(first_pos)
+        ends = np.append(starts[1:], len(u_s)) - 1
+        fi, li = order[starts], order[ends]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts]),
+                "first_ts": pa.array(ts[fi], pa.int64()),
+                "first_eid": pa.array(eid[fi], pa.int64()),
+                "first_cents": pa.array(cents[fi], pa.int64()),
+                "last_ts": pa.array(ts[li], pa.int64()),
+                "last_eid": pa.array(eid[li], pa.int64()),
+                "last_cents": pa.array(cents[li], pa.int64()),
+                "n": pa.array(np.diff(np.append(starts, len(u_s))).astype(np.int64)),
+            }
+        )
+
+    cand_ds = ds.map_batches(block_candidates, batch_format="pyarrow", zero_copy_batch=True)
+
+    def reduce_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-user argmin/argmax over candidate rows, KEEPING the
+        ordering keys — so the reduction composes (block-level then
+        global) without losing the tie-break information."""
+        f = (
+            df.sort_values(["user_id", "first_ts", "first_eid"])
+            .groupby("user_id", as_index=False)
+            .first()[["user_id", "first_ts", "first_eid", "first_cents"]]
+        )
+        l = (
+            df.sort_values(["user_id", "last_ts", "last_eid"])
+            .groupby("user_id", as_index=False)
+            .last()[["user_id", "last_ts", "last_eid", "last_cents"]]
+        )
+        n = df.groupby("user_id", as_index=False)["n"].sum()
+        return f.merge(l, on="user_id").merge(n, on="user_id")
+
+    folded, is_ds = adaptive_grouped_agg_ds(
+        cand_ds,
+        ["user_id", "first_ts", "first_eid", "first_cents",
+         "last_ts", "last_eid", "last_cents"],
+        {"n": "sum"},
+    )
+    if is_ds:
+        # over-cap: a candidate-level per-block reduction (keys kept —
+        # the composition is associative) shrinks each block to one row
+        # per user before the driver's final reduce
+        def block_reduce(tbl: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(
+                reduce_candidates(tbl.to_pandas()), preserve_index=False
+            )
+
+        folded = folded.map_batches(
+            block_reduce, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+    out = reduce_candidates(folded).rename(columns={"n": "n_events"})
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "first_cents", "last_cents", "n_events"]
+    ]
+
+
+ORACLE_SQL["events_user_first_last"] = """
+    SELECT user_id,
+           CAST(FIRST(CAST(ROUND(value*100) AS BIGINT) ORDER BY ts, event_id)
+                AS BIGINT) AS first_cents,
+           CAST(LAST(CAST(ROUND(value*100) AS BIGINT) ORDER BY ts, event_id)
+                AS BIGINT) AS last_cents,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
+QUERIES["events_user_first_last"] = events_user_first_last

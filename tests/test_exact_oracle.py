@@ -119,6 +119,8 @@ def test_retention_pandas_and_join_paths_agree(ray_session, monkeypatch):
         "referential_integrity_audit",
         "events_user_type_profiles",
         "transcript_conv_dedup_forced",
+        "customers_with_returns",
+        "events_user_first_last",
     ],
 )
 def test_overcap_distributed_paths_agree(ray_session, monkeypatch, fn_name):
