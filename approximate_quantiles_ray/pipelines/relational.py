@@ -2016,19 +2016,29 @@ def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
 
         return fn
 
-    distinct: dict[tuple[str, str], np.ndarray] = {}
+    # ONE execution for the whole audit: each table's stacked partials
+    # (tagged by table) union into a single Dataset, one fold total
+    part_dss = []
     for table, cols in table_cols.items():
         ds = _read(sf_dir, table, cols)
-        part = ds.map_batches(
-            distinct_keys_stacked(cols), batch_format="pyarrow", zero_copy_batch=True
-        )
-        folded, is_ds = adaptive_grouped_agg_ds(part, ["col", "key"], {"n": "sum"})
-        if is_ds:
-            folded = pa.concat_tables(
-                folded.iter_batches(batch_format="pyarrow")
-            ).to_pandas()
-        for c, g in folded.groupby("col"):
-            distinct[(table, c)] = np.sort(g["key"].to_numpy())
+        fn = distinct_keys_stacked(cols)
+
+        def tag(tbl: pa.Table, _fn=fn, _t=table) -> pa.Table:
+            out = _fn(tbl)
+            return out.append_column(
+                "tbl", pa.array(np.full(out.num_rows, _t, object), pa.string())
+            )
+
+        part_dss.append(ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True))
+    unioned = part_dss[0].union(*part_dss[1:]) if len(part_dss) > 1 else part_dss[0]
+    folded, is_ds = adaptive_grouped_agg_ds(unioned, ["tbl", "col", "key"], {"n": "sum"})
+    if is_ds:
+        folded = pa.concat_tables(
+            folded.iter_batches(batch_format="pyarrow")
+        ).to_pandas()
+    distinct: dict[tuple[str, str], np.ndarray] = {}
+    for (t, c), g in folded.groupby(["tbl", "col"]):
+        distinct[(t, c)] = np.sort(g["key"].to_numpy())
 
     rows = []
     for child, ckey, parent, pkey in _FK_EDGES:
