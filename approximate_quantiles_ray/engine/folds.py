@@ -96,6 +96,33 @@ def _ray_aggs(spec: dict[str, str]):
     return ray_aggs, renames
 
 
+def _nan_to_null(ds, spec: dict[str, str]):
+    """NaN partials (a block whose group had no valid values) must fold
+    like SQL NULL: pandas min/max skip NaN, but Arrow/Ray MIN treats
+    NaN as a comparable value (an all-NaN group folds to ±inf) — so on
+    the over-cap path NaN min/max partials become nulls first, making
+    both paths agree (and match DuckDB's NULL-skipping aggregates)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = [c for c, k in spec.items() if k in ("min", "max")]
+    if not cols:
+        return ds
+
+    def fix(tbl: pa.Table) -> pa.Table:
+        for c in cols:
+            col = tbl.column(c)
+            if pa.types.is_floating(col.type):
+                i = tbl.column_names.index(c)
+                col = col.combine_chunks()
+                tbl = tbl.set_column(
+                    i, c, pc.if_else(pc.is_nan(col), pa.scalar(None, col.type), col)
+                )
+        return tbl
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def adaptive_grouped_agg_ds(
     part_ds,
     keys: list[str],
@@ -117,7 +144,8 @@ def adaptive_grouped_agg_ds(
         return df, False
     ray_aggs, renames = _ray_aggs(spec)
     ts_cols = _ts_columns(part)  # µs-safe over-cap path (ADVICE r2 item 2)
-    grouped = _encode_ts(part, ts_cols).groupby(keys).aggregate(*ray_aggs)
+    enc = _nan_to_null(_encode_ts(part, ts_cols), spec)
+    grouped = enc.groupby(keys).aggregate(*ray_aggs)
     return _decode_ts(grouped.rename_columns(renames), ts_cols), True
 
 
@@ -175,7 +203,12 @@ def adaptive_distinct_stats(
 
     aggs1, ren1 = _ray_aggs(spec)
     ts_cols = _ts_columns(part)  # µs-safe over-cap path (ADVICE r2 item 2)
-    lvl1 = _encode_ts(part, ts_cols).groupby(all_keys).aggregate(*aggs1).rename_columns(ren1)
+    lvl1 = (
+        _nan_to_null(_encode_ts(part, ts_cols), spec)
+        .groupby(all_keys)
+        .aggregate(*aggs1)
+        .rename_columns(ren1)
+    )
     aggs2, ren2 = _ray_aggs(spec)
     out = (
         lvl1.groupby(group_keys)

@@ -813,3 +813,82 @@ def embeddings_knn_pq(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["embeddings_knn_pq"] = embeddings_knn_pq
+
+
+def docs_embedding_coverage(sf_dir: str) -> pd.DataFrame:
+    """CROSS-MODAL JOIN (oracle-matched): per document language, how
+    many docs have an embedding row (doc_id = vec_id), plus exact
+    min/max of the first embedding component among covered docs — the
+    coverage audit run before any text+embedding training job.
+
+    Scale plan: the embedding side reduces to per-block (vec_id,
+    emb0) pairs, broadcast as sorted arrays (at corpus scale both
+    sides bucket by id and the coverage probe rides cobucket_join);
+    documents stream once through a vectorized membership probe +
+    per-block grouped partials. MIN/MAX of an element selection are
+    reduction-order-insensitive, so the float columns hash-stably.
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def emb_pairs(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+        mat = _embedding_matrix(tbl)
+        e0 = mat[:, 0] if mat.size else np.zeros(0)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "emb0": pa.array(e0, pa.float64())}
+        )
+
+    pairs = pa.concat_tables(
+        emb.map_batches(emb_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    vid = pairs.column("vec_id").to_numpy(zero_copy_only=False)
+    e0 = pairs.column("emb0").to_numpy(zero_copy_only=False)
+    srt = np.argsort(vid)
+    vid_ref, e0_ref = ray.put(vid[srt]), ray.put(e0[srt])
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def block_partials(tbl: pa.Table) -> pa.Table:
+        keys = ray.get(vid_ref)
+        ids = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        lang = tbl.column("lang").combine_chunks().to_numpy(zero_copy_only=False)
+        if len(keys) and len(ids):
+            idx = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
+            hit = keys[idx] == ids
+            vals = np.where(hit, ray.get(e0_ref)[idx], np.nan)
+        else:
+            hit = np.zeros(len(ids), bool)
+            vals = np.full(len(ids), np.nan)
+        df = pd.DataFrame(
+            {"lang": lang, "covered": hit.astype(np.int64), "emb0": vals}
+        )
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("lang", "size"),
+            n_with_emb=("covered", "sum"),
+            emb0_min=("emb0", "min"),
+            emb0_max=("emb0", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = adaptive_grouped_agg(
+        docs.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"],
+        {"n_docs": "sum", "n_with_emb": "sum", "emb0_min": "min", "emb0_max": "max"},
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+ORACLE_SQL["docs_embedding_coverage"] = """
+    SELECT lang, COUNT(*) AS n_docs,
+           COUNT(e.vec_id) AS n_with_emb,
+           MIN(CAST(e.embedding[1] AS DOUBLE)) AS emb0_min,
+           MAX(CAST(e.embedding[1] AS DOUBLE)) AS emb0_max
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY lang ORDER BY lang
+"""
+QUERIES["docs_embedding_coverage"] = docs_embedding_coverage

@@ -121,6 +121,7 @@ def test_retention_pandas_and_join_paths_agree(ray_session, monkeypatch):
         "transcript_conv_dedup_forced",
         "customers_with_returns",
         "events_user_first_last",
+        "docs_embedding_coverage",
     ],
 )
 def test_overcap_distributed_paths_agree(ray_session, monkeypatch, fn_name):
@@ -136,6 +137,10 @@ def test_overcap_distributed_paths_agree(ray_session, monkeypatch, fn_name):
         from approximate_quantiles_ray.pipelines.transcript_exact import conv_dedup_stats
 
         fn = conv_dedup_stats
+    elif fn_name == "docs_embedding_coverage":
+        from approximate_quantiles_ray.pipelines.similarity import docs_embedding_coverage
+
+        fn = docs_embedding_coverage
     else:
         import approximate_quantiles_ray.pipelines.relational as r
 

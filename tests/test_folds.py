@@ -124,3 +124,32 @@ def test_over_cap_fold_preserves_us_timestamps(ray_session):
     ).sort_values("k")
     assert ds_out["ts_min"].astype("int64").tolist() == [1_000_000_123_456, 2_000_000_999_999]
     assert ds_out["n_distinct"].tolist() == [2, 1]
+
+
+def test_grouped_min_max_with_nan_partials_both_paths(ray_session):
+    """NaN partials (a block whose group had no valid values) must not
+    poison cross-block MIN/MAX on either fold path — pandas skips NaN;
+    the distributed path must agree."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    part = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "b"]),
+            "v_min": pa.array([np.nan, 2.0, np.nan, np.nan], pa.float64()),
+            "v_max": pa.array([np.nan, 2.0, np.nan, np.nan], pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(part).repartition(4)
+    fast = adaptive_grouped_agg(ds, ["k"], {"v_min": "min", "v_max": "max"})
+    slow = adaptive_grouped_agg(ds, ["k"], {"v_min": "min", "v_max": "max"}, cap=0)
+    fast = fast.sort_values("k").reset_index(drop=True)
+    slow = slow.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    a = fast[fast["k"] == "a"].iloc[0]
+    assert a["v_min"] == 2.0 and a["v_max"] == 2.0
+    assert np.isnan(fast[fast["k"] == "b"].iloc[0]["v_min"])
