@@ -151,3 +151,73 @@ QUERIES = {
     "events_sessions": events_sessions,
     "events_sessions_stream": events_sessions_stream,
 }
+
+
+DEDUP_WINDOW_US = 3_600_000_000  # 1 h repeat-suppression window
+
+
+def events_windowed_dedup(sf_dir: str, window_us: int = DEDUP_WINDOW_US) -> pd.DataFrame:
+    """WINDOWED EVENT DEDUP (oracle-matched vs LAG): per event type,
+    how many events are repeats — the same (user, type) firing again
+    within ``window_us`` of the PREVIOUS occurrence — and how many
+    survive suppression. The repeat-event filter every ingest runs
+    before counting anything.
+
+    Plan: one (type|user, ts) range sort through the fused segmented
+    engine (segmented_session_partials with the dedup window as the
+    "timeout"): a repeat is exactly a gap ≤ window, so per-key
+    ``n_dups = (n − 1) − breaks`` where breaks counts gaps > window —
+    in-block partials plus the 2-per-block boundary stitching, nothing
+    row-scale leaves a block. The composite key splits back to the
+    type for the final grouping.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.engine.segmented import segmented_session_partials
+
+    def project(tbl: pa.Table) -> pa.Table:
+        us = tbl.column("ts").combine_chunks().cast(pa.int64())
+        key = pc.binary_join_element_wise(
+            tbl.column("event_type").combine_chunks(),
+            pc.cast(tbl.column("user_id").combine_chunks(), pa.string()),
+            "|",
+        )
+        return pa.table({"key": key, "order_us": us, "ts": tbl.column("ts")})
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    part, boundary = segmented_session_partials(
+        ds, key_col="key", order_col="order_us", ts_col="ts", timeout_us=window_us
+    )
+    per_key = adaptive_grouped_agg(part, ["key"], {"n_events": "sum", "n_breaks": "sum"})
+
+    big_bnd = boundary[boundary["gap_us"] > window_us]
+    if len(big_bnd):
+        extra = big_bnd.groupby("conv_id").size()
+        idx = per_key.set_index("key")
+        idx.loc[extra.index, "n_breaks"] = idx.loc[extra.index, "n_breaks"] + extra
+        per_key = idx.reset_index()
+
+    per_key["event_type"] = per_key["key"].str.split("|", n=1).str[0]
+    per_key["n_dups"] = per_key["n_events"] - 1 - per_key["n_breaks"]
+    out = per_key.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), n_dups=("n_dups", "sum")
+    )
+    out["n_kept"] = (out["n_events"] - out["n_dups"]).astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["n_dups"] = out["n_dups"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_SQL["events_windowed_dedup"] = f"""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts) AS gap_us
+        FROM events)
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE gap_us <= {DEDUP_WINDOW_US}) AS n_dups,
+           COUNT(*) - COUNT(*) FILTER (WHERE gap_us <= {DEDUP_WINDOW_US}) AS n_kept
+    FROM g GROUP BY 1 ORDER BY 1
+"""
+QUERIES["events_windowed_dedup"] = events_windowed_dedup
