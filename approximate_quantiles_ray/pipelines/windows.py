@@ -355,3 +355,38 @@ QUERIES = {
     "events_sliding_stream_counts": events_sliding_stream_counts,
     "events_sliding_stream_counts_dist": events_sliding_stream_counts_dist,
 }
+
+
+def docs_source_len_quartiles(sf_dir: str) -> pd.DataFrame:
+    """GROUPED EXACT QUANTILES over documents (oracle-matched): per
+    source, the exact quartiles of document length plus count and char
+    sum — the per-source length-distribution audit of a corpus mix.
+    Rides :func:`grouped_quantile_disc` (per-block (source, n_chars)
+    histograms; one fold; driver walk is #sources × #distinct-lengths).
+    """
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    out = grouped_quantile_disc(ds, "source", "n_chars", (0.25, 0.5, 0.75))
+    out = out.rename(
+        columns={
+            "n": "n_docs", "total": "total_chars",
+            "q0.25": "len_q1", "q0.5": "len_q2", "q0.75": "len_q3",
+        }
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    for c in ("len_q1", "len_q2", "len_q3"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)[
+        ["source", "n_docs", "total_chars", "len_q1", "len_q2", "len_q3"]
+    ]
+
+
+ORACLE_SQL["docs_source_len_quartiles"] = """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           quantile_disc(n_chars, 0.25) AS len_q1,
+           quantile_disc(n_chars, 0.5) AS len_q2,
+           quantile_disc(n_chars, 0.75) AS len_q3
+    FROM documents GROUP BY source ORDER BY source
+"""
+QUERIES["docs_source_len_quartiles"] = docs_source_len_quartiles
