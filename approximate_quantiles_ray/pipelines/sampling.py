@@ -202,6 +202,14 @@ ORACLE_SQL = {
         SELECT doc_id, {_H_SQL} AS h
         FROM documents ORDER BY h ASC, doc_id ASC LIMIT 16
     """,
+    "docs_sample_per_source": f"""
+        SELECT source, doc_id, h FROM (
+            SELECT source, doc_id, {_H_SQL} AS h,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY {_H_SQL}, doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 4 ORDER BY source, h, doc_id
+    """,
     "docs_sample_weighted": f"""
         SELECT doc_id, n_chars,
                CAST({_H7_SQL} AS DOUBLE) / n_chars AS pri
@@ -214,3 +222,50 @@ QUERIES = {
     "docs_stratified_sample": docs_stratified_sample,
     "docs_sample_bottomk": docs_sample_bottomk,
 }
+
+
+def docs_sample_per_source(sf_dir: str, k: int = 4, seed: int = 42) -> pd.DataFrame:
+    """PER-STRATUM BOTTOM-K SAMPLE (oracle-matched): the k
+    smallest-hash docs WITHIN EACH source — a fixed-size deterministic
+    sample per stratum (eval sets, per-source spot checks), where the
+    global bottom-k would starve small sources.
+
+    Same mergeable order-statistics scheme as the uniform bottom-k,
+    grouped: per-block per-source bottom-k partials (lexsort cut in
+    the global (h, doc_id) tie order) → the driver keeps each source's
+    k smallest of #blocks × k candidates.
+    """
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def block_bottomk(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        src = tbl.column("source").combine_chunks().to_numpy(zero_copy_only=False)
+        h = hash32(ids, seed)
+        order = np.lexsort((ids, h, src))  # group by source, then (h, id)
+        src_s = src[order]
+        first = np.concatenate([[True], src_s[1:] != src_s[:-1]])
+        # rank within source run = position − run start
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.append(starts, len(src_s)))
+        rank = np.arange(len(src_s)) - np.repeat(starts, runs)
+        keep = order[rank < k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "source": pa.array(src[keep], pa.string()),
+                "h": pa.array(h[keep], pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(block_bottomk, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = (
+        cand.sort_values(["source", "h", "doc_id"])
+        .groupby("source", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["source", "doc_id", "h"]].sort_values(
+        ["source", "h", "doc_id"]
+    ).reset_index(drop=True)
+
+QUERIES["docs_sample_per_source"] = docs_sample_per_source
