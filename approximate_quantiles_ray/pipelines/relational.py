@@ -2736,3 +2736,320 @@ ORACLE_SQL["events_user_first_last"] = """
     FROM events GROUP BY user_id ORDER BY user_id
 """
 QUERIES["events_user_first_last"] = events_user_first_last
+
+
+def nation_balance_union(sf_dir: str) -> pd.DataFrame:
+    """HETEROGENEOUS UNION ALL (oracle-matched): customer and supplier
+    account balances stacked into one logical ledger, then per-nation
+    account stats — the multi-source consolidation shape (two fact
+    tables with different schemas feeding one aggregate).
+
+    Scale plan: each source is reduced to per-block per-nation partials
+    IN ITS OWN schema-normalizing map_batches (nationkey, counts, cents
+    sum/min/max) before ``Dataset.union`` concatenates the two partial
+    streams — the union is a metadata-only block concat, no shuffle, no
+    row-level materialization — and one adaptive fold combines them.
+    The nation dimension (25 rows at any scale) joins on the driver.
+    """
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    def partials(table: str, key: str, bal: str, is_supplier: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            t = int_cents(tbl, bal, "cents")
+            t = pa.table(
+                {
+                    "nationkey": pc.cast(t.column(key), pa.int64()),
+                    "cents": t.column("cents"),
+                }
+            )
+            agg = t.group_by(["nationkey"]).aggregate(
+                [([], "count_all"), ("cents", "sum"), ("cents", "min"), ("cents", "max")]
+            )
+            agg = agg.rename_columns(
+                ["nationkey", "n_accounts", "cents_sum", "cents_min", "cents_max"]
+            )
+            n_acc = agg.column("n_accounts")
+            zeros = pa.array(np.zeros(agg.num_rows, np.int64))
+            return agg.append_column(
+                "n_suppliers", pc.cast(n_acc, pa.int64()) if is_supplier else zeros
+            )
+
+        return fn
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(
+        partials("customer", "c_nationkey", "c_acctbal", 0),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).map_batches(
+        partials("supplier", "s_nationkey", "s_acctbal", 1),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    folded = adaptive_grouped_agg(
+        cust.union(supp),
+        ["nationkey"],
+        {
+            "n_accounts": "sum", "cents_sum": "sum",
+            "cents_min": "min", "cents_max": "max", "n_suppliers": "sum",
+        },
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nation["n_nationkey"] = nation["n_nationkey"].astype(np.int64)
+    out = folded.merge(nation, left_on="nationkey", right_on="n_nationkey")
+    out["n_customers"] = (out["n_accounts"] - out["n_suppliers"]).astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)[
+        ["n_name", "n_accounts", "n_customers", "n_suppliers",
+         "cents_sum", "cents_min", "cents_max"]
+    ]
+
+
+ORACLE_SQL["nation_balance_union"] = """
+    SELECT n_name,
+           COUNT(*) AS n_accounts,
+           CAST(SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+           CAST(SUM(kind) AS BIGINT) AS n_suppliers,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           MIN(cents) AS cents_min,
+           MAX(cents) AS cents_max
+    FROM (
+        SELECT c_nationkey AS nk,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents, 0 AS kind
+        FROM customer
+        UNION ALL
+        SELECT s_nationkey, CAST(ROUND(s_acctbal * 100) AS BIGINT), 1
+        FROM supplier
+    ) JOIN nation ON nk = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+"""
+QUERIES["nation_balance_union"] = nation_balance_union
+
+
+def events_props_mode(sf_dir: str) -> pd.DataFrame:
+    """GROUPED MODE (oracle-matched): the most frequent extracted
+    ``props.k`` value per event type, deterministic tie-break (count
+    desc, k asc) — the categorical-summary shape (most common device /
+    locale / error code per segment).
+
+    Scale plan: mode needs the full (type, k) count table, but that is
+    #types × #distinct-k — bounded by the value domain, not the row
+    count. Per-block Arrow group_by counts → adaptive fold → argmax per
+    type on the folded table (over the cap, a per-block argmax partial
+    keeps only one candidate row per (type, block) before the final
+    reduce, same composition as events_user_first_last).
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def block_counts(tbl: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(tbl.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        t = pa.table({"event_type": tbl.column("event_type"), "k": k}).drop_null()
+        agg = t.group_by(["event_type", "k"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["event_type", "k", "n"])
+
+    def reduce_mode(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["event_type", "n", "k"], ascending=[True, False, True])
+            .groupby("event_type", as_index=False)
+            .first()
+        )
+
+    part = ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+    folded, is_ds = adaptive_grouped_agg_ds(part, ["event_type", "k"], {"n": "sum"})
+    if is_ds:
+        # over-cap: fully-folded (type,k) rows → per-block argmax
+        # candidates (composition is NOT associative on partially
+        # folded counts, so the argmax only runs after the key fold)
+        def block_mode(tbl: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(reduce_mode(tbl.to_pandas()), preserve_index=False)
+
+        folded = folded.map_batches(
+            block_mode, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+    out = reduce_mode(folded).rename(columns={"k": "mode_k", "n": "mode_n"})
+    out["mode_k"] = out["mode_k"].astype(np.int64)
+    out["mode_n"] = out["mode_n"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "mode_k", "mode_n"]
+    ]
+
+
+ORACLE_SQL["events_props_mode"] = """
+    SELECT event_type, k AS mode_k, n AS mode_n FROM (
+        SELECT event_type, k, COUNT(*) AS n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY COUNT(*) DESC, k ASC
+               ) AS rn
+        FROM (
+            SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        ) WHERE k IS NOT NULL
+        GROUP BY event_type, k
+    ) WHERE rn = 1 ORDER BY event_type
+"""
+QUERIES["events_props_mode"] = events_props_mode
+
+
+def events_value_ntiles(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
+    """NTILE WITHOUT A GLOBAL SORT (oracle-matched): per-quartile count,
+    exact cents sum, min and max of event value under NTILE(4) ORDER BY
+    (value, event_id) — the equal-frequency banding shape (spend bands,
+    latency bands).
+
+    Scale plan: NTILE is rank arithmetic, and every per-tile statistic
+    here is a function of the VALUE alone — so tile stats fall out of
+    the global distinct-value histogram (per-block value counts →
+    adaptive fold → one driver walk over #distinct-values rows, with a
+    value's count run split across adjacent tiles by rank arithmetic
+    when a boundary lands inside it). No global sort, no per-row tile
+    assignment, and the (value, event_id) tie-break never has to be
+    computed: rows that share a value are interchangeable for
+    value-functional stats, whichever side of the boundary each id
+    lands on. DuckDB must still sort all rows to agree.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def block_hist(tbl: pa.Table) -> pa.Table:
+        t = int_cents(tbl, "value", "cents")
+        vc = t.column("cents").combine_chunks().drop_null().value_counts()
+        return pa.table(
+            {"cents": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    part = ds.map_batches(block_hist, batch_format="pyarrow", zero_copy_batch=True)
+    hist = adaptive_grouped_agg(part, ["cents"], {"n": "sum"})
+    hist = hist.sort_values("cents").reset_index(drop=True)
+    vals = hist["cents"].to_numpy(np.int64)
+    cnts = hist["n"].to_numpy(np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    base, rem = divmod(n, tiles)
+    rows = []
+    lo_rank = 0  # 0-based exclusive prefix
+    for t in range(1, tiles + 1):
+        size = base + (1 if t <= rem else 0)
+        hi_rank = lo_rank + size  # 1..hi_rank inclusive
+        if size == 0:
+            continue
+        i_lo = int(np.searchsorted(cum, lo_rank + 1))  # first value index
+        i_hi = int(np.searchsorted(cum, hi_rank))  # last value index
+        # full-run sum over (i_lo..i_hi) then trim the partial runs at
+        # both ends by rank arithmetic
+        seg_cnt = cnts[i_lo : i_hi + 1].copy()
+        seg_cnt[0] -= lo_rank - (cum[i_lo - 1] if i_lo else 0)
+        seg_cnt[-1] -= int(cum[i_hi]) - hi_rank
+        rows.append(
+            {
+                "tile": t,
+                "n": size,
+                "cents_sum": int((vals[i_lo : i_hi + 1] * seg_cnt).sum()),
+                "cents_min": int(vals[i_lo]),
+                "cents_max": int(vals[i_hi]),
+            }
+        )
+        lo_rank = hi_rank
+    out = pd.DataFrame(rows)
+    for c in ("tile", "n", "cents_sum", "cents_min", "cents_max"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["events_value_ntiles"] = """
+    SELECT tile, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           MIN(cents) AS cents_min, MAX(cents) AS cents_max
+    FROM (
+        SELECT NTILE(4) OVER (ORDER BY cents, event_id) AS tile, cents
+        FROM (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
+            FROM events
+        )
+    ) GROUP BY tile ORDER BY tile
+"""
+QUERIES["events_value_ntiles"] = events_value_ntiles
+
+
+def ship_delay_priority_quantiles(sf_dir: str) -> pd.DataFrame:
+    """JOIN + DATE ARITHMETIC + GROUPED EXACT QUANTILES
+    (oracle-matched): per order priority, the exact quartiles of the
+    order→ship delay in whole days — the fulfillment-SLA audit shape
+    (join two fact tables, derive a duration, summarize its
+    distribution per class).
+
+    Scale plan: rides the SAME cached orderkey bucket layout as
+    priority_lineitem_stats_bucketed (pay the partitioning shuffle
+    once, reuse it for every orderkey join); each bucket task joins
+    locally and reduces its join output to a (priority, delay_days, n)
+    histogram — the delay domain is a few thousand distinct day values,
+    so partials are tiny regardless of row count — then one adaptive
+    fold and a driver cumulative walk per priority. Negative delays
+    (data-quality rows) floor-divide identically in numpy and DuckDB
+    (both round toward -inf).
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.sources.bucketed import cobucket_join, ensure_bucketed
+
+    US_PER_DAY = 86_400_000_000
+
+    def delay_hist(j: pa.Table) -> pa.Table:
+        od = j.column("o_orderdate").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sd = j.column("l_shipdate").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "o_orderpriority": j.column("o_orderpriority"),
+                "delay_days": pa.array((sd - od) // US_PER_DAY, pa.int64()),
+            }
+        )
+        agg = t.group_by(["o_orderpriority", "delay_days"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["o_orderpriority", "delay_days", "n"])
+
+    lo = ensure_bucketed(f"{sf_dir}/orders.parquet", key="o_orderkey", n_buckets=16)
+    ll = ensure_bucketed(f"{sf_dir}/lineitem.parquet", key="l_orderkey", n_buckets=16)
+    part = cobucket_join(
+        lo, ll, "o_orderkey", "l_orderkey",
+        columns_left=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        columns_right=["l_orderkey", "l_shipdate"],
+        post_fn=delay_hist,
+    )
+    hist = adaptive_grouped_agg(part, ["o_orderpriority", "delay_days"], {"n": "sum"})
+    hist = hist.sort_values(["o_orderpriority", "delay_days"]).reset_index(drop=True)
+    rows = []
+    for prio, g in hist.groupby("o_orderpriority", sort=True):
+        vals = g["delay_days"].to_numpy(np.int64)
+        cnt = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        row = {"o_orderpriority": prio, "n_items": n}
+        for q, col in ((0.25, "delay_q1"), (0.5, "delay_q2"), (0.75, "delay_q3")):
+            idx = max(0, math.ceil(q * n) - 1)
+            row[col] = int(vals[int(np.searchsorted(cum, idx + 1))])
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    for c in ("n_items", "delay_q1", "delay_q2", "delay_q3"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORACLE_SQL["ship_delay_priority_quantiles"] = """
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           quantile_disc(delay_days, 0.25) AS delay_q1,
+           quantile_disc(delay_days, 0.5) AS delay_q2,
+           quantile_disc(delay_days, 0.75) AS delay_q3
+    FROM (
+        SELECT o_orderpriority,
+               (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000
+                   AS delay_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ) GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+QUERIES["ship_delay_priority_quantiles"] = ship_delay_priority_quantiles

@@ -591,3 +591,70 @@ ORACLE_SQL["docs_bigram_topk"] = """
     GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20
 """
 QUERIES["docs_bigram_topk"] = docs_bigram_topk
+
+
+def docs_token_df_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """DOCUMENT-FREQUENCY TOP-K (oracle-matched): tokens ranked by the
+    number of DISTINCT documents containing them (df desc, token asc) —
+    the df half of tf-idf and the stopword-discovery primitive.
+
+    Scale plan: a document lives wholly inside one row (and therefore
+    one block), so within-doc token dedup is local — each block
+    lowercases + regex-splits with Arrow kernels, drops duplicate
+    (doc, token) pairs with one vectorized drop_duplicates, and emits
+    its own (token, df) histogram. Partials are per-block vocabulary
+    sized (bounded by language vocabulary at 100 TB, like
+    docs_vocab_topk), then one adaptive fold + deterministic top-k.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def block_df(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(tbl.column("text")), "[^a-z]+"
+        ).combine_chunks()
+        flat = pc.list_flatten(toks)
+        doc = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        pairs = pd.DataFrame(
+            {"doc": doc.filter(keep).to_numpy(zero_copy_only=False),
+             "token": flat.filter(keep).to_pandas()}
+        ).drop_duplicates()
+        vc = pairs["token"].value_counts()
+        return pa.table(
+            {"token": pa.array(vc.index, pa.string()),
+             "df": pa.array(vc.to_numpy(np.int64))}
+        )
+
+    part = ds.map_batches(block_df, batch_format="pyarrow", zero_copy_batch=True)
+    folded, is_ds = adaptive_grouped_agg_ds(part, ["token"], {"df": "sum"})
+    if is_ds:
+        def block_topk(tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas()
+            return pa.Table.from_pandas(
+                df.sort_values(["df", "token"], ascending=[False, True]).head(k),
+                preserve_index=False,
+            )
+
+        folded = folded.map_batches(
+            block_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+    return (
+        folded.sort_values(["df", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["docs_token_df_topk"] = """
+    SELECT token, df FROM (
+        SELECT tok AS token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+            FROM documents
+        ) WHERE tok <> '' GROUP BY tok
+    ) ORDER BY df DESC, token ASC LIMIT 20
+"""
+QUERIES["docs_token_df_topk"] = docs_token_df_topk
