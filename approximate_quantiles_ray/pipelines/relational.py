@@ -3053,3 +3053,131 @@ ORACLE_SQL["ship_delay_priority_quantiles"] = """
     ) GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 QUERIES["ship_delay_priority_quantiles"] = ship_delay_priority_quantiles
+
+
+class _BucketFunnel:
+    """map_batches task over bucket dirs: read one user_id-hashed
+    bucket and compute the 3-stage funnel (view → click → purchase)
+    for every user it owns, fully locally. Buckets own whole users, so
+    per-bucket counts are complete — zero query-time shuffle, zero
+    boundary stitching (the bucketed twin of the segmented engine, same
+    plan as sources/bucketed.BucketTransitions).
+
+    Stage semantics (tie-insensitive, so block/sort order can never
+    change the answer): vt = MIN(ts of 'view'); ct = MIN(ts of 'click'
+    with ts >= vt); pt = MIN(ts of 'purchase' with ts >= ct). Each is a
+    pure function of the per-user per-type timestamp multisets."""
+
+    _INF = np.iinfo(np.int64).max
+
+    @staticmethod
+    def _group_min(gi: np.ndarray, tv: np.ndarray, n: int) -> np.ndarray:
+        """Per-group min via one lexsort (no slow ufunc.at): out[g] =
+        min of tv over rows with gi==g, INF for empty groups."""
+        out = np.full(n, _BucketFunnel._INF, np.int64)
+        if len(gi):
+            o = np.lexsort((tv, gi))
+            g, v = gi[o], tv[o]
+            first = np.concatenate([[True], g[1:] != g[:-1]])
+            out[g[first]] = v[first]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        n_users = n_v = n_c = n_p = 0
+        for d in batch.column("path").to_pylist():
+            tbl = pq.read_table(
+                d, columns=["user_id", "ts", "event_type"], use_threads=False
+            )
+            if tbl.num_rows == 0:
+                continue
+            u = tbl.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+            t = (
+                tbl.column("ts").combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            ty = tbl.column("event_type").combine_chunks().to_numpy(zero_copy_only=False)
+            uu, idx = np.unique(u, return_inverse=True)
+            INF = self._INF
+            vm = ty == "view"
+            vt = self._group_min(idx[vm], t[vm], len(uu))
+            cm = (ty == "click") & (t >= vt[idx])
+            ct = self._group_min(idx[cm], t[cm], len(uu))
+            pm = (ty == "purchase") & (t >= ct[idx])
+            pt = self._group_min(idx[pm], t[pm], len(uu))
+            n_users += len(uu)
+            n_v += int((vt < INF).sum())
+            n_c += int((ct < INF).sum())
+            n_p += int((pt < INF).sum())
+        return pa.table(
+            {
+                "n_users": pa.array([n_users], pa.int64()),
+                "n_viewed": pa.array([n_v], pa.int64()),
+                "n_clicked_after_view": pa.array([n_c], pa.int64()),
+                "n_purchased_after_click": pa.array([n_p], pa.int64()),
+            }
+        )
+
+
+def events_funnel_counts(sf_dir: str) -> pd.DataFrame:
+    """ORDERED FUNNEL (oracle-matched): how many users saw a 'view',
+    then a 'click' at-or-after it, then a 'purchase' at-or-after that
+    click — the conversion-funnel shape every product analytics
+    pipeline asks for, and an inherently ORDER-SENSITIVE per-user
+    computation (a click before any view must not count).
+
+    Scale plan: ride a user_id-hashed bucket layout (built once,
+    cached, shared with every other per-user query): each bucket owns
+    whole users, so the funnel automaton runs fully local and
+    vectorized per bucket (one np.unique + three lexsort group-mins)
+    and each bucket emits ONE row of counts; the fold is a trivial sum
+    of #buckets rows. No global sort, no per-user state leaves the
+    task. 'At-or-after' (>=) stage semantics are deliberately
+    tie-insensitive: the answer is a pure function of per-user
+    timestamp multisets, so partitioning and sort stability can never
+    change it (a strict '>' on ties would hinge on intra-timestamp
+    event order, which no engine should promise).
+    """
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+    from approximate_quantiles_ray.sources.bucketed import bucket_dirs, ensure_bucketed
+
+    root = ensure_bucketed(f"{sf_dir}/events.parquet", key="user_id", n_buckets=16)
+    dirs = bucket_dirs(root)
+    part = rd.from_items([{"path": d} for d in dirs]).map_batches(
+        worker_cached_stage(_BucketFunnel),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+    out = part.to_pandas().sum(axis=0).to_frame().T
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out[
+        ["n_users", "n_viewed", "n_clicked_after_view", "n_purchased_after_click"]
+    ]
+
+
+ORACLE_SQL["events_funnel_counts"] = """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS vt FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS ct
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= v.vt GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS pt
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= c.ct GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+    FROM events
+"""
+QUERIES["events_funnel_counts"] = events_funnel_counts

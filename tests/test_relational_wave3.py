@@ -1,0 +1,144 @@
+"""Planted-data tests for the wave-3 relational operators: funnel
+drop-off / tie semantics, NTILE boundary splitting, mode tie-breaks —
+the cases the uniform synthetic testdata does not exercise (there,
+every user completes the funnel)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from approximate_quantiles_ray.pipelines import relational as rel
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, user_id, event_type, ts_us, value)."""
+    eid, uid, ty, ts, val = zip(*rows)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(list(ts), pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(ty, pa.string()),
+            "value": pa.array(val, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(eid), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+FUNNEL_ROWS = [
+    # user 1: full funnel, strictly ordered
+    (1, 1, "view", 1_000_000, 1.0),
+    (2, 1, "click", 2_000_000, 1.0),
+    (3, 1, "purchase", 3_000_000, 1.0),
+    # user 2: click BEFORE its only view — must not count as clicked
+    (4, 2, "click", 1_000_000, 1.0),
+    (5, 2, "view", 2_000_000, 1.0),
+    # user 3: click at the SAME ts as the view (>= semantics: counts),
+    # purchase BEFORE the click (does not count)
+    (6, 3, "view", 5_000_000, 1.0),
+    (7, 3, "click", 5_000_000, 1.0),
+    (8, 3, "purchase", 4_000_000, 1.0),
+    # user 4: purchase at the SAME ts as the qualifying click (counts)
+    (9, 4, "view", 1_000_000, 1.0),
+    (10, 4, "click", 6_000_000, 1.0),
+    (11, 4, "purchase", 6_000_000, 1.0),
+    # user 5: purchase only — no view, nothing downstream
+    (12, 5, "purchase", 1_000_000, 1.0),
+]
+
+
+def test_funnel_dropoff_and_ties(ray_session, tmp_path):
+    sf_dir = _write_events(tmp_path, FUNNEL_ROWS)
+    out = rel.events_funnel_counts(sf_dir)
+    assert out.iloc[0].to_dict() == {
+        "n_users": 5,
+        "n_viewed": 4,  # users 1,2,3,4
+        "n_clicked_after_view": 3,  # users 1,3(tie),4
+        "n_purchased_after_click": 2,  # users 1,4(tie)
+    }
+    # independent DuckDB check of the same semantics on the same rows
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    exp = con.sql(rel.ORACLE_SQL["events_funnel_counts"]).df()
+    pd.testing.assert_frame_equal(out, exp, check_exact=True)
+
+
+def test_funnel_bucket_partition_independence(ray_session, tmp_path):
+    """The funnel answer must not depend on the bucket count (users
+    are hash-routed whole, so any bucketing gives the same result)."""
+    from approximate_quantiles_ray.sources.bucketed import bucket_dirs, ensure_bucketed
+
+    sf_dir = _write_events(tmp_path, FUNNEL_ROWS)
+    a = rel.events_funnel_counts(sf_dir)
+    root = ensure_bucketed(f"{sf_dir}/events.parquet", key="user_id", n_buckets=3)
+    assert len(bucket_dirs(root)) >= 1
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
+    part = rd.from_items([{"path": d} for d in bucket_dirs(root)]).map_batches(
+        worker_cached_stage(rel._BucketFunnel), batch_format="pyarrow", batch_size=1
+    )
+    b = part.to_pandas().sum(axis=0)
+    assert a.iloc[0].to_dict() == {k: int(v) for k, v in b.items()}
+
+
+def test_ntile_boundary_splitting(ray_session, tmp_path):
+    """n % tiles != 0 and a duplicate-value run straddling a tile
+    boundary: the histogram walk must split the run by rank arithmetic
+    exactly as NTILE does."""
+    # 10 rows, 4 tiles → sizes 3,3,2,2; value 5.0 repeated 6× straddles
+    # tiles 1-3
+    vals = [1.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 9.0, 9.0, 20.0]
+    rows = [(i + 1, 1, "view", (i + 1) * 1_000_000, v) for i, v in enumerate(vals)]
+    sf_dir = _write_events(tmp_path, rows)
+    out = rel.events_value_ntiles(sf_dir)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    exp = con.sql(rel.ORACLE_SQL["events_value_ntiles"]).df()
+    g = out.sort_values("tile").reset_index(drop=True)
+    e = exp.sort_values("tile").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_exact=True)
+    assert g["n"].tolist() == [3, 3, 2, 2]
+    assert g["cents_max"].tolist()[0] == 500  # tile 1 ends inside the 5.0 run
+    assert g["cents_min"].tolist()[2] == 500  # tile 3 starts inside it
+
+
+def test_props_mode_tiebreak(ray_session, tmp_path):
+    """Equal counts must break toward the SMALLER k (count desc, k asc)."""
+    rows = []
+    eid = 1
+    for k, n in ((7, 3), (2, 3), (9, 1)):
+        for _ in range(n):
+            rows.append((eid, 1, "view", eid * 1_000_000, 1.0, k))
+            eid += 1
+    eids, uids, tys, tss, vs, ks = zip(*rows)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eids, pa.int64()),
+            "ts": pa.array(list(tss), pa.timestamp("us")),
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(tys, pa.string()),
+            "value": pa.array(vs, pa.float64()),
+            "props": pa.array([f'{{"k": {k}}}' for k in ks], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = rel.events_props_mode(str(tmp_path))
+    assert out.iloc[0]["mode_k"] == 2 and out.iloc[0]["mode_n"] == 3
