@@ -1450,3 +1450,123 @@ ORACLE_SQL["docs_jaccard_join"] = r"""
     WHERE (1000 * inter) // (ca.n_sh + cb.n_sh - inter) >= 500 ORDER BY a, b
 """
 QUERIES["docs_jaccard_join"] = docs_jaccard_join
+
+
+def docs_decontaminate(sf_dir: str, bench_mod: int = 50, k: int = 5) -> pd.DataFrame:
+    """BENCHMARK DECONTAMINATION (oracle-matched): flag training
+    documents that share any exact word 5-gram with a held-out
+    benchmark set — the eval-leakage scan every LLM training pipeline
+    runs before export. The benchmark here is the deterministic slice
+    ``doc_id % bench_mod == 0`` of the same table (in production it
+    would be a separate small eval corpus; the plumbing is identical).
+
+    Scale plan: the benchmark side is SMALL by construction (eval sets
+    are thousands of docs, not billions) — one column-pruned filtered
+    pass builds its distinct shingle-hash set, shipped ONCE via
+    ``ray.put`` and binary-searched per scan batch (np.isin against a
+    sorted uint64 array); the 100 TB training side streams through one
+    map_batches that reduces each block to per-source counts. Matching
+    is on 64-bit splitmix hashes of the exact gram strings (same
+    kernel the green ``docs_jaccard_join`` oracle validates); a false
+    positive needs a 64-bit collision against the benchmark set —
+    negligible at eval-set sizes, and fail-safe in this direction
+    (over-flagging, never leakage).
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def block_bench_hashes(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        bench = tbl.filter(pa.array(ids % bench_mod == 0))
+        flat, _ = _word_shingle_hashes_flat(bench.column("text"), k)
+        return pa.table({"h": pa.array(np.unique(flat), pa.uint64())})
+
+    bench_parts = ds.map_batches(
+        block_bench_hashes, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    bench_sorted = np.unique(bench_parts["h"].to_numpy(np.uint64))
+    bench_ref = ray.put(bench_sorted)
+
+    def block_scan(tbl: pa.Table) -> pa.Table:
+        # zero-copy plasma read of the broadcast set, once per batch
+        bench_arr = ray.get(bench_ref)
+        ids = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        scan = tbl.filter(pa.array(ids % bench_mod != 0))
+        if scan.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "n_docs": pa.array([], pa.int64()),
+                 "n_contaminated": pa.array([], pa.int64()),
+                 "hit_grams": pa.array([], pa.int64())}
+            )
+        flat, counts = _word_shingle_hashes_flat(scan.column("text"), k)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        pos = np.searchsorted(bench_arr, flat)
+        pos[pos >= len(bench_arr)] = 0
+        hit = bench_arr[pos] == flat if len(bench_arr) else np.zeros(len(flat), bool)
+        # distinct (doc, gram) hits: a gram repeated within one doc
+        # counts once (matches SQL's DISTINCT doc_id, sh)
+        hd, hh = doc_idx[hit], flat[hit]
+        if len(hd):
+            o = np.lexsort((hh, hd))
+            hd, hh = hd[o], hh[o]
+            first = np.concatenate([[True], (hd[1:] != hd[:-1]) | (hh[1:] != hh[:-1])])
+            hd = hd[first]
+        per_doc_hits = np.bincount(hd, minlength=len(counts)).astype(np.int64)
+        src = scan.column("source").combine_chunks().to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "source": src,
+                "one": np.ones(len(src), np.int64),
+                "contam": (per_doc_hits > 0).astype(np.int64),
+                "hits": per_doc_hits,
+            }
+        )
+        g = df.groupby("source", as_index=False).sum()
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "n_docs": pa.array(g["one"].to_numpy(np.int64)),
+                "n_contaminated": pa.array(g["contam"].to_numpy(np.int64)),
+                "hit_grams": pa.array(g["hits"].to_numpy(np.int64)),
+            }
+        )
+
+    part = ds.map_batches(block_scan, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(
+        part, ["source"],
+        {"n_docs": "sum", "n_contaminated": "sum", "hit_grams": "sum"},
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+ORACLE_SQL["docs_decontaminate"] = r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), b AS (
+      SELECT DISTINCT array_to_string(list_slice(ws, i, i + 4), ' ') AS sh
+      FROM w, LATERAL (SELECT UNNEST(range(1, len(ws) - 3)) AS i) t
+      WHERE doc_id % 50 = 0
+    ), s AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS sh
+      FROM w, LATERAL (SELECT UNNEST(range(1, len(ws) - 3)) AS i) t
+      WHERE doc_id % 50 <> 0
+    ), h AS (
+      SELECT doc_id, COUNT(*) AS hit_grams FROM s JOIN b USING (sh) GROUP BY doc_id
+    )
+    SELECT w.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(SUM(h.hit_grams), 0) AS BIGINT) AS hit_grams
+    FROM w LEFT JOIN h USING (doc_id)
+    WHERE w.doc_id % 50 <> 0
+    GROUP BY w.source ORDER BY w.source
+"""
+QUERIES["docs_decontaminate"] = docs_decontaminate

@@ -142,3 +142,40 @@ def test_props_mode_tiebreak(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
     out = rel.events_props_mode(str(tmp_path))
     assert out.iloc[0]["mode_k"] == 2 and out.iloc[0]["mode_n"] == 3
+
+
+def test_decontaminate_planted_leak(ray_session, tmp_path):
+    """A scan doc that copies a 5-word run from a benchmark doc must be
+    flagged; disjoint docs must not. bench = doc_id % 50 == 0."""
+    from approximate_quantiles_ray.pipelines.dedup import docs_decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    leaked = "xx yy alpha beta gamma delta epsilon zz"  # shares one 5-gram
+    clean = "one two three four five six seven eight nine"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),  # 0 is benchmark
+            "text": pa.array([bench_text, leaked, clean]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s1", "s1", "s2"]),
+            "n_chars": pa.array([len(bench_text), len(leaked), len(clean)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = docs_decontaminate(str(tmp_path))
+    r = out.set_index("source")
+    assert int(r.loc["s1", "n_contaminated"]) == 1
+    assert int(r.loc["s1", "hit_grams"]) == 1
+    assert int(r.loc["s2", "n_contaminated"]) == 0
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    from approximate_quantiles_ray.pipelines.dedup import ORACLE_SQL
+
+    exp = con.sql(ORACLE_SQL["docs_decontaminate"]).df()
+    pd.testing.assert_frame_equal(
+        out.sort_values("source").reset_index(drop=True),
+        exp.sort_values("source").reset_index(drop=True),
+        check_exact=True,
+    )
