@@ -186,6 +186,52 @@ def cmd_sample(args) -> None:
     )
 
 
+def cmd_shuffle_export(args) -> None:
+    """Deterministic seeded global shuffle into training shards.
+
+    The training-data export step: every row gets a pseudorandom but
+    REPRODUCIBLE position — ``h = splitmix64(id XOR mix(seed))`` gives
+    shard ``h % n_shards`` and intra-shard order ``h`` — then ONE range
+    sort on (shard, h) and a hive-partitioned ``write_parquet``. Same
+    (input, seed) → the same shard membership and the same h-ordered
+    row sequence per shard (file boundaries may differ run to run), so
+    a retried or resumed export converges; a different seed is a fresh
+    epoch-level reshuffle. Shard membership is SQL-verifiable from the id alone
+    (pure integer arithmetic), and downstream loaders stream shards
+    independently — the sort is the only all-to-all, which is exactly
+    the one a global shuffle must pay (hash-assignment alone cannot
+    decorrelate intra-shard order from ingest order).
+    """
+    _ensure_ray()
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.functions.hashing import splitmix64
+
+    n_shards, seed, id_col = int(args.n_shards), int(args.seed), args.id_col
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64) ^ splitmix64(np.uint64(seed)))
+        tbl = tbl.append_column("shard", pa.array((h % n_shards).astype(np.int64)))
+        return tbl.append_column("h", pa.array(h.view(np.int64)))
+
+    ds = rd.read_parquet(args.input)
+    shuffled = ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["shard", "h"])
+    shuffled.write_parquet(args.output, partition_cols=["shard"])
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.output, partitioning="hive").count_rows()
+    _emit(
+        {"rows": int(n), "n_shards": n_shards, "seed": seed, "output": args.output},
+        None,
+    )
+
+
 def cmd_pq_index(args) -> None:
     """Build and persist a residual-PQ code table for an embedding
     corpus: train coarse centroids + codebooks on a hash sample, encode
@@ -285,6 +331,14 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--rate-permille", type=int, default=100)
     sm.add_argument("--seed", type=int, default=42)
     sm.set_defaults(fn=cmd_sample)
+
+    sx = sub.add_parser("shuffle-export", help="seeded deterministic shuffle into training shards")
+    sx.add_argument("--input", required=True)
+    sx.add_argument("--output", required=True)
+    sx.add_argument("--id-col", default="doc_id")
+    sx.add_argument("--n-shards", type=int, default=8)
+    sx.add_argument("--seed", type=int, default=42)
+    sx.set_defaults(fn=cmd_shuffle_export)
 
     pqp = sub.add_parser("pq-index", help="train + persist a residual-PQ code table for ANN")
     pqp.add_argument("--input", required=True)

@@ -658,3 +658,93 @@ ORACLE_SQL["docs_token_df_topk"] = """
     ) ORDER BY df DESC, token ASC LIMIT 20
 """
 QUERIES["docs_token_df_topk"] = docs_token_df_topk
+
+
+def docs_repetition_stats(sf_dir: str, highdup_permille: int = 200) -> pd.DataFrame:
+    """WITHIN-DOCUMENT REPETITION (oracle-matched): per source, total
+    word-trigram count, total DISTINCT-trigram count, and how many docs
+    exceed a duplicate-trigram ratio threshold — the repetition quality
+    filter (Gopher-rule style) that catches boilerplate and generation
+    loops before training.
+
+    Scale plan: repetition is a per-document property, so everything
+    reduces inside the block: one vectorized trigram-hash kernel
+    (dedup._word_shingle_hashes_flat, the kernel the green
+    docs_jaccard_join oracle validates as equal to SQL string grams),
+    per-doc distinct counts via one lexsort, integer permille ratio,
+    then per-source partial sums and one adaptive fold. No shuffle ever
+    sees a gram row.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.pipelines.dedup import _word_shingle_hashes_flat
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def block_stats(tbl: pa.Table) -> pa.Table:
+        flat, counts = _word_shingle_hashes_flat(tbl.column("text"), 3)
+        n_docs = len(counts)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        if len(flat):
+            o = np.lexsort((flat, doc_idx))
+            d_s, h_s = doc_idx[o], flat[o]
+            first = np.concatenate([[True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])])
+            distinct = np.bincount(d_s[first], minlength=n_docs).astype(np.int64)
+        else:
+            distinct = np.zeros(n_docs, np.int64)
+        n_tri = counts.astype(np.int64)
+        dup_permille = np.zeros(n_docs, np.int64)
+        nz = n_tri > 0
+        dup_permille[nz] = 1000 * (n_tri[nz] - distinct[nz]) // n_tri[nz]
+        df = pd.DataFrame(
+            {
+                "source": tbl.column("source").combine_chunks().to_numpy(
+                    zero_copy_only=False
+                ),
+                "one": np.ones(n_docs, np.int64),
+                "tri": n_tri,
+                "dis": distinct,
+                "hi": (nz & (dup_permille >= highdup_permille)).astype(np.int64),
+            }
+        )
+        g = df.groupby("source", as_index=False).sum()
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "n_docs": pa.array(g["one"].to_numpy(np.int64)),
+                "tri_total": pa.array(g["tri"].to_numpy(np.int64)),
+                "tri_distinct_total": pa.array(g["dis"].to_numpy(np.int64)),
+                "n_highdup": pa.array(g["hi"].to_numpy(np.int64)),
+            }
+        )
+
+    part = ds.map_batches(block_stats, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(
+        part, ["source"],
+        {"n_docs": "sum", "tri_total": "sum",
+         "tri_distinct_total": "sum", "n_highdup": "sum"},
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+ORACLE_SQL["docs_repetition_stats"] = r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), t AS (
+      SELECT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS tri
+      FROM w, LATERAL (SELECT UNNEST(range(1, len(ws) - 1)) AS i) g
+    ), d AS (
+      SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT tri) AS n_distinct
+      FROM t GROUP BY doc_id
+    )
+    SELECT w.source, COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(d.n_tri), 0) AS BIGINT) AS tri_total,
+           CAST(COALESCE(SUM(d.n_distinct), 0) AS BIGINT) AS tri_distinct_total,
+           CAST(SUM(CASE WHEN d.n_tri > 0
+                          AND 1000 * (d.n_tri - d.n_distinct) // d.n_tri >= 200
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_highdup
+    FROM w LEFT JOIN d USING (doc_id)
+    GROUP BY w.source ORDER BY w.source
+"""
+QUERIES["docs_repetition_stats"] = docs_repetition_stats

@@ -202,3 +202,56 @@ def test_pq_index_job_persists_searchable_codes(ray_session, tmp_path_factory, c
     for q in (0, 1):
         top = got[got["query_id"] == q].nsmallest(5, "rank")["vec_id"].to_numpy()
         assert (top // 100 == q // 100).mean() >= 0.8
+
+
+def test_shuffle_export_deterministic(ray_session, tmp_path_factory, capsys):
+    """shuffle-export: rows conserved, shard = splitmix64(id^mix(seed))
+    % n_shards for every row, per-shard row SETS identical across two
+    runs, and a different seed actually reshuffles."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray import jobs
+    from approximate_quantiles_ray.functions.hashing import splitmix64
+
+    root = tmp_path_factory.mktemp("shufex")
+    src = str(root / "docs.parquet")
+    n = 5000
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array([f"doc {i}" for i in range(n)]),
+            }
+        ),
+        src,
+    )
+
+    def run(out, seed):
+        jobs.main(["shuffle-export", "--input", src, "--output", out,
+                   "--n-shards", "4", "--seed", str(seed)])
+        capsys.readouterr()
+        ds = pads.dataset(out, partitioning="hive")
+        t = ds.to_table()
+        return t
+
+    a = run(str(root / "a"), 42)
+    b = run(str(root / "b"), 42)
+    c = run(str(root / "c"), 7)
+    assert a.num_rows == b.num_rows == c.num_rows == n
+    import pandas as pd
+
+    da = a.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    db = b.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(da[["doc_id", "shard", "h"]], db[["doc_id", "shard", "h"]])
+    # shard formula is verifiable from the id alone
+    ids = da["doc_id"].to_numpy(np.int64).astype(np.uint64)
+    h = splitmix64(ids ^ splitmix64(np.uint64(42)))
+    assert (da["shard"].to_numpy(np.int64) == (h % 4).astype(np.int64)).all()
+    # a different seed gives a genuinely different assignment
+    dc = c.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (da["shard"].to_numpy() != dc["shard"].to_numpy()).mean() > 0.5
+    # shards are roughly balanced (hash uniformity)
+    sizes = da.groupby("shard").size()
+    assert len(sizes) == 4 and sizes.min() > n / 4 * 0.8

@@ -179,3 +179,42 @@ def test_decontaminate_planted_leak(ray_session, tmp_path):
         exp.sort_values("source").reset_index(drop=True),
         check_exact=True,
     )
+
+
+def test_repetition_planted_highdup(ray_session, tmp_path):
+    """A looping doc (one trigram repeated) must cross the 20% dup
+    threshold; a all-distinct doc must not; a 2-word doc contributes
+    zero trigrams without crashing the LEFT JOIN path."""
+    from approximate_quantiles_ray.pipelines.textstats import (
+        ORACLE_SQL as TX_SQL,
+        docs_repetition_stats,
+    )
+
+    looping = " ".join(["spam ham eggs"] * 10)  # 28 trigrams, 5 distinct
+    diverse = "a b c d e f g h i j k l m n o p"
+    tiny = "just two"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([looping, diverse, tiny]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s1", "s1", "s2"]),
+            "n_chars": pa.array([len(looping), len(diverse), len(tiny)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = docs_repetition_stats(str(tmp_path))
+    r = out.set_index("source")
+    assert int(r.loc["s1", "n_highdup"]) == 1
+    assert int(r.loc["s2", "n_highdup"]) == 0
+    assert int(r.loc["s2", "tri_total"]) == 0
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.sql(TX_SQL["docs_repetition_stats"]).df()
+    pd.testing.assert_frame_equal(
+        out.sort_values("source").reset_index(drop=True),
+        exp.sort_values("source").reset_index(drop=True),
+        check_exact=True,
+    )
