@@ -269,3 +269,113 @@ def docs_sample_per_source(sf_dir: str, k: int = 4, seed: int = 42) -> pd.DataFr
     ).reset_index(drop=True)
 
 QUERIES["docs_sample_per_source"] = docs_sample_per_source
+
+
+def docs_mixing_plan(sf_dir: str, seed: int = 42) -> pd.DataFrame:
+    """TEMPERATURE-WEIGHTED SOURCE MIXING (oracle-matched): compute a
+    √-temperature mixing plan over sources and execute it in the same
+    query — the rebalancing pass that keeps over-represented crawls
+    from dominating a training mix (weight_s ∝ sqrt(chars_s) flattens
+    the source distribution; budget = half the corpus).
+
+    Plan (all exact integer arithmetic, hence the bit-exact SQL twin):
+    per-source char totals c_s (one distributed fold), integer sqrt
+    weights w_s = isqrt(c_s), keep-rate_s = min(1000, 1000·B·w_s //
+    (W·c_s)) permille with B = Σc//2, W = Σw — computed with PYTHON
+    ints on the ≤#sources-row driver plan, so no int64 overflow even
+    at 100 TB char counts — then one streaming pass applies the
+    per-source hash-Bernoulli mask (``bernoulli_mask``, replayable,
+    SQL-verifiable) and folds per-source kept counts. Two passes over
+    a column-pruned 3-column read; the only exchanged rows are
+    per-block per-source partials.
+    """
+    import math
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def block_totals(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["source"]).aggregate([("n_chars", "sum")])
+        return agg.rename_columns(["source", "c"])
+
+    totals = adaptive_grouped_agg(
+        ds.map_batches(block_totals, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], {"c": "sum"},
+    )
+    # driver plan: ≤ #sources rows, exact arbitrary-precision ints
+    srcs = totals["source"].tolist()
+    cs = [int(x) for x in totals["c"].tolist()]
+    ws = [math.isqrt(c) for c in cs]
+    B, W = sum(cs) // 2, sum(ws)
+    rates = {
+        s: min(1000, (1000 * B * w) // (W * c)) if c else 0
+        for s, c, w in zip(srcs, cs, ws)
+    }
+
+    def block_apply(tbl: pa.Table) -> pa.Table:
+        src = tbl.column("source").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        rate = pd.Series(src).map(rates).to_numpy(np.int64)
+        kept = tbl.filter(pa.array(bernoulli_mask(ids, rate, seed)))
+        agg = kept.group_by(["source"]).aggregate([([], "count_all"), ("n_chars", "sum")])
+        return agg.rename_columns(["source", "n_kept", "chars_kept"])
+
+    kept = adaptive_grouped_agg(
+        ds.map_batches(block_apply, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], {"n_kept": "sum", "chars_kept": "sum"},
+    )
+    plan = pd.DataFrame(
+        {
+            "source": srcs,
+            "chars_total": np.array(cs, np.int64),
+            "weight": np.array(ws, np.int64),
+            "rate_permille": np.array([rates[s] for s in srcs], np.int64),
+        }
+    )
+    out = plan.merge(kept, on="source", how="left")
+    out["n_kept"] = out["n_kept"].fillna(0).astype(np.int64)
+    out["chars_kept"] = out["chars_kept"].fillna(0).astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# isqrt in SQL: FLOOR(SQRT(double)) corrected by ±1 so it is exact
+# integer sqrt even where the double rounds across a perfect square
+_SQL_ISQRT = (
+    "(CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT)"
+    " + CASE WHEN (CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT) + 1)"
+    "           * (CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT) + 1) <= c"
+    "        THEN 1 ELSE 0 END"
+    " - CASE WHEN CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT)"
+    "           * CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT) > c"
+    "        THEN 1 ELSE 0 END)"
+)
+
+ORACLE_SQL["docs_mixing_plan"] = f"""
+    WITH tot AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS c
+        FROM documents GROUP BY source
+    ), w AS (
+        SELECT source, c, {_SQL_ISQRT} AS w FROM tot
+    ), plan AS (
+        SELECT source, c, w,
+               LEAST(1000, (1000 * (SELECT SUM(c) // 2 FROM tot) * w)
+                           // ((SELECT SUM(w) FROM w) * c)) AS rate
+        FROM w
+    )
+    SELECT p.source,
+           p.c AS chars_total,
+           p.w AS weight,
+           CAST(p.rate AS BIGINT) AS rate_permille,
+           CAST(COUNT(d.doc_id) FILTER (
+               WHERE ((d.doc_id % 2147483648) * 2654435761 + 42) % 4294967296
+                     * 1000 < p.rate * 4294967296) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(d.n_chars) FILTER (
+               WHERE ((d.doc_id % 2147483648) * 2654435761 + 42) % 4294967296
+                     * 1000 < p.rate * 4294967296), 0) AS BIGINT) AS chars_kept
+    FROM plan p JOIN documents d USING (source)
+    GROUP BY p.source, p.c, p.w, p.rate ORDER BY p.source
+"""
+QUERIES["docs_mixing_plan"] = docs_mixing_plan
