@@ -3181,3 +3181,152 @@ ORACLE_SQL["events_funnel_counts"] = """
     FROM events
 """
 QUERIES["events_funnel_counts"] = events_funnel_counts
+
+
+class _BucketAttribution:
+    """map_batches task over user_id-hashed bucket dirs: for every
+    'purchase' find the LATEST 'click' by the same user with
+    click_ts <= purchase_ts and within the attribution window — the
+    last-touch attribution join. Buckets own whole users, so the as-of
+    probe is one np.searchsorted per bucket against the user-segmented
+    click timeline; only per-bucket aggregate rows leave the task."""
+
+    def __init__(self, window_us: int):
+        self.window_us = window_us
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = {
+            "user_id": [], "n_purchases": [], "n_attributed": [],
+            "attributed_cents": [],
+        }
+        for d in batch.column("path").to_pylist():
+            tbl = pq.read_table(
+                d, columns=["user_id", "ts", "event_type", "value"], use_threads=False
+            )
+            if tbl.num_rows == 0:
+                continue
+            u = tbl.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+            t = (
+                tbl.column("ts").combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            ty = tbl.column("event_type").combine_chunks().to_numpy(zero_copy_only=False)
+            cents = np.round(
+                tbl.column("value").combine_chunks().to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            pm, cm = ty == "purchase", ty == "click"
+            if not pm.any():
+                continue
+            po = np.lexsort((t[pm], u[pm]))
+            pu, pt, pc = u[pm][po], t[pm][po], cents[pm][po]
+            co = np.lexsort((t[cm], u[cm]))
+            cu, ct = u[cm][co], t[cm][co]
+            # last click with (user, ts) <= (purchase user, ts),
+            # fully vectorized: merge both (user, ts)-sorted sides with
+            # clicks ordered BEFORE purchases on exact ties, then the
+            # running click count at each purchase position names the
+            # candidate click index directly (user is the primary sort
+            # key, so candidate-user == purchase-user iff a qualifying
+            # click exists)
+            side = np.concatenate(
+                [np.zeros(len(cu), np.int8), np.ones(len(pu), np.int8)]
+            )
+            o = np.lexsort(
+                (side, np.concatenate([ct, pt]), np.concatenate([cu, pu]))
+            )
+            is_click = side[o] == 0
+            clicks_before = np.cumsum(is_click)
+            ppos = np.flatnonzero(~is_click)
+            orig = o[ppos] - len(cu)  # position in the (pu, pt) arrays
+            nb = clicks_before[ppos]  # clicks at-or-before, any user
+            has = nb > 0
+            last_ts = np.full(len(pu), np.iinfo(np.int64).min, np.int64)
+            same_user = np.zeros(len(pu), bool)
+            idx = nb[has] - 1
+            last_ts[orig[has]] = ct[idx]
+            same_user[orig[has]] = cu[idx] == pu[orig[has]]
+            attributed = same_user & (pt - last_ts <= self.window_us)
+            df = pd.DataFrame(
+                {
+                    "user_id": pu,
+                    "one": np.ones(len(pu), np.int64),
+                    "att": attributed.astype(np.int64),
+                    "cents": np.where(attributed, pc, 0),
+                }
+            )
+            g = df.groupby("user_id", as_index=False).sum()
+            out["user_id"].append(g["user_id"].to_numpy(np.int64))
+            out["n_purchases"].append(g["one"].to_numpy(np.int64))
+            out["n_attributed"].append(g["att"].to_numpy(np.int64))
+            out["attributed_cents"].append(g["cents"].to_numpy(np.int64))
+        if not out["user_id"]:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_purchases": pa.array([], pa.int64()),
+                    "n_attributed": pa.array([], pa.int64()),
+                    "attributed_cents": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
+
+
+def events_click_attribution(sf_dir: str, window_hours: int = 1) -> pd.DataFrame:
+    """LAST-TOUCH ATTRIBUTION JOIN (oracle-matched): for every purchase,
+    the latest click by the same user at-or-before it and within a
+    1-hour window; per-user attributed purchase counts and exact cents
+    — the stream-stream temporal self-join every attribution pipeline
+    runs, and a different beast from a plain as-of join because both
+    sides are the same 100 TB fact table.
+
+    Scale plan: the SAME cached user_id bucket layout as
+    events_funnel_counts (pay the partitioning shuffle once, reuse it
+    for every per-user temporal query); each bucket owns whole users,
+    sorts its two sides locally once, and answers every purchase with
+    a binary search over that user's click slice. Only per-user
+    aggregate rows leave the bucket task, folded adaptively.
+    """
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+    from approximate_quantiles_ray.sources.bucketed import bucket_dirs, ensure_bucketed
+
+    root = ensure_bucketed(f"{sf_dir}/events.parquet", key="user_id", n_buckets=16)
+    part = rd.from_items([{"path": d} for d in bucket_dirs(root)]).map_batches(
+        worker_cached_stage(_BucketAttribution, window_us=window_hours * 3_600_000_000),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+    out = adaptive_grouped_agg(
+        part, ["user_id"],
+        {"n_purchases": "sum", "n_attributed": "sum", "attributed_cents": "sum"},
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+ORACLE_SQL["events_click_attribution"] = """
+    WITH p AS (
+        SELECT user_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ), j AS (
+        SELECT p.user_id, p.ts, p.cents, c.click_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.click_ts <= p.ts
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN click_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN click_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+                         THEN cents ELSE 0 END) AS BIGINT) AS attributed_cents
+    FROM j GROUP BY user_id ORDER BY user_id
+"""
+QUERIES["events_click_attribution"] = events_click_attribution

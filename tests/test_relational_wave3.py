@@ -218,3 +218,41 @@ def test_repetition_planted_highdup(ray_session, tmp_path):
         exp.sort_values("source").reset_index(drop=True),
         check_exact=True,
     )
+
+
+def test_attribution_ties_and_window_edge(ray_session, tmp_path):
+    """Click at exactly the purchase ts attributes (<= semantics, both
+    sides); click exactly window-width before attributes; one µs older
+    does not; clicks from OTHER users never do."""
+    H = 3_600_000_000  # 1h in µs
+    rows = [
+        # user 1: click at purchase ts (tie) → attributed
+        (1, 1, "click", 10 * H, 1.0),
+        (2, 1, "purchase", 10 * H, 2.0),
+        # user 2: click exactly 1h before → attributed
+        (3, 2, "click", 5 * H, 1.0),
+        (4, 2, "purchase", 6 * H, 3.0),
+        # user 3: click 1h + 1µs before → NOT attributed
+        (5, 3, "click", 5 * H - 1, 1.0),
+        (6, 3, "purchase", 6 * H, 4.0),
+        # user 4: no own clicks; user 3's click must not leak
+        (7, 4, "purchase", 6 * H, 5.0),
+        # user 5: two clicks inside window → latest wins, still 1 purchase
+        (8, 5, "click", 7 * H, 1.0),
+        (9, 5, "click", 7 * H + 5, 1.0),
+        (10, 5, "purchase", 7 * H + 10, 6.0),
+    ]
+    sf_dir = _write_events(tmp_path, rows)
+    out = rel.events_click_attribution(sf_dir)
+    r = out.set_index("user_id")
+    assert r.loc[1, "n_attributed"] == 1 and r.loc[1, "attributed_cents"] == 200
+    assert r.loc[2, "n_attributed"] == 1 and r.loc[2, "attributed_cents"] == 300
+    assert r.loc[3, "n_attributed"] == 0 and r.loc[3, "attributed_cents"] == 0
+    assert r.loc[4, "n_attributed"] == 0
+    assert r.loc[5, "n_attributed"] == 1 and r.loc[5, "attributed_cents"] == 600
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    exp = con.sql(rel.ORACLE_SQL["events_click_attribution"]).df()
+    pd.testing.assert_frame_equal(out, exp, check_exact=True)
