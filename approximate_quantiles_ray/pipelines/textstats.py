@@ -748,3 +748,108 @@ ORACLE_SQL["docs_repetition_stats"] = r"""
     GROUP BY w.source ORDER BY w.source
 """
 QUERIES["docs_repetition_stats"] = docs_repetition_stats
+
+
+def docs_commonness_scores(sf_dir: str, rare_below: int = 5) -> pd.DataFrame:
+    """CORPUS-STATISTICS SCORING (oracle-matched): per document, token
+    count, the exact sum of each token's GLOBAL corpus frequency
+    ("commonness"), and how many of its tokens are rare (global count
+    below a threshold) — the rarity/fluency heuristic that flags
+    gibberish and wrong-language docs without a model.
+
+    The canonical two-pass corpus-statistics pattern: pass 1 folds the
+    global (token, n) table (bounded by vocabulary, not corpus size —
+    same argument as docs_vocab_topk), which ships ONCE via ray.put as
+    two sorted numpy arrays; pass 2 streams every doc, binary-searches
+    its token hashes against the broadcast table, and emits per-doc
+    integer scores. Token identity is 64-bit hash equality (the same
+    kernel agreement the green docs_jaccard_join/docs_decontaminate
+    oracles validate). At open-web scale the vocabulary table is
+    millions of rows — still broadcastable — and the documented
+    fallback is capping to the top-K table with a default count for
+    the tail.
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.functions.hashing import hash_strings
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _tok_hashes(col):
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z]+").combine_chunks()
+        flat = pc.list_flatten(toks)
+        doc = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        return (
+            hash_strings(flat.filter(keep)),
+            doc.filter(keep).to_numpy(zero_copy_only=False),
+        )
+
+    def block_vocab(tbl: pa.Table) -> pa.Table:
+        h, _ = _tok_hashes(tbl.column("text"))
+        vals, cnts = np.unique(h, return_counts=True)
+        return pa.table(
+            {"h": pa.array(vals, pa.uint64()), "n": pa.array(cnts.astype(np.int64))}
+        )
+
+    vocab = adaptive_grouped_agg(
+        ds.map_batches(block_vocab, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"], {"n": "sum"},
+    ).sort_values("h")
+    vh = vocab["h"].to_numpy(np.uint64)
+    vn = vocab["n"].to_numpy(np.int64)
+    ref = ray.put((vh, vn))
+
+    def block_score(tbl: pa.Table) -> pa.Table:
+        bh, bn = ray.get(ref)
+        h, doc = _tok_hashes(tbl.column("text"))
+        n_rows = tbl.num_rows
+        cnt = bn[np.searchsorted(bh, h)] if len(h) else np.zeros(0, np.int64)
+        n_tokens = np.bincount(doc, minlength=n_rows).astype(np.int64)
+        # exact int64 per-doc segment sums (parent indices are
+        # nondecreasing; bincount(weights=) would round through float64
+        # above 2^53 at corpus scale)
+        cs = np.zeros(n_rows + 1, np.int64)
+        np.cumsum(n_tokens, out=cs[1:])
+        common = np.zeros(n_rows, np.int64)
+        nz = n_tokens > 0
+        if nz.any() and len(cnt):
+            common[nz] = np.add.reduceat(cnt, cs[:-1][nz])
+        rare = np.bincount(
+            doc[cnt < rare_below], minlength=n_rows
+        ).astype(np.int64) if len(h) else np.zeros(n_rows, np.int64)
+        # token-less docs produce no rows in the SQL twin (inner join)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": pa.array(n_tokens),
+                "commonness_sum": pa.array(common),
+                "n_rare": pa.array(rare),
+            }
+        ).filter(pa.array(nz))
+
+    out = ds.map_batches(
+        block_score, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["docs_commonness_scores"] = """
+    WITH t AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ), g AS (
+        SELECT tok, COUNT(*) AS n FROM t GROUP BY tok
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(g.n) AS BIGINT) AS commonness_sum,
+           CAST(SUM(CASE WHEN g.n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+    FROM t JOIN g USING (tok)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+QUERIES["docs_commonness_scores"] = docs_commonness_scores

@@ -256,3 +256,40 @@ def test_attribution_ties_and_window_edge(ray_session, tmp_path):
     )
     exp = con.sql(rel.ORACLE_SQL["events_click_attribution"]).df()
     pd.testing.assert_frame_equal(out, exp, check_exact=True)
+
+
+def test_commonness_rare_and_empty_doc(ray_session, tmp_path):
+    """Rare tokens (global count < 5) are counted; a token-less doc
+    yields NO row (the SQL inner join drops it); sums are exact ints."""
+    from approximate_quantiles_ray.pipelines.textstats import (
+        ORACLE_SQL as TX_SQL,
+        docs_commonness_scores,
+    )
+
+    common = "the the the the the cat"     # 'the' appears 5x here (+1 below)
+    rare = "the zyxwvut qqqxyz"            # two singleton tokens
+    empty = "1234 5678 !!!"                # no [a-z] tokens at all
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([common, rare, empty]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s1"] * 3),
+            "n_chars": pa.array([len(common), len(rare), len(empty)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = docs_commonness_scores(str(tmp_path))
+    assert out["doc_id"].tolist() == [1, 2]  # doc 3 dropped
+    r = out.set_index("doc_id")
+    # doc 1: 'the'x5 (global 6) + 'cat' (global 1) → 5*6 + 1 = 31
+    assert r.loc[1, "n_tokens"] == 6 and r.loc[1, "commonness_sum"] == 31
+    assert r.loc[1, "n_rare"] == 1  # 'cat' is a global singleton
+    # doc 2: 'the' (6) + two singletons → 8; rare = 2
+    assert r.loc[2, "commonness_sum"] == 8 and r.loc[2, "n_rare"] == 2
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.sql(TX_SQL["docs_commonness_scores"]).df()
+    pd.testing.assert_frame_equal(out, exp, check_exact=True)
