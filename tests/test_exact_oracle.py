@@ -122,6 +122,15 @@ def test_retention_pandas_and_join_paths_agree(ray_session, monkeypatch):
         "customers_with_returns",
         "events_user_first_last",
         "docs_embedding_coverage",
+        "nation_balance_union",
+        "events_props_mode",
+        "events_value_ntiles",
+        "ship_delay_priority_quantiles",
+        "events_click_attribution",
+        "docs_decontaminate",
+        "docs_repetition_stats",
+        "docs_mixing_plan",
+        "docs_commonness_scores",
     ],
 )
 def test_overcap_distributed_paths_agree(ray_session, monkeypatch, fn_name):
@@ -141,6 +150,18 @@ def test_overcap_distributed_paths_agree(ray_session, monkeypatch, fn_name):
         from approximate_quantiles_ray.pipelines.similarity import docs_embedding_coverage
 
         fn = docs_embedding_coverage
+    elif fn_name == "docs_decontaminate":
+        from approximate_quantiles_ray.pipelines.dedup import docs_decontaminate
+
+        fn = docs_decontaminate
+    elif fn_name in ("docs_repetition_stats", "docs_commonness_scores"):
+        from approximate_quantiles_ray.pipelines import textstats as tx
+
+        fn = getattr(tx, fn_name)
+    elif fn_name == "docs_mixing_plan":
+        from approximate_quantiles_ray.pipelines.sampling import docs_mixing_plan
+
+        fn = docs_mixing_plan
     else:
         import approximate_quantiles_ray.pipelines.relational as r
 
@@ -156,7 +177,7 @@ def test_overcap_distributed_paths_agree(ray_session, monkeypatch, fn_name):
     pd.testing.assert_frame_equal(fast, slow)
 
 
-@pytest.mark.parametrize("fn_name", ["docs_vocab_topk", "docs_bigram_topk"])
+@pytest.mark.parametrize("fn_name", ["docs_vocab_topk", "docs_bigram_topk", "docs_token_df_topk"])
 def test_overcap_topk_paths_agree(ray_session, monkeypatch, fn_name):
     import pandas as pd
 
