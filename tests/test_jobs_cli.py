@@ -255,3 +255,42 @@ def test_shuffle_export_deterministic(ray_session, tmp_path_factory, capsys):
     # shards are roughly balanced (hash uniformity)
     sizes = da.groupby("shard").size()
     assert len(sizes) == 4 and sizes.min() > n / 4 * 0.8
+
+
+def test_curate_end_to_end(ray_session, tmp_path_factory, capsys):
+    """curate: stage counts form a consistent funnel, the export is a
+    valid sharded layout of survivors only, and the whole job is
+    deterministic for a fixed (input, seed)."""
+    import json
+
+    import numpy as np
+
+    from approximate_quantiles_ray import jobs
+
+    root = tmp_path_factory.mktemp("curate")
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    def run(tag):
+        outj = str(root / f"{tag}.json")
+        jobs.main(["curate", "--input", src, "--output", str(root / tag),
+                   "--output-json", outj, "--n-shards", "4"])
+        capsys.readouterr()
+        rep = json.load(open(outj))
+        t = pads.dataset(str(root / tag), partitioning="hive").to_table()
+        return rep, t
+
+    rep, t = run("a")
+    # funnel consistency
+    assert rep["after_dedup"] <= rep["input"]
+    assert (rep["after_filters"] == rep["after_dedup"] - rep["bench_held_out"]
+            - rep["contaminated_dropped"] - rep["lowqual_dropped"])
+    assert rep["exported"] == t.num_rows <= rep["after_filters"]
+    # no benchmark docs in the export
+    ids = t.column("doc_id").to_numpy()
+    assert (ids % 50 != 0).all()
+    assert len(np.unique(ids)) == len(ids)  # deduped
+    assert set(np.unique(t.column("shard").to_numpy())) <= {0, 1, 2, 3}
+    # determinism
+    rep2, t2 = run("b")
+    assert rep2["exported"] == rep["exported"]
+    assert sorted(t2.column("doc_id").to_numpy()) == sorted(ids)
