@@ -3330,3 +3330,95 @@ ORACLE_SQL["events_click_attribution"] = """
     FROM j GROUP BY user_id ORDER BY user_id
 """
 QUERIES["events_click_attribution"] = events_click_attribution
+
+
+def urgent_revenue_bloom_join(sf_dir: str) -> pd.DataFrame:
+    """SKETCH-ASSISTED SEMI JOIN (oracle-matched): revenue of lineitems
+    belonging to URGENT-priority orders, executed as a Bloom-prefiltered
+    join — the library's membership sketch wired into relational
+    execution the way a distributed engine actually uses it (runtime
+    join filters).
+
+    Plan: fold the URGENT orderkey set once (distinct-key partials);
+    build a BloomFilter over it on the driver (the ~1%-FP bit array is
+    KBs where the exact key set is GBs at 100 TB — that asymmetry is
+    the whole point) and ship BOTH via ray.put: every lineitem block
+    drops non-matching rows with the Bloom's vectorized ``contains``
+    FIRST, then the surviving ~(match + 1%) rows are verified exactly
+    against the sorted key array — so the expensive exact structure is
+    probed by a fraction of the rows, the result is EXACT despite Bloom
+    false positives, and per-block partials carry a fp-discard counter
+    proving the prefilter works (surfaced as a pytest contract, not a
+    result column).
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.sketches.bloom import BloomFilter
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def urgent_keys(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl.column("o_orderpriority"), "1-URGENT"))
+        u = pc.unique(t.column("o_orderkey").combine_chunks())
+        return pa.table({"key": u, "n": pa.array(np.ones(len(u), np.int64))})
+
+    keys = adaptive_grouped_agg(
+        orders.map_batches(urgent_keys, batch_format="pyarrow", zero_copy_batch=True),
+        ["key"], {"n": "sum"},
+    )
+    key_sorted = np.sort(keys["key"].to_numpy(np.int64))
+    bloom = BloomFilter.for_capacity(max(1, len(key_sorted)), fp_rate=0.01, seed=7)
+    bloom.update(key_sorted)
+    ref = ray.put((bloom, key_sorted))
+
+    def block_rev(tbl: pa.Table) -> pa.Table:
+        bl, exact = ray.get(ref)
+        lk = tbl.column("l_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        maybe = bl.contains(lk)
+        cand = tbl.filter(pa.array(maybe))
+        ck = cand.column("l_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(exact, ck)
+        pos[pos >= len(exact)] = 0
+        ok = exact[pos] == ck if len(exact) else np.zeros(len(ck), bool)
+        hit = cand.filter(pa.array(ok))
+        return pa.table(
+            {
+                "n_items": pa.array([hit.num_rows], pa.int64()),
+                "revenue_cents": pa.array(
+                    [int(pc.sum(revenue_cents_arr(hit)).as_py() or 0)]
+                    if hit.num_rows
+                    else [0],
+                    pa.int64(),
+                ),
+                "bloom_pass": pa.array([int(maybe.sum())], pa.int64()),
+                "scanned": pa.array([tbl.num_rows], pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    part = li.map_batches(block_rev, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    sums = part.sum(axis=0)
+    # pytest contract: the Bloom prefilter must actually discard rows
+    # (bloom_pass << scanned) while the final answer stays exact
+    urgent_revenue_bloom_join.last_stats = {
+        "bloom_pass": int(sums["bloom_pass"]),
+        "scanned": int(sums["scanned"]),
+        "n_items": int(sums["n_items"]),
+    }
+    return pd.DataFrame(
+        {
+            "n_items": [np.int64(sums["n_items"])],
+            "revenue_cents": [np.int64(sums["revenue_cents"])],
+        }
+    )
+
+
+ORACLE_SQL["urgent_revenue_bloom_join"] = """
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+"""
+QUERIES["urgent_revenue_bloom_join"] = urgent_revenue_bloom_join

@@ -293,3 +293,20 @@ def test_commonness_rare_and_empty_doc(ray_session, tmp_path):
     )
     exp = con.sql(TX_SQL["docs_commonness_scores"]).df()
     pd.testing.assert_frame_equal(out, exp, check_exact=True)
+
+
+def test_bloom_join_prefilters_and_stays_exact(ray_session):
+    """The Bloom runtime filter must discard most non-matching rows
+    (pass-through within ~2% of the true match rate at fp=1%) while the
+    final aggregate stays bit-exact vs the plain SQL join."""
+    sf = "/root/testdata/sf0.001"
+    out = rel.urgent_revenue_bloom_join(sf)
+    st = rel.urgent_revenue_bloom_join.last_stats
+    assert st["n_items"] <= st["bloom_pass"] < st["scanned"]  # no false negatives
+    fp_rate = (st["bloom_pass"] - st["n_items"]) / max(1, st["scanned"] - st["n_items"])
+    assert fp_rate < 0.02
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    exp = con.sql(rel.ORACLE_SQL["urgent_revenue_bloom_join"]).df()
+    pd.testing.assert_frame_equal(out, exp, check_exact=True)
