@@ -3422,3 +3422,30 @@ ORACLE_SQL["urgent_revenue_bloom_join"] = """
     WHERE o_orderpriority = '1-URGENT'
 """
 QUERIES["urgent_revenue_bloom_join"] = urgent_revenue_bloom_join
+
+
+def events_range_partition_stats(sf_dir: str, n_parts: int = 8) -> pd.DataFrame:
+    """SKETCH-DRIVEN RANGE PARTITIONER AUDIT (rows-only check; balance
+    law in tests/test_partitioning.py): t-digest quantile cut points
+    for events.value from one streaming fold, and the per-partition
+    row counts they induce — the no-sort range layout plan for a
+    skewed 100 TB column (engine/partitioning.py). Approximate by
+    design (counts are within the sketch's rank error of n/parts), so
+    no SQL twin; the balance and round-trip contracts are pytest laws.
+    """
+    from approximate_quantiles_ray.engine.partitioning import range_partition_stats
+
+    ds = _read(sf_dir, "events", ["value"])
+    bounds, counts = range_partition_stats(ds, "value", n_parts)
+    full = np.concatenate([[-np.inf], bounds, [np.inf]])
+    return pd.DataFrame(
+        {
+            "part": np.arange(n_parts, dtype=np.int64),
+            "n": counts,
+            "lo": full[:-1],
+            "hi": full[1:],
+        }
+    )
+
+
+QUERIES["events_range_partition_stats"] = events_range_partition_stats
