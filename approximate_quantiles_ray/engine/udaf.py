@@ -325,7 +325,8 @@ def hashed_column_transform(col: str) -> Callable[[pa.Table], np.ndarray]:
     return transform
 
 
-def grouped_sketches_salted(ds, group_key: str, specs: list[SketchSpec], salt: int = 16):
+def grouped_sketches_salted(ds, group_key: str, specs: list[SketchSpec], salt: int = 16,
+                            hot_keys=None):
     """Skew-defused grouped sketches: two-stage salted merge.
 
     Stage 1 groups on ``(group_key, salt)`` where salt spreads each hot
@@ -335,13 +336,23 @@ def grouped_sketches_salted(ds, group_key: str, specs: list[SketchSpec], salt: i
     — sketch states are KB-sized, so the final merge is driver-side and
     O(#groups × salt).
 
+    ``hot_keys`` (optional, e.g. from ``engine.planner.detect_hot_keys``
+    — one CMS pass) restricts the salting to the listed keys: cold keys
+    keep salt 0, so stage 2 shrinks from #groups × salt rows to
+    #groups + #hot × salt — targeted skew defusal instead of blanket.
+
     Returns a pandas DataFrame [group_key, *spec.key] of merged states
     (bytes), same schema as :func:`grouped_sketches` collected.
     """
     import pandas as pd
 
+    hot = set(hot_keys) if hot_keys is not None else None
+
     def add_salt(tbl: pa.Table) -> pa.Table:
         s = np.arange(tbl.num_rows, dtype=np.int64) % salt
+        if hot is not None:
+            keys = tbl.column(group_key).to_pandas()
+            s = np.where(keys.isin(hot).to_numpy(), s, 0)
         return tbl.append_column("__salt", pa.array(s))
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
