@@ -217,3 +217,42 @@ def adaptive_distinct_stats(
         .to_pandas()
     )
     return _decode_ts(out, ts_cols)[group_keys + list(spec) + ["n_distinct"]]
+
+
+def adaptive_distinct_pairs(part_ds, cols: list[str], cap: int = 1 << 22) -> pd.DataFrame:
+    """DISTINCT rows of integer key columns from per-block partials —
+    the degenerate fold where no aggregate survives, only membership
+    (FK audits, semi-join key sets).
+
+    Below ``cap`` the combine is one numpy lexsort + neighbor-diff over
+    the arrow columns (no pandas hash table — measured ~5× cheaper than
+    groupby on the FK audit's 1.3M sf0.1 partial rows); above it a Ray
+    distributed groupby dedups on the cluster and only distinct rows
+    reach the driver.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    part = part_ds.materialize()
+    if part.count() <= cap:
+        tbl = pa.concat_tables(
+            part.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        if tbl.num_rows == 0:
+            return pd.DataFrame({c: np.zeros(0, np.int64) for c in cols})
+        arrs = [
+            tbl.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+            for c in cols
+        ]
+        order = np.lexsort(tuple(reversed(arrs)))
+        sorted_arrs = [a[order] for a in arrs]
+        keep = np.zeros(len(order), bool)
+        keep[0] = True
+        for a in sorted_arrs:
+            keep[1:] |= a[1:] != a[:-1]
+        return pd.DataFrame({c: a[keep] for c, a in zip(cols, sorted_arrs)})
+
+    from ray.data.aggregate import Count
+
+    out = part.groupby(cols).aggregate(Count()).to_pandas()
+    return out[cols]

@@ -1981,9 +1981,7 @@ def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
     sorted parent key set — the audit never ships raw rows, only
     deduplicated keys.
     """
-    import ray
-
-    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+    from approximate_quantiles_ray.engine.folds import adaptive_distinct_pairs
 
     # ONE streaming pass per table, however many key columns the edge
     # set needs from it (lineitem feeds three edges — reading it three
@@ -1995,20 +1993,30 @@ def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
         table_cols.setdefault(parent, []).append(pkey)
     table_cols = {t: sorted(set(cs)) for t, cs in table_cols.items()}
 
-    def distinct_keys_stacked(cols):
+    # integer id per (table, column) — the fold groups on (int, int)
+    # instead of two string columns, which at ~1.3M partial rows (sf0.1)
+    # cut the driver fold from seconds to ~0.1 s
+    cid_of = {
+        (t, c): i
+        for i, (t, c) in enumerate(
+            (t, c) for t, cs in sorted(table_cols.items()) for c in cs
+        )
+    }
+
+    def distinct_keys_stacked(table, cols):
         def fn(tbl: pa.Table) -> pa.Table:
-            names, keys = [], []
+            cids, keys = [], []
             for c in cols:
                 u = pc.unique(tbl.column(c).combine_chunks()).to_numpy(
                     zero_copy_only=False
                 )
-                names.append(np.full(len(u), c, object))
+                cids.append(np.full(len(u), cid_of[(table, c)], np.int64))
                 keys.append(u.astype(np.int64))
-            name_arr = np.concatenate(names) if names else np.zeros(0, object)
+            cid_arr = np.concatenate(cids) if cids else np.zeros(0, np.int64)
             key_arr = np.concatenate(keys) if keys else np.zeros(0, np.int64)
             return pa.table(
                 {
-                    "col": pa.array(name_arr, pa.string()),
+                    "cid": pa.array(cid_arr, pa.int64()),
                     "key": pa.array(key_arr, pa.int64()),
                     "n": pa.array(np.ones(len(key_arr), np.int64)),
                 }
@@ -2017,28 +2025,21 @@ def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
         return fn
 
     # ONE execution for the whole audit: each table's stacked partials
-    # (tagged by table) union into a single Dataset, one fold total
-    part_dss = []
-    for table, cols in table_cols.items():
-        ds = _read(sf_dir, table, cols)
-        fn = distinct_keys_stacked(cols)
-
-        def tag(tbl: pa.Table, _fn=fn, _t=table) -> pa.Table:
-            out = _fn(tbl)
-            return out.append_column(
-                "tbl", pa.array(np.full(out.num_rows, _t, object), pa.string())
-            )
-
-        part_dss.append(ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True))
+    # union into a single Dataset, one fold total
+    part_dss = [
+        _read(sf_dir, table, cols).map_batches(
+            distinct_keys_stacked(table, cols),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        for table, cols in table_cols.items()
+    ]
     unioned = part_dss[0].union(*part_dss[1:]) if len(part_dss) > 1 else part_dss[0]
-    folded, is_ds = adaptive_grouped_agg_ds(unioned, ["tbl", "col", "key"], {"n": "sum"})
-    if is_ds:
-        folded = pa.concat_tables(
-            folded.iter_batches(batch_format="pyarrow")
-        ).to_pandas()
+    folded = adaptive_distinct_pairs(unioned, ["cid", "key"])
     distinct: dict[tuple[str, str], np.ndarray] = {}
-    for (t, c), g in folded.groupby(["tbl", "col"]):
-        distinct[(t, c)] = np.sort(g["key"].to_numpy())
+    fc = folded["cid"].to_numpy(np.int64)
+    fk = folded["key"].to_numpy(np.int64)
+    for (t, c), cid in cid_of.items():
+        distinct[(t, c)] = np.sort(fk[fc == cid])
 
     rows = []
     for child, ckey, parent, pkey in _FK_EDGES:

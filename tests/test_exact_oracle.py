@@ -116,7 +116,6 @@ def test_retention_pandas_and_join_paths_agree(ray_session, monkeypatch):
     "fn_name",
     [
         "events_column_profile",
-        "referential_integrity_audit",
         "events_user_type_profiles",
         "transcript_conv_dedup_forced",
         "customers_with_returns",
@@ -197,3 +196,24 @@ def test_overcap_topk_paths_agree(ray_session, monkeypatch, fn_name):
     pd.testing.assert_frame_equal(
         fast.reset_index(drop=True), slow.reset_index(drop=True)
     )
+
+
+def test_fk_audit_distinct_pair_paths_agree(ray_session, monkeypatch):
+    """referential_integrity_audit rides adaptive_distinct_pairs: the
+    numpy lexsort dedup (under cap) and the distributed Ray groupby
+    dedup (forced) must produce identical audits."""
+    import pandas as pd
+
+    import approximate_quantiles_ray.engine.folds as folds
+    import approximate_quantiles_ray.pipelines.relational as r
+
+    sf = "/root/testdata/sf0.001"
+    fast = r.referential_integrity_audit(sf)
+    orig = folds.adaptive_distinct_pairs
+
+    def force_ds(part_ds, cols, cap=0):
+        return orig(part_ds, cols, cap=0)
+
+    monkeypatch.setattr(folds, "adaptive_distinct_pairs", force_ds)
+    slow = r.referential_integrity_audit(sf)
+    pd.testing.assert_frame_equal(fast, slow)
