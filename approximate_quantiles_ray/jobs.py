@@ -186,6 +186,33 @@ def cmd_sample(args) -> None:
     )
 
 
+def cmd_ingest(args) -> None:
+    """Convert a raw corpus dump (JSONL / CSV / TSV / Parquet) into the
+    Parquet lake layout every pipeline here reads: one streaming pass,
+    optional column projection, partitioned output (one file per block
+    — a failed run rewrites only missing parts). The first step of any
+    real ingestion; downstream reads get column pruning and sized
+    blocks that the raw text formats cannot offer.
+    """
+    _ensure_ray()
+    import pyarrow.dataset as pads
+
+    from approximate_quantiles_ray.sources.read import read_any
+
+    cols = args.columns.split(",") if args.columns else None
+    ds = read_any(args.input, columns=cols)
+    ds.write_parquet(args.output)
+    out = pads.dataset(args.output)
+    _emit(
+        {
+            "rows": out.count_rows(),
+            "columns": out.schema.names,
+            "output": args.output,
+        },
+        None,
+    )
+
+
 def cmd_curate(args) -> None:
     """End-to-end corpus curation — the flagship LLM training-data
     pipeline, composed from this repo's operators in one job:
@@ -522,6 +549,12 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--rate-permille", type=int, default=100)
     sm.add_argument("--seed", type=int, default=42)
     sm.set_defaults(fn=cmd_sample)
+
+    ig = sub.add_parser("ingest", help="convert JSONL/CSV/TSV dumps into the Parquet lake")
+    ig.add_argument("--input", required=True)
+    ig.add_argument("--output", required=True)
+    ig.add_argument("--columns", default=None, help="comma-separated projection")
+    ig.set_defaults(fn=cmd_ingest)
 
     cu = sub.add_parser("curate", help="full corpus curation: dedup, decontaminate, filter, mix, export")
     cu.add_argument("--input", required=True)

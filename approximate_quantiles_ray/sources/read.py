@@ -52,3 +52,30 @@ def read_parquet_sized(
         return rd.read_parquet(path, columns=columns, **kw)
     blocks = max(ncpu, math.ceil(nbytes / target_block_bytes))
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks, **kw)
+
+
+def read_any(path: str, columns: list[str] | None = None, **kw):
+    """Format-dispatching read: Parquet (sized blocks + column-pruned
+    at the scan), JSON/JSONL, or CSV by extension — the ingest-side
+    entry for corpora that arrive as raw dumps. Non-Parquet formats
+    cannot prune columns at the scan (row-oriented text), so pruning is
+    a select_columns immediately after the read; the real fix at scale
+    is converting once via ``jobs ingest`` and reading Parquet forever
+    after.
+    """
+    import ray.data as rd
+
+    lower = path.lower()
+    if lower.endswith((".jsonl", ".json", ".ndjson")):
+        ds = rd.read_json(path, **kw)
+    elif lower.endswith((".csv", ".tsv")):
+        if lower.endswith(".tsv"):
+            from pyarrow import csv as pacsv
+
+            kw.setdefault("parse_options", pacsv.ParseOptions(delimiter="\t"))
+        ds = rd.read_csv(path, **kw)
+    else:
+        return read_parquet_sized(path, columns=columns, **kw)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds

@@ -294,3 +294,49 @@ def test_curate_end_to_end(ray_session, tmp_path_factory, capsys):
     rep2, t2 = run("b")
     assert rep2["exported"] == rep["exported"]
     assert sorted(t2.column("doc_id").to_numpy()) == sorted(ids)
+
+
+def test_ingest_jsonl_csv_tsv(ray_session, tmp_path_factory, capsys):
+    """ingest: JSONL, CSV and TSV dumps round-trip into Parquet with
+    identical rows; --columns projects at ingest time."""
+    import csv as _csv
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray import jobs
+
+    root = tmp_path_factory.mktemp("ingest")
+    rows = [
+        {"doc_id": i, "text": f"doc number {i}", "score": i * 10}
+        for i in range(200)
+    ]
+    jl = root / "dump.jsonl"
+    jl.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    cv = root / "dump.csv"
+    with open(cv, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["doc_id", "text", "score"])
+        w.writeheader()
+        w.writerows(rows)
+    tv = root / "dump.tsv"
+    with open(tv, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["doc_id", "text", "score"], delimiter="\t")
+        w.writeheader()
+        w.writerows(rows)
+
+    for src in (jl, cv, tv):
+        out = str(root / (src.stem + "_" + src.suffix.lstrip(".")))
+        jobs.main(["ingest", "--input", str(src), "--output", out])
+        capsys.readouterr()
+        t = pads.dataset(out).to_table().sort_by("doc_id")
+        assert t.num_rows == 200
+        assert t.column("doc_id").to_pylist() == [r["doc_id"] for r in rows]
+        assert t.column("text").to_pylist() == [r["text"] for r in rows]
+
+    # projection at ingest
+    out = str(root / "proj")
+    jobs.main(["ingest", "--input", str(jl), "--output", out,
+               "--columns", "doc_id,text"])
+    capsys.readouterr()
+    t = pads.dataset(out).to_table()
+    assert sorted(t.schema.names) == ["doc_id", "text"]
