@@ -3450,3 +3450,179 @@ def events_range_partition_stats(sf_dir: str, n_parts: int = 8) -> pd.DataFrame:
 
 
 QUERIES["events_range_partition_stats"] = events_range_partition_stats
+
+
+class _BucketCumsum:
+    """map_batches task over user_id-hashed bucket dirs: per-user
+    running cents total in (ts, event_id) order — ROW-LEVEL window
+    output (one row per event), computed as one lexsort + grouped
+    cumsum per bucket. Buckets own whole users, so running totals
+    never cross tasks."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for d in batch.column("path").to_pylist():
+            tbl = pq.read_table(
+                d, columns=["event_id", "user_id", "ts", "value"], use_threads=False
+            )
+            if tbl.num_rows == 0:
+                continue
+            u = tbl.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+            t = (
+                tbl.column("ts").combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            eid = tbl.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+            cents = np.round(
+                tbl.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+                * 100.0
+            ).astype(np.int64)
+            o = np.lexsort((eid, t, u))
+            us, cs = u[o], cents[o]
+            run = np.cumsum(cs)
+            # subtract each user segment's prefix so the cumsum
+            # restarts per user (sign-safe: plain repeat, no
+            # monotonicity assumption on the running values)
+            first = np.concatenate([[True], us[1:] != us[:-1]])
+            starts = np.flatnonzero(first)
+            seg_lens = np.diff(np.append(starts, len(us)))
+            prefix = np.where(starts > 0, run[starts - 1], 0)
+            run = run - np.repeat(prefix, seg_lens)
+            outs.append(
+                pa.table(
+                    {
+                        "event_id": pa.array(eid[o]),
+                        "user_id": pa.array(us),
+                        "running_cents": pa.array(run),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "running_cents": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+
+def events_user_running_total(sf_dir: str) -> pd.DataFrame:
+    """ROW-LEVEL WINDOW OUTPUT (oracle-matched): each event's per-user
+    running cents total in (ts, event_id) order — SUM() OVER
+    (PARTITION BY user ORDER BY ...), producing one output row per
+    INPUT row, not an aggregate. The shape that forces an engine to
+    prove it can do ordered per-key computation at full output
+    cardinality.
+
+    Scale plan: same cached user_id bucket layout as the funnel and
+    attribution; each bucket computes its users' running totals with
+    one lexsort + a restart-at-user-boundary cumsum and streams the
+    rows out — output never concentrates anywhere (at 100 TB this
+    would write straight to Parquet; the driver collect here is for
+    the oracle comparison at test scale).
+    """
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+    from approximate_quantiles_ray.sources.bucketed import bucket_dirs, ensure_bucketed
+
+    root = ensure_bucketed(f"{sf_dir}/events.parquet", key="user_id", n_buckets=16)
+    part = rd.from_items([{"path": d} for d in bucket_dirs(root)]).map_batches(
+        worker_cached_stage(_BucketCumsum),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+    out = part.to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ORACLE_SQL["events_user_running_total"] = """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS running_cents
+    FROM events ORDER BY event_id
+"""
+QUERIES["events_user_running_total"] = events_user_running_total
+
+
+def events_value_k_moments(sf_dir: str) -> pd.DataFrame:
+    """SUFFICIENT-STATISTICS FOLD (oracle-matched): per event type, the
+    exact integer moments (n, Σx, Σy, Σx², Σy², Σxy) of value-cents ×
+    extracted props.k — everything covariance, variance and Pearson
+    correlation need, WITHOUT emitting a single float. The pattern for
+    exact distributed statistics: ship the algebraic monoid, let the
+    analyst divide at the end (a float corr column would hash-drift
+    with reduction order; the moments cannot).
+
+    Scale note: Σx² of 64-bit cents can exceed int64 near 10^12 rows —
+    the documented fix is splitting the fold by key range or moving
+    the two squared moments to a (sum_hi, sum_lo) 128-bit pair; at the
+    oracle scales every product fits comfortably.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+
+    def block_moments(tbl: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(tbl.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        t = pa.table(
+            {"event_type": tbl.column("event_type"), "k": k}
+        ).append_column(
+            "cents",
+            pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64()),
+        ).drop_null()
+        cents = t.column("cents")
+        kk = t.column("k")
+        t2 = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": cents,
+                "y": kk,
+                "xx": pc.multiply(cents, cents),
+                "yy": pc.multiply(kk, kk),
+                "xy": pc.multiply(cents, kk),
+            }
+        )
+        agg = t2.group_by(["event_type"]).aggregate(
+            [([], "count_all"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")]
+        )
+        return agg.rename_columns(
+            ["event_type", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+        )
+
+    part = ds.map_batches(block_moments, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(
+        part, ["event_type"],
+        {"n": "sum", "sum_x": "sum", "sum_y": "sum",
+         "sum_xx": "sum", "sum_yy": "sum", "sum_xy": "sum"},
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_SQL["events_value_k_moments"] = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+           CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+           CAST(SUM(x * y) AS BIGINT) AS sum_xy
+    FROM (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS x,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS y
+        FROM events
+    ) WHERE y IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+"""
+QUERIES["events_value_k_moments"] = events_value_k_moments

@@ -130,6 +130,7 @@ def test_retention_pandas_and_join_paths_agree(ray_session, monkeypatch):
         "docs_repetition_stats",
         "docs_mixing_plan",
         "docs_commonness_scores",
+        "events_value_k_moments",
     ],
 )
 def test_overcap_distributed_paths_agree(ray_session, monkeypatch, fn_name):

@@ -310,3 +310,30 @@ def test_bloom_join_prefilters_and_stays_exact(ray_session):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     exp = con.sql(rel.ORACLE_SQL["urgent_revenue_bloom_join"]).df()
     pd.testing.assert_frame_equal(out, exp, check_exact=True)
+
+
+def test_running_total_negative_values(ray_session, tmp_path):
+    """Negative cents must not break the per-user cumsum restart (the
+    segment-prefix subtraction is sign-agnostic)."""
+    rows = [
+        (1, 1, "view", 1_000_000, -5.0),
+        (2, 1, "view", 2_000_000, 3.0),
+        (3, 2, "view", 1_500_000, -2.0),
+        (4, 2, "view", 3_000_000, -1.0),
+        (5, 1, "view", 4_000_000, -10.0),
+    ]
+    sf_dir = _write_events(tmp_path, rows)
+    out = rel.events_user_running_total(sf_dir).set_index("event_id")
+    assert out.loc[1, "running_cents"] == -500
+    assert out.loc[2, "running_cents"] == -200
+    assert out.loc[5, "running_cents"] == -1200
+    assert out.loc[3, "running_cents"] == -200
+    assert out.loc[4, "running_cents"] == -300
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    exp = con.sql(rel.ORACLE_SQL["events_user_running_total"]).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(), exp, check_exact=True
+    )
