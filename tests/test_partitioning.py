@@ -75,3 +75,55 @@ def test_bounds_monotone_and_sane(ray_session):
     assert (np.diff(b) >= 0).all()
     # median bound should be near exp(0)=1 for lognormal(0, 2)
     assert 0.7 < b[4] < 1.4
+
+
+def test_zorder_layout_prunes_both_dimensions(ray_session, tmp_path):
+    """Z-order layout: per-file min/max ranges must be tight on BOTH
+    columns (each file covers a small rank-space rectangle), where a
+    single-column sort leaves the second column's ranges at ~full
+    width — the pruning win the layout exists for."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.partitioning import write_zordered
+
+    rng = np.random.default_rng(13)
+    n = 32_000
+    x = rng.lognormal(0.0, 2.0, n)          # skewed
+    y = rng.uniform(0.0, 1000.0, n)         # uniform
+    ds = rd.from_arrow(
+        pa.table({"x": x, "y": y, "i": np.arange(n, dtype=np.int64)})
+    ).repartition(8)
+
+    zdir = str(tmp_path / "z")
+    write_zordered(ds, "x", "y", zdir, cells_per_dim=64, rows_per_file=2000)
+
+    def rank_coverage(dir_path, col, ref):
+        """Mean per-file fraction of the column's RANK range covered."""
+        import pyarrow.parquet as pqt
+
+        ref_sorted = np.sort(ref)
+        covs = []
+        frag_dir = Path(dir_path)
+        files = sorted(frag_dir.rglob("*.parquet"))
+        assert len(files) >= 8
+        for f in files:
+            c = pqt.read_table(str(f), columns=[col]).column(col).to_numpy()
+            lo, hi = np.searchsorted(ref_sorted, [c.min(), c.max()])
+            covs.append((hi - lo) / len(ref_sorted))
+        return float(np.mean(covs))
+
+    zx = rank_coverage(zdir, "x", x)
+    zy = rank_coverage(zdir, "y", y)
+    assert zx < 0.5 and zy < 0.5, (zx, zy)  # both dims prune
+
+    # baseline: sort by x only — y ranges stay ~full-width
+    xdir = str(tmp_path / "xsort")
+    ds.sort("x").write_parquet(xdir, max_rows_per_file=2000, min_rows_per_file=2000)
+    bx = rank_coverage(xdir, "x", x)
+    by = rank_coverage(xdir, "y", y)
+    assert bx < 0.2          # the sorted column is perfectly tight
+    assert by > 0.8          # ...but the other column cannot prune
+    # conservation
+    t = pads.dataset(zdir).to_table()
+    assert t.num_rows == n
+    assert len(np.unique(t.column("i").to_numpy())) == n
