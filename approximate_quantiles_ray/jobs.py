@@ -186,6 +186,41 @@ def cmd_sample(args) -> None:
     )
 
 
+def cmd_layout(args) -> None:
+    """Write a pruning-friendly layout of a Parquet table: ``range``
+    (t-digest quantile cut points → balanced hive range partitions on
+    one column) or ``zorder`` (rank-space Morton clustering on two
+    columns — both columns' per-file min/max stay tight). The
+    sketch-driven complement to ``bucketize`` (hash layout): pay one
+    streaming fold + one write, prune every later range scan.
+    """
+    _ensure_ray()
+    from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(args.input)
+    if args.mode == "range":
+        from approximate_quantiles_ray.engine.partitioning import write_range_partitioned
+
+        bounds = write_range_partitioned(ds, args.col, args.output, args.n_parts)
+        _emit(
+            {"mode": "range", "col": args.col, "n_parts": args.n_parts,
+             "bounds": [float(b) for b in bounds], "output": args.output},
+            None,
+        )
+    else:
+        from approximate_quantiles_ray.engine.partitioning import write_zordered
+
+        if not args.col2:
+            raise SystemExit("--mode zorder needs --col2")
+        xb, yb = write_zordered(ds, args.col, args.col2, args.output,
+                                rows_per_file=args.rows_per_file)
+        _emit(
+            {"mode": "zorder", "cols": [args.col, args.col2],
+             "cells_per_dim": 256, "output": args.output},
+            None,
+        )
+
+
 def cmd_ingest(args) -> None:
     """Convert a raw corpus dump (JSONL / CSV / TSV / Parquet) into the
     Parquet lake layout every pipeline here reads: one streaming pass,
@@ -549,6 +584,16 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--rate-permille", type=int, default=100)
     sm.add_argument("--seed", type=int, default=42)
     sm.set_defaults(fn=cmd_sample)
+
+    ly = sub.add_parser("layout", help="sketch-driven range or z-order layout of a table")
+    ly.add_argument("--input", required=True)
+    ly.add_argument("--output", required=True)
+    ly.add_argument("--mode", choices=["range", "zorder"], default="range")
+    ly.add_argument("--col", required=True)
+    ly.add_argument("--col2", default=None)
+    ly.add_argument("--n-parts", type=int, default=16)
+    ly.add_argument("--rows-per-file", type=int, default=100_000)
+    ly.set_defaults(fn=cmd_layout)
 
     ig = sub.add_parser("ingest", help="convert JSONL/CSV/TSV dumps into the Parquet lake")
     ig.add_argument("--input", required=True)

@@ -340,3 +340,34 @@ def test_ingest_jsonl_csv_tsv(ray_session, tmp_path_factory, capsys):
     capsys.readouterr()
     t = pads.dataset(out).to_table()
     assert sorted(t.schema.names) == ["doc_id", "text"]
+
+
+def test_layout_cli_range_and_zorder(ray_session, tmp_path_factory, capsys):
+    import json
+
+    import numpy as np
+
+    from approximate_quantiles_ray import jobs
+
+    root = tmp_path_factory.mktemp("layout")
+    src = "/root/testdata/sf0.001/events.parquet"
+    out_r = str(root / "range")
+    jobs.main(["layout", "--input", src, "--output", out_r,
+               "--mode", "range", "--col", "value", "--n-parts", "4"])
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert len(rep["bounds"]) == 3
+    t = pads.dataset(out_r, partitioning="hive").to_table()
+    import pyarrow.parquet as _pq
+
+    n_src = _pq.read_metadata(src).num_rows
+    assert t.num_rows == n_src
+    counts = np.bincount(t.column("part").to_numpy(), minlength=4)
+    assert counts.min() > n_src / 4 * 0.6  # balanced
+
+    out_z = str(root / "zorder")
+    jobs.main(["layout", "--input", src, "--output", out_z,
+               "--mode", "zorder", "--col", "value", "--col2", "user_id",
+               "--rows-per-file", "250"])
+    capsys.readouterr()
+    tz = pads.dataset(out_z).to_table()
+    assert tz.num_rows == n_src
