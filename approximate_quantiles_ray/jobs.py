@@ -186,6 +186,57 @@ def cmd_sample(args) -> None:
     )
 
 
+def cmd_stream(args) -> None:
+    """Durable streaming-replay job: push an event table through the
+    streaming window engine (tumbling windows, watermarks, late-data
+    accounting) with an atomic state checkpoint every N micro-batches —
+    kill it at any point and the rerun resumes from the checkpoint and
+    produces the identical window rows (engine/streaming.py resumable
+    contract, tested kill-and-resume in tests/test_streaming.py).
+    Emits one row per finalized window to Parquet.
+    """
+    _ensure_ray()
+    import numpy as np
+    import pandas as pd
+
+    from approximate_quantiles_ray.engine.streaming import stream_windows_resumable
+    from approximate_quantiles_ray.engine.udaf import SketchSpec
+    from approximate_quantiles_ray.sketches.tdigest import TDigest
+    from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+    cols = [args.ts_col] + ([args.value_col] if args.value_col else [])
+    ds = read_parquet_sized(args.input, columns=cols)
+    specs = (
+        [SketchSpec(key="value_td", factory=lambda: TDigest(300), on=args.value_col)]
+        if args.value_col
+        else []
+    )
+    df = stream_windows_resumable(
+        ds, specs, args.checkpoint,
+        every_n_batches=int(args.checkpoint_every),
+        batch_size=8192,
+        ts_col=args.ts_col,
+        window_us=int(args.window_minutes) * 60_000_000,
+        allowed_lateness_us=1 << 62,
+    )
+    out = pd.DataFrame(
+        {
+            "window_start": pd.to_datetime(df["window_start_us"], unit="us").astype(
+                "datetime64[us]"
+            ),
+            "n_events": df["rows"].astype(np.int64),
+        }
+    )
+    if args.value_col:
+        out["value_p50"] = df["value_td_p50"] if "value_td_p50" in df else np.nan
+    out.to_parquet(args.output, index=False)
+    _emit(
+        {"windows": len(out), "events": int(out["n_events"].sum()),
+         "checkpoint": args.checkpoint, "output": args.output},
+        None,
+    )
+
+
 def cmd_layout(args) -> None:
     """Write a pruning-friendly layout of a Parquet table: ``range``
     (t-digest quantile cut points → balanced hive range partitions on
@@ -584,6 +635,16 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--rate-permille", type=int, default=100)
     sm.add_argument("--seed", type=int, default=42)
     sm.set_defaults(fn=cmd_sample)
+
+    st = sub.add_parser("stream", help="durable streaming window replay with checkpoints")
+    st.add_argument("--input", required=True)
+    st.add_argument("--output", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--ts-col", default="ts")
+    st.add_argument("--value-col", default=None)
+    st.add_argument("--window-minutes", type=int, default=60)
+    st.add_argument("--checkpoint-every", type=int, default=8)
+    st.set_defaults(fn=cmd_stream)
 
     ly = sub.add_parser("layout", help="sketch-driven range or z-order layout of a table")
     ly.add_argument("--input", required=True)

@@ -371,3 +371,36 @@ def test_layout_cli_range_and_zorder(ray_session, tmp_path_factory, capsys):
     capsys.readouterr()
     tz = pads.dataset(out_z).to_table()
     assert tz.num_rows == n_src
+
+
+def test_stream_cli_durable_replay(ray_session, tmp_path_factory, capsys):
+    """stream: window rows match the oracle-green in-process replay;
+    a rerun against the COMPLETED checkpoint replays nothing and
+    produces the identical file."""
+    import json
+
+    import pandas as pd
+
+    from approximate_quantiles_ray import jobs
+    from approximate_quantiles_ray.pipelines.windows import events_hourly_stream_counts
+
+    root = tmp_path_factory.mktemp("stream")
+    src = "/root/testdata/sf0.001/events.parquet"
+    out = str(root / "windows.parquet")
+    ck = str(root / "ck.bin")
+    jobs.main(["stream", "--input", src, "--output", out, "--checkpoint", ck,
+               "--value-col", "value"])
+    rep = json.loads(capsys.readouterr().out.strip())
+    got = pd.read_parquet(out)
+    exp = events_hourly_stream_counts("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(
+        got[["window_start", "n_events"]].reset_index(drop=True), exp
+    )
+    assert rep["events"] == int(exp["n_events"].sum())
+    assert "value_p50" in got.columns and got["value_p50"].notna().all()
+    # completed checkpoint → rerun is a no-op replay with equal output
+    jobs.main(["stream", "--input", src, "--output", out, "--checkpoint", ck,
+               "--value-col", "value"])
+    capsys.readouterr()
+    again = pd.read_parquet(out)
+    pd.testing.assert_frame_equal(got, again)
