@@ -143,13 +143,23 @@ def test_tree_merge_matches_streaming_fold(ray_session):
 
     np.testing.assert_array_equal(a["conv_hll"].registers, b["conv_hll"].registers)
     np.testing.assert_array_equal(a["conv_bloom"].bits, b["conv_bloom"].bits)
-    # quantile estimates within sketch tolerance: Ray's aggregate tree
-    # combines partials in task-completion order (nondeterministic run
-    # to run), so allow the merge-order ε band, not exact agreement
+    # quantile estimates: Ray's aggregate tree combines partials in
+    # task-completion order (nondeterministic run to run), so don't
+    # compare the two paths to each other (that doubles the ε budget
+    # and flakes at the tail) — hold EACH path to the sketch band
+    # around the exact quantile instead
+    import duckdb
+
+    exact = np.sort(
+        duckdb.sql(
+            f"select length(text) from read_parquet('{table}/*.parquet')"
+        ).df().iloc[:, 0].to_numpy()
+    )
     for key in ("text_len_tdigest", "text_len_kll"):
         for q in (0.1, 0.5, 0.99):
-            x, y = a[key].est_value_at_quantile(q), b[key].est_value_at_quantile(q)
-            assert abs(x - y) / max(1.0, abs(x)) < 0.05, (key, q)
+            true = float(exact[min(len(exact) - 1, int(round(q * len(exact))))])
+            for est in (a[key].est_value_at_quantile(q), b[key].est_value_at_quantile(q)):
+                assert abs(est - true) / max(1.0, true) < 0.05, (key, q, est, true)
 
 
 def test_grouped_top_rows_matches_pandas(ray_session):
