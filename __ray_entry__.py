@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcript_order_invariant"] = _order_invariant
     try:  # extension pipelines registered as they land
         from approximate_quantiles_ray.pipelines import (
+            curation,
             dedup,
             multimodal,
             sampling,
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             windows,
         )
 
+        q.update(curation.QUERIES)
         q.update(dedup.QUERIES)
         q.update(similarity.QUERIES)
         q.update(windows.QUERIES)
@@ -162,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(te.oracle_sql(_ORACLE_SF_DIR))
     try:
         from approximate_quantiles_ray.pipelines import (
+            curation,
             dedup,
             sampling,
             sessions,
@@ -169,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
             windows,
         )
 
+        sqls.update(curation.ORACLE_SQL)
         sqls.update(dedup.ORACLE_SQL)
         sqls.update(similarity.ORACLE_SQL)
         sqls.update(windows.ORACLE_SQL)

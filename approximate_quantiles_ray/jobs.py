@@ -301,193 +301,28 @@ def cmd_ingest(args) -> None:
 
 def cmd_curate(args) -> None:
     """End-to-end corpus curation — the flagship LLM training-data
-    pipeline, composed from this repo's operators in one job:
-
-      1. exact dedup (distributed MIN-id keep-set + left_semi join,
-         same plan as ``dedup``);
-      2. benchmark decontamination (held-out ``doc_id % bench_mod``
-         slice excluded, and any training doc sharing an exact word
-         5-gram with it dropped — broadcast hash set, binary-searched
-         per block);
-      3. repetition/quality filter (duplicate-trigram permille and a
-         minimum token count, block-local kernels);
-      4. temperature mixing sample (sqrt-weighted per-source
-         hash-Bernoulli rates from survivor char totals);
-      5. seeded shuffle export into hive-partitioned training shards.
-
-    Every stage is the same deterministic, replayable arithmetic as
-    its standalone query twin (docs_decontaminate,
-    docs_repetition_stats, docs_mixing_plan, shuffle-export), so the
-    whole funnel reproduces bit-identically for a given (input, seed)
-    and each stage's survivor count lands in the emitted JSON.
-    Flags are computed in ONE pass and counted from the materialized
-    flag columns; nothing O(#docs) touches the driver.
-    """
+    pipeline, composed from this repo's operators in one job (exact
+    dedup, benchmark decontamination, repetition/quality filter,
+    temperature mixing sample, seeded shard export). The core lives in
+    pipelines/curation.curation_funnel so the oracle-matched
+    ``docs_curation_report`` query and this CLI share one
+    implementation; see its docstring for the plan and the stage
+    semantics."""
     _ensure_ray()
-    import math
+    from approximate_quantiles_ray.pipelines.curation import curation_funnel
 
-    import numpy as np
-    import pyarrow as pa
-    import ray
-    import ray.data as rd
-
-    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
-    from approximate_quantiles_ray.functions.hashing import splitmix64
-    from approximate_quantiles_ray.pipelines.dedup import (
-        _word_shingle_hashes_flat,
-        exact_dedup,
+    rep = curation_funnel(
+        args.input,
+        output=args.output,
+        seed=int(args.seed),
+        bench_mod=int(args.bench_mod),
+        max_dup_permille=int(args.max_dup_permille),
+        min_tokens=int(args.min_tokens),
+        n_shards=int(args.n_shards),
+        id_col=args.id_col,
+        text_col=args.text_col,
     )
-    from approximate_quantiles_ray.pipelines.sampling import bernoulli_mask
-
-    seed, bench_mod = int(args.seed), int(args.bench_mod)
-    n_shards, min_tokens = int(args.n_shards), int(args.min_tokens)
-    id_col, text_col = args.id_col, args.text_col
-
-    ds = rd.read_parquet(args.input).materialize()
-    n_input = ds.count()
-
-    # stage 1: exact dedup (keep MIN id per content hash)
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    keep = (
-        exact_dedup(ds, id_col=id_col, text_col=text_col)
-        .select_columns([id_col])
-        .repartition(n_parts)
-        .materialize()
-    )
-    s1 = ds.join(keep, "left_semi", num_partitions=n_parts, on=(id_col,))
-
-    # stage 2 prep: benchmark shingle-hash set from the ORIGINAL corpus
-    # (the eval slice is fixed regardless of dedup outcomes)
-    def block_bench(tbl: pa.Table) -> pa.Table:
-        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-        bench = tbl.filter(pa.array(ids % bench_mod == 0))
-        flat, _ = _word_shingle_hashes_flat(bench.column(text_col), 5)
-        return pa.table({"h": pa.array(np.unique(flat), pa.uint64())})
-
-    bench_sorted = np.unique(
-        ds.map_batches(block_bench, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()["h"]
-        .to_numpy(np.uint64)
-    )
-    bench_ref = ray.put(bench_sorted)
-
-    # stages 2+3: flag columns in one pass
-    def flag_fn(tbl: pa.Table) -> pa.Table:
-        bench_arr = ray.get(bench_ref)
-        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-        is_bench = ids % bench_mod == 0
-        g5, c5 = _word_shingle_hashes_flat(tbl.column(text_col), 5)
-        doc5 = np.repeat(np.arange(len(c5), dtype=np.int64), c5)
-        pos = np.searchsorted(bench_arr, g5)
-        pos[pos >= len(bench_arr)] = 0
-        hit = bench_arr[pos] == g5 if len(bench_arr) else np.zeros(len(g5), bool)
-        contaminated = np.zeros(tbl.num_rows, bool)
-        contaminated[np.unique(doc5[hit])] = True
-        g3, c3 = _word_shingle_hashes_flat(tbl.column(text_col), 3)
-        doc3 = np.repeat(np.arange(len(c3), dtype=np.int64), c3)
-        n_tri = c3.astype(np.int64)
-        if len(g3):
-            o = np.lexsort((g3, doc3))
-            d_s, h_s = doc3[o], g3[o]
-            first = np.concatenate(
-                [[True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])]
-            )
-            distinct = np.bincount(d_s[first], minlength=tbl.num_rows).astype(np.int64)
-        else:
-            distinct = np.zeros(tbl.num_rows, np.int64)
-        dup_pm = np.zeros(tbl.num_rows, np.int64)
-        nz = n_tri > 0
-        dup_pm[nz] = 1000 * (n_tri[nz] - distinct[nz]) // n_tri[nz]
-        n_tok = n_tri + 2  # trigram count + 2 == token count for >=3 tokens
-        n_tok[~nz] = 0
-        lowqual = (dup_pm >= int(args.max_dup_permille)) | (n_tok < min_tokens)
-        return (
-            tbl.append_column("is_bench", pa.array(is_bench))
-            .append_column("contaminated", pa.array(contaminated & ~is_bench))
-            .append_column("lowqual", pa.array(lowqual & ~is_bench & ~contaminated))
-        )
-
-    flagged = s1.map_batches(
-        flag_fn, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    n_dedup = flagged.count()
-    sums = flagged.sum(["is_bench", "contaminated", "lowqual"])
-    n_bench = int(sums["sum(is_bench)"])
-    n_contam = int(sums["sum(contaminated)"])
-    n_lowqual = int(sums["sum(lowqual)"])
-
-    def keep_only(tbl: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        m = pc.and_(
-            pc.and_(
-                pc.invert(tbl.column("is_bench")), pc.invert(tbl.column("contaminated"))
-            ),
-            pc.invert(tbl.column("lowqual")),
-        )
-        return tbl.filter(m).drop_columns(["is_bench", "contaminated", "lowqual"])
-
-    clean = flagged.map_batches(
-        keep_only, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    n_clean = clean.count()
-
-    # stage 4: mixing plan over SURVIVOR char totals (exact Python ints)
-    def block_chars(tbl: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        lens = pc.cast(pc.utf8_length(tbl.column(text_col)), pa.int64())
-        agg = (
-            tbl.select(["source"]).append_column("c", lens)
-            .group_by(["source"]).aggregate([("c", "sum")])
-        )
-        return agg.rename_columns(["source", "c"])
-
-    totals = adaptive_grouped_agg(
-        clean.map_batches(block_chars, batch_format="pyarrow", zero_copy_batch=True),
-        ["source"], {"c": "sum"},
-    )
-    cs = {s: int(c) for s, c in zip(totals["source"], totals["c"])}
-    ws = {s: math.isqrt(c) for s, c in cs.items()}
-    B, W = sum(cs.values()) // 2, sum(ws.values())
-    rates = {
-        s: min(1000, (1000 * B * ws[s]) // (W * cs[s])) if cs[s] else 0 for s in cs
-    }
-
-    # stage 5: sample + seeded shard assignment + range sort + export
-    def sample_assign(tbl: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-        src = tbl.column("source").combine_chunks().to_numpy(zero_copy_only=False)
-        rate = pd.Series(src).map(rates).to_numpy(np.int64)
-        kept = tbl.filter(pa.array(bernoulli_mask(ids, rate, seed)))
-        kids = kept.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-        h = splitmix64(kids.astype(np.uint64) ^ splitmix64(np.uint64(seed)))
-        kept = kept.append_column("shard", pa.array((h % n_shards).astype(np.int64)))
-        return kept.append_column("h", pa.array(h.view(np.int64)))
-
-    final = clean.map_batches(
-        sample_assign, batch_format="pyarrow", zero_copy_batch=True
-    ).sort(["shard", "h"]).materialize()
-    n_final = final.count()
-    final.write_parquet(args.output, partition_cols=["shard"])
-    _emit(
-        {
-            "input": n_input,
-            "after_dedup": n_dedup,
-            "bench_held_out": n_bench,
-            "contaminated_dropped": n_contam,
-            "lowqual_dropped": n_lowqual,
-            "after_filters": int(n_clean),
-            "exported": int(n_final),
-            "n_shards": n_shards,
-            "seed": seed,
-            "rates_permille": rates,
-            "output": args.output,
-        },
-        getattr(args, "output_json", None),
-    )
+    _emit(rep, getattr(args, "output_json", None))
 
 
 def cmd_shuffle_export(args) -> None:
