@@ -118,6 +118,7 @@ def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
         bench_queries.update(te.QUERIES)
         try:
             from approximate_quantiles_ray.pipelines import (
+                curation,
                 dedup,
                 sampling,
                 sessions,
@@ -125,6 +126,7 @@ def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
                 windows,
             )
 
+            bench_queries.update(curation.QUERIES)
             bench_queries.update(dedup.QUERIES)
             bench_queries.update(similarity.QUERIES)
             bench_queries.update(windows.QUERIES)
