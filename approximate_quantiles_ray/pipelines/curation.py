@@ -49,7 +49,11 @@ def curation_funnel(
     import ray
     import ray.data as rd
 
-    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.engine.folds import (
+        adaptive_grouped_agg,
+        adaptive_grouped_agg_ds,
+    )
+    from approximate_quantiles_ray.functions.hashing import hash_strings
     from approximate_quantiles_ray.pipelines.dedup import (
         _word_shingle_hashes_flat,
         exact_dedup,
@@ -59,15 +63,42 @@ def curation_funnel(
     ds = read_any(input_path).materialize()
     n_input = ds.count()
 
-    # stage 1: exact dedup (keep MIN id per content hash)
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    keep = (
-        exact_dedup(ds, id_col=id_col, text_col=text_col)
-        .select_columns([id_col])
-        .repartition(n_parts)
-        .materialize()
+    # stage 1: exact dedup (keep MIN id per content hash), ADAPTIVE:
+    # per-block (text_hash, min id) partials fold on the driver under
+    # the cap and the keep-id set broadcasts into the flag pass (no
+    # join operator, no extra materialization — the Ray hash-agg +
+    # left_semi pair costs ~10 s of fixed stage latency that dwarfs a
+    # small corpus); above the cap the distributed groupby + semi join
+    # is the 100 TB path, identical semantics (path-agreement tested).
+    def dedup_partials(tbl: pa.Table) -> pa.Table:
+        h = hash_strings(tbl.column(text_col).combine_chunks())
+        t = pa.table(
+            {
+                "text_hash": pa.array(h.view(np.int64)),
+                id_col: tbl.column(id_col),
+            }
+        )
+        agg = t.group_by(["text_hash"]).aggregate([(id_col, "min")])
+        return agg.rename_columns(["text_hash", id_col])
+
+    folded, keep_is_ds = adaptive_grouped_agg_ds(
+        ds.map_batches(dedup_partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["text_hash"], {id_col: "min"},
     )
-    s1 = ds.join(keep, "left_semi", num_partitions=n_parts, on=(id_col,))
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    if keep_is_ds:
+        # over-cap: distributed keep-set + semi join (the scale path)
+        keep = (
+            exact_dedup(ds, id_col=id_col, text_col=text_col)
+            .select_columns([id_col])
+            .repartition(n_parts)
+            .materialize()
+        )
+        s1 = ds.join(keep, "left_semi", num_partitions=n_parts, on=(id_col,))
+        keep_ref = None
+    else:
+        s1 = ds  # dedup applied as a broadcast mask inside the flag pass
+        keep_ref = ray.put(np.sort(folded[id_col].to_numpy(np.int64)))
 
     # stage 2 prep: benchmark shingle-hash set from the ORIGINAL corpus
     def block_bench(tbl: pa.Table) -> pa.Table:
@@ -83,10 +114,20 @@ def curation_funnel(
     )
     bench_ref = ray.put(bench_sorted)
 
-    # stages 2+3: flag columns in one pass
+    # stages (1+)2+3: flag columns in one pass
     def flag_fn(tbl: pa.Table) -> pa.Table:
         bench_arr = ray.get(bench_ref)
         ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        if keep_ref is not None:
+            keep_sorted = ray.get(keep_ref)
+            pos_k = np.searchsorted(keep_sorted, ids)
+            pos_k[pos_k >= len(keep_sorted)] = 0
+            kept_mask = (
+                keep_sorted[pos_k] == ids if len(keep_sorted)
+                else np.zeros(len(ids), bool)
+            )
+            tbl = tbl.filter(pa.array(kept_mask))
+            ids = ids[kept_mask]
         is_bench = ids % bench_mod == 0
         g5, c5 = _word_shingle_hashes_flat(tbl.column(text_col), 5)
         doc5 = np.repeat(np.arange(len(c5), dtype=np.int64), c5)

@@ -131,6 +131,7 @@ def test_retention_pandas_and_join_paths_agree(ray_session, monkeypatch):
         "docs_mixing_plan",
         "docs_commonness_scores",
         "events_value_k_moments",
+        "docs_curation_report",
     ],
 )
 def test_overcap_distributed_paths_agree(ray_session, monkeypatch, fn_name):
@@ -162,6 +163,12 @@ def test_overcap_distributed_paths_agree(ray_session, monkeypatch, fn_name):
         from approximate_quantiles_ray.pipelines.sampling import docs_mixing_plan
 
         fn = docs_mixing_plan
+    elif fn_name == "docs_curation_report":
+        # forcing cap=0 here also flips the funnel's dedup stage onto
+        # the distributed keep-set + semi-join branch
+        from approximate_quantiles_ray.pipelines.curation import docs_curation_report
+
+        fn = docs_curation_report
     else:
         import approximate_quantiles_ray.pipelines.relational as r
 
