@@ -853,3 +853,44 @@ ORACLE_SQL["docs_commonness_scores"] = """
     GROUP BY t.doc_id ORDER BY t.doc_id
 """
 QUERIES["docs_commonness_scores"] = docs_commonness_scores
+
+
+def docs_lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """CLASSIFIER CONFUSION MATRIX (oracle-matched): label × prediction
+    counts for the language-ID heuristic against the corpus's labeled
+    ``lang`` — the evaluation shape every model-in-the-loop pipeline
+    needs (precision/recall fall out of these integers).
+
+    Scale plan: the classifier runs in the same worker-cached stage as
+    docs_lang_id, but each block reduces straight to its (lang, pred)
+    count cells — #langs² rows per block regardless of corpus size —
+    then one adaptive fold. The SQL twin wraps the SAME replicated vote
+    the docs_lang_id oracle validates, grouped by cell.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    pred = ds.map_batches(
+        worker_cached_stage(LanguageID), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def block_cells(tbl: pa.Table) -> pa.Table:
+        agg = tbl.select(["lang", "lang_pred"]).group_by(["lang", "lang_pred"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["lang", "lang_pred", "n"])
+
+    part = pred.map_batches(block_cells, batch_format="pyarrow", zero_copy_batch=True)
+    out = adaptive_grouped_agg(part, ["lang", "lang_pred"], {"n": "sum"})
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+# the confusion matrix reuses the docs_lang_id oracle's replicated vote
+# verbatim (string surgery keeps the two in lock-step), grouped by cell
+ORACLE_SQL["docs_lang_confusion"] = (
+    "SELECT lang, lang_pred, COUNT(*) AS n FROM ("
+    + ORACLE_SQL["docs_lang_id"].replace("ORDER BY doc_id", "")
+    + ") GROUP BY lang, lang_pred ORDER BY lang, lang_pred"
+)
+QUERIES["docs_lang_confusion"] = docs_lang_confusion
