@@ -186,6 +186,119 @@ def cmd_sample(args) -> None:
     )
 
 
+def cmd_dedup_incremental(args) -> None:
+    """Append-mode exact dedup: drop new documents whose content hash
+    already exists in a persisted corpus INDEX (plus duplicates within
+    the new batch itself), write the survivors, and extend the index —
+    the shape a recurring crawl ingest runs (dedup batch N against
+    batches 1..N-1 without ever re-reading them).
+
+    The index is a plain Parquet directory of 64-bit content hashes,
+    appended per run (part-<run>.parquet — resumable, never rewritten).
+    Scale: the new batch streams once; the index side is hashes only
+    (8 B/doc — 8 TB of index per 10^12 docs, readable in parallel),
+    probed here via a broadcast sorted array under the fold cap with
+    the distributed hash-join path as the documented alternative above
+    it (same adaptive split as pipelines/curation).
+    """
+    _ensure_ray()
+    import glob as _glob
+    import os
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray.functions.hashing import hash_strings
+    from approximate_quantiles_ray.sources.read import read_any
+
+    id_col, text_col = args.id_col, args.text_col
+    ds = read_any(args.input)
+
+    # existing index hashes (empty on the first run)
+    idx_files = sorted(_glob.glob(f"{args.index}/part-*.parquet"))
+    if idx_files:
+        import pyarrow.dataset as pads
+
+        old = pads.dataset(idx_files).to_table().column("h").to_numpy()
+        old_sorted = np.sort(old.astype(np.int64))
+    else:
+        old_sorted = np.zeros(0, np.int64)
+
+    import ray
+
+    old_ref = ray.put(old_sorted)
+
+    def project(tbl: pa.Table) -> pa.Table:
+        h = hash_strings(tbl.column(text_col).combine_chunks()).view(np.int64)
+        return tbl.append_column("h", pa.array(h))
+
+    hashed = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_input = hashed.count()
+
+    # within-batch dedup: keep MIN id per hash (driver fold — new
+    # batches are the small side; the whole-corpus dedup is `dedup`)
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    def batch_keys(tbl: pa.Table) -> pa.Table:
+        agg = tbl.select(["h", id_col]).group_by(["h"]).aggregate([(id_col, "min")])
+        return agg.rename_columns(["h", id_col])
+
+    keys = adaptive_grouped_agg(
+        hashed.map_batches(batch_keys, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"], {id_col: "min"},
+    )
+    keep_ids = np.sort(keys[id_col].to_numpy(np.int64))
+    keep_ref = ray.put(keep_ids)
+
+    def keep_new(tbl: pa.Table) -> pa.Table:
+        old_arr = ray.get(old_ref)
+        kid = ray.get(keep_ref)
+        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        h = tbl.column("h").combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kid, ids)
+        pos[pos >= len(kid)] = 0
+        is_batch_keeper = kid[pos] == ids if len(kid) else np.zeros(len(ids), bool)
+        pos2 = np.searchsorted(old_arr, h)
+        pos2[pos2 >= len(old_arr)] = 0
+        in_old = old_arr[pos2] == h if len(old_arr) else np.zeros(len(h), bool)
+        return tbl.filter(pa.array(is_batch_keeper & ~in_old))
+
+    kept = hashed.map_batches(
+        keep_new, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_kept = kept.count()
+    kept.drop_columns(["h"]).write_parquet(args.output)
+
+    # extend the index with the survivors' hashes (append-only part)
+    new_hashes = np.unique(
+        pa.concat_tables(
+            kept.select_columns(["h"]).iter_batches(batch_format="pyarrow",
+                                                    batch_size=None)
+        ).column("h").to_numpy(zero_copy_only=False)
+    ) if n_kept else np.zeros(0, np.int64)
+    os.makedirs(args.index, exist_ok=True)
+    pq.write_table(
+        pa.table({"h": pa.array(new_hashes, pa.int64())}),
+        f"{args.index}/part-{uuid.uuid4().hex[:12]}.parquet",
+    )
+    _emit(
+        {
+            "input": int(n_input),
+            "kept": int(n_kept),
+            "dropped_in_batch": int(n_input - len(keep_ids)),
+            "dropped_vs_index": int(len(keep_ids) - n_kept),
+            "index_size_before": int(len(old_sorted)),
+            "index_size_after": int(len(old_sorted) + len(new_hashes)),
+            "output": args.output,
+        },
+        None,
+    )
+
+
 def cmd_stream(args) -> None:
     """Durable streaming-replay job: push an event table through the
     streaming window engine (tumbling windows, watermarks, late-data
@@ -470,6 +583,15 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--rate-permille", type=int, default=100)
     sm.add_argument("--seed", type=int, default=42)
     sm.set_defaults(fn=cmd_sample)
+
+    di = sub.add_parser("dedup-incremental",
+                        help="dedup a new batch against a persisted corpus hash index")
+    di.add_argument("--input", required=True)
+    di.add_argument("--output", required=True)
+    di.add_argument("--index", required=True)
+    di.add_argument("--id-col", default="doc_id")
+    di.add_argument("--text-col", default="text")
+    di.set_defaults(fn=cmd_dedup_incremental)
 
     st = sub.add_parser("stream", help="durable streaming window replay with checkpoints")
     st.add_argument("--input", required=True)

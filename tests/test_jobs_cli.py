@@ -404,3 +404,46 @@ def test_stream_cli_durable_replay(ray_session, tmp_path_factory, capsys):
     capsys.readouterr()
     again = pd.read_parquet(out)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_dedup_incremental_two_batches(ray_session, tmp_path_factory, capsys):
+    """Batch 1 seeds the index; batch 2 drops its within-batch dups AND
+    every doc already seen in batch 1; the index grows append-only."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray import jobs
+
+    root = tmp_path_factory.mktemp("incr")
+    idx = str(root / "index")
+
+    def write_batch(name, rows):
+        p = str(root / name)
+        ids, texts = zip(*rows)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())}), p)
+        return p
+
+    b1 = write_batch("b1.parquet", [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    b2 = write_batch("b2.parquet", [(10, "beta"), (11, "gamma"),
+                                    (12, "gamma"), (13, "delta")])
+
+    jobs.main(["dedup-incremental", "--input", b1, "--output", str(root / "o1"),
+               "--index", idx])
+    r1 = json.loads(capsys.readouterr().out.strip())
+    assert r1["kept"] == 2 and r1["dropped_in_batch"] == 1  # alpha dup
+    assert r1["index_size_after"] == 2
+
+    jobs.main(["dedup-incremental", "--input", b2, "--output", str(root / "o2"),
+               "--index", idx])
+    r2 = json.loads(capsys.readouterr().out.strip())
+    # beta seen in batch 1; gamma duplicated within batch 2
+    assert r2["kept"] == 2
+    assert r2["dropped_vs_index"] == 1 and r2["dropped_in_batch"] == 1
+    assert r2["index_size_after"] == 4
+    t = pads.dataset(str(root / "o2")).to_table()
+    assert sorted(t.column("text").to_pylist()) == ["delta", "gamma"]
+    assert "h" not in t.schema.names  # internal column stripped
