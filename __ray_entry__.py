@@ -98,6 +98,27 @@ def _tool_hh_cms(sf_dir: str) -> pd.DataFrame:
     return heavy_hitters(ds, "tool", k=10)
 
 
+def _tool_hh_mg(sf_dir: str) -> pd.DataFrame:
+    """Deterministic heavy hitters: one Misra–Gries summary merged
+    shuffle-free across blocks; every row carries the sandwich bound
+    est ≤ true ≤ est + err_bound (tests pin it against exact counts —
+    the CMS twin above gives only probabilistic over-estimates)."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.udaf import SketchSpec, sketch_columns
+    from approximate_quantiles_ray.sketches.misra_gries import MisraGries
+
+    ds = rd.read_parquet(te.transcripts_dir_for(sf_dir), columns=["tool"])
+    mg = sketch_columns(
+        ds, [SketchSpec(key="tool", factory=lambda: MisraGries(k=32), on="tool", kind="hash")]
+    )["tool"]
+    rows = [
+        {"tool": key, "est": int(est), "upper": int(upper)}
+        for key, est, upper in mg.top(10)
+    ]
+    return pd.DataFrame(rows)
+
+
 def _membership(sf_dir: str) -> pd.DataFrame:
     """Oracle-matched: probes are the first 200 sorted distinct conv_ids
     (SQL-reproducible) and Bloom's no-false-negative law fixes
@@ -130,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcript_sketch_report"] = _sketch_report
     q["transcript_role_len_sketch"] = _role_len_sketch
     q["transcript_tool_hh_cms"] = _tool_hh_cms
+    q["transcript_tool_hh_mg"] = _tool_hh_mg
     q["transcript_membership"] = _membership
     q["transcript_order_invariant"] = _order_invariant
     try:  # extension pipelines registered as they land
@@ -137,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             curation,
             dedup,
             multimodal,
+            overlap,
             sampling,
             sessions,
             similarity,
@@ -150,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q.update(sessions.QUERIES)
         q.update(multimodal.QUERIES)
         q.update(sampling.QUERIES)
+        q.update(overlap.QUERIES)
     except ImportError:
         pass
     return q
@@ -166,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         from approximate_quantiles_ray.pipelines import (
             curation,
             dedup,
+            overlap,
             sampling,
             sessions,
             similarity,
@@ -179,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         sqls.update(windows.oracle_sql(_ORACLE_SF_DIR))
         sqls.update(sessions.ORACLE_SQL)
         sqls.update(sampling.ORACLE_SQL)
+        sqls.update(overlap.ORACLE_SQL)
     except ImportError:
         pass
     return sqls
