@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup,
             multimodal,
             overlap,
+            patterns,
             sampling,
             sessions,
             similarity,
@@ -174,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q.update(multimodal.QUERIES)
         q.update(sampling.QUERIES)
         q.update(overlap.QUERIES)
+        q.update(patterns.QUERIES)
     except ImportError:
         pass
     return q
@@ -191,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
             curation,
             dedup,
             overlap,
+            patterns,
             sampling,
             sessions,
             similarity,
@@ -205,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         sqls.update(sessions.ORACLE_SQL)
         sqls.update(sampling.ORACLE_SQL)
         sqls.update(overlap.ORACLE_SQL)
+        sqls.update(patterns.ORACLE_SQL)
     except ImportError:
         pass
     return sqls

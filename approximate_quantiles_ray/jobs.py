@@ -412,6 +412,56 @@ def cmd_ingest(args) -> None:
     )
 
 
+def cmd_scrub(args) -> None:
+    """Redact PII-shaped spans (emails, IPv4s, phones, card-like digit
+    runs — plus any extra RE2 patterns) from a document corpus and
+    write the masked rows as partitioned Parquet. One streaming pass:
+    Arrow RE2 kernels per batch, per-block redaction counters folded to
+    a tiny report, nothing corpus-sized on the driver."""
+    _ensure_ray()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.patterns import (
+        PII_PATTERNS,
+        redact_batch,
+    )
+
+    pats = dict(PII_PATTERNS)
+    for extra in args.pattern or []:
+        name, _, pat = extra.partition("=")
+        if not pat:
+            raise SystemExit(f"--pattern needs NAME=REGEX, got {extra!r}")
+        pats[name] = pat
+
+    def scrub(tbl: pa.Table) -> pa.Table:
+        before = pc.cast(pc.utf8_length(tbl.column(args.text_col)), pa.int64())
+        red = redact_batch(tbl, pats, text_col=args.text_col, mask=args.mask)
+        after = pc.cast(pc.utf8_length(red.column(args.text_col)), pa.int64())
+        changed = pc.cast(pc.not_equal(before, after), pa.int64())
+        return red.append_column("_scrub_changed", changed)
+
+    ds = rd.read_parquet(args.input).map_batches(
+        scrub, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ds.write_parquet(args.output)
+    out = pads.dataset(args.output)  # row count from footer metadata only
+    changed = rd.read_parquet(args.output, columns=["_scrub_changed"]).sum(
+        "_scrub_changed"
+    )
+    _emit(
+        {
+            "rows": out.count_rows(),
+            "docs_changed": int(changed or 0),
+            "patterns": sorted(pats),
+            "output": args.output,
+        },
+        None,
+    )
+
+
 def cmd_curate(args) -> None:
     """End-to-end corpus curation — the flagship LLM training-data
     pipeline, composed from this repo's operators in one job (exact
@@ -618,6 +668,18 @@ def main(argv: list[str] | None = None) -> int:
     ig.add_argument("--output", required=True)
     ig.add_argument("--columns", default=None, help="comma-separated projection")
     ig.set_defaults(fn=cmd_ingest)
+
+    sc = sub.add_parser("scrub", help="redact PII-shaped spans, write masked Parquet")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--output", required=True)
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument("--mask", default="[REDACTED]")
+    sc.add_argument(
+        "--pattern",
+        action="append",
+        help="extra NAME=REGEX (RE2) to redact, repeatable",
+    )
+    sc.set_defaults(fn=cmd_scrub)
 
     cu = sub.add_parser("curate", help="full corpus curation: dedup, decontaminate, filter, mix, export")
     cu.add_argument("--input", required=True)
