@@ -894,3 +894,78 @@ ORACLE_SQL["docs_lang_confusion"] = (
     + ") GROUP BY lang, lang_pred ORDER BY lang, lang_pred"
 )
 QUERIES["docs_lang_confusion"] = docs_lang_confusion
+
+
+def docs_distinctive_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """PER-SOURCE DISTINCTIVE TERMS (oracle-matched): the TF-IDF-shaped
+    "which tokens over-represent in this source" question, restated in
+    pure integer arithmetic so a SQL twin can pin it bit-for-bit — a
+    token is distinctive for a source when the source's share of its
+    global occurrences exceeds 1.5× the uniform share:
+
+        tf_source · n_sources · 2  >  3 · tf_global.
+
+    Plan: per-block (source, token) histograms (tokens mapped back to
+    their row's source via ``list_parent_indices`` — no Python loop) →
+    adaptive fold per (source, token) → token-total fold → integer
+    filter → top-k per source (n desc, token asc). Only the
+    over-represented survivors (rare by construction) are ranked; at
+    corpus scale both folds stay distributed and the filter runs before
+    anything reaches the driver.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def block_source_vocab(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(tbl.column("text").combine_chunks()), "[^a-z]+"
+        )
+        flat = pc.list_flatten(toks)
+        src = tbl.column("source").combine_chunks().take(pc.list_parent_indices(toks))
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table({"source": src.filter(keep), "token": flat.filter(keep)})
+        agg = pairs.group_by(["source", "token"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["source", "token", "n"])
+
+    part = ds.map_batches(block_source_vocab, batch_format="pyarrow", zero_copy_batch=True)
+    st, is_ds = adaptive_grouped_agg_ds(part, ["source", "token"], {"n": "sum"})
+    if is_ds:
+        st = st.to_pandas()  # (sources × vocab) rows — vocab-bounded, not corpus-bounded
+    if not len(st):
+        return pd.DataFrame(
+            {"source": pd.Series(dtype=object), "token": pd.Series(dtype=object),
+             "n": pd.Series(dtype="int64"), "gtf": pd.Series(dtype="int64"),
+             "rnk": pd.Series(dtype="int64")}
+        )
+    gtf = st.groupby("token")["n"].transform("sum")
+    n_sources = st["source"].nunique()
+    flt = st[st["n"] * n_sources * 2 > 3 * gtf].copy()
+    flt["gtf"] = gtf[flt.index].astype("int64")
+    flt = flt.sort_values(["source", "n", "token"], ascending=[True, False, True])
+    flt["rnk"] = (flt.groupby("source").cumcount() + 1).astype("int64")
+    out = flt[flt["rnk"] <= k][["source", "token", "n", "gtf", "rnk"]]
+    return out.reset_index(drop=True)
+
+
+ORACLE_SQL["docs_distinctive_terms"] = """
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+  FROM documents
+), t AS (SELECT source, token FROM toks WHERE token <> ''),
+st AS (SELECT source, token, COUNT(*) AS n FROM t GROUP BY 1, 2),
+gt AS (SELECT token, SUM(n) AS gtf FROM st GROUP BY 1),
+ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM st),
+flt AS (
+  SELECT st.source, st.token, CAST(st.n AS BIGINT) AS n, CAST(gt.gtf AS BIGINT) AS gtf
+  FROM st, gt, ns
+  WHERE st.token = gt.token AND st.n * ns.n_sources * 2 > 3 * gt.gtf
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token ASC) AS rnk
+  FROM flt
+)
+SELECT source, token, n, gtf, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= 3 ORDER BY source, rnk
+"""
+QUERIES["docs_distinctive_terms"] = docs_distinctive_terms

@@ -120,6 +120,8 @@ def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
             from approximate_quantiles_ray.pipelines import (
                 curation,
                 dedup,
+                overlap,
+                patterns,
                 sampling,
                 sessions,
                 similarity,
@@ -132,6 +134,8 @@ def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
             bench_queries.update(windows.QUERIES)
             bench_queries.update(sessions.QUERIES)
             bench_queries.update(sampling.QUERIES)
+            bench_queries.update(overlap.QUERIES)
+            bench_queries.update(patterns.QUERIES)
         except ImportError:
             pass
         # best-of-2 per query: the sandbox VM's host load drifts on a

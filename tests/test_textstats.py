@@ -53,3 +53,61 @@ def test_fingerprint_deterministic_and_content_sensitive():
     assert a[0] == a[2] and a[0] != a[1]
     b = fingerprint_batch(_tbl(["abc"])).column("fingerprint").to_pylist()
     assert b[0] == a[0]  # partition-independent
+
+
+def test_distinctive_terms_empty_when_uniform(ray_session, tmp_path):
+    """A perfectly uniform corpus has no over-represented tokens — the
+    result must be EMPTY with the declared schema (the sf0.1 shape),
+    and DuckDB must agree dtype-for-dtype on the empty frame."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray.pipelines import textstats as ts
+
+    tbl = pa.table(
+        {
+            "source": ["s0", "s1", "s2", "s3"],
+            "text": ["alpha beta gamma"] * 4,
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = ts.docs_distinctive_terms(str(tmp_path))
+    assert len(got) == 0
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.sql(ts.ORACLE_SQL["docs_distinctive_terms"]).df()
+    assert len(exp) == 0
+    assert [str(t) for t in got.dtypes] == [str(t) for t in exp.dtypes]
+    assert list(got.columns) == list(exp.columns)
+
+
+def test_distinctive_terms_planted_skew(ray_session, tmp_path):
+    """A token concentrated in one source must surface for that source
+    with exact tf/gtf, rank 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray.pipelines import textstats as ts
+
+    rows = []
+    for s in range(4):
+        for _ in range(5):
+            rows.append((f"s{s}", "common words here"))
+    rows += [("s0", "zebra zebra zebra common")] * 3
+    tbl = pa.table(
+        {
+            "source": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = ts.docs_distinctive_terms(str(tmp_path))
+    z = got[got["token"] == "zebra"]
+    assert len(z) == 1
+    assert z.iloc[0]["source"] == "s0"
+    assert z.iloc[0]["n"] == 9 and z.iloc[0]["gtf"] == 9
+    assert z.iloc[0]["rnk"] == 1
