@@ -30,6 +30,7 @@ import heapq
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from approximate_quantiles_ray.functions.hashing import splitmix64
 
@@ -400,18 +401,34 @@ def _hash_sample(ds, sample_size: int, seed: int = 42,
     if not len(parts):
         return np.zeros((0, 0))
     h = parts.column("_h").to_numpy(zero_copy_only=False).astype(np.uint64)
+    # return rows ORDERED BY HASH, not by arrival position: block order
+    # varies run-to-run (streaming execution does not preserve order),
+    # and a seeded consumer (k-means init) must see an identical matrix
     keep = np.argsort(h, kind="stable")[:sample_size]
-    return _embedding_matrix(parts.take(pa.array(np.sort(keep))), col)
+    return _embedding_matrix(parts.take(pa.array(keep)), col)
 
 
 def train_ivf_centroids(sample: np.ndarray, n_centroids: int = 16, iters: int = 10,
                         seed: int = 42) -> np.ndarray:
     """Seeded Lloyd k-means on unit vectors (cosine ≡ dot after
     normalization) — the IVF coarse quantizer, trained driver-side on a
-    small sample and broadcast to the probe stage."""
+    small sample and broadcast to the probe stage. Init is seeded
+    k-means++ (Arthur & Vassilvitskii 2007): D²-weighted seeding avoids
+    the uniform-init failure mode where two true clusters share one
+    centroid and a third centroid starves."""
     rng = np.random.default_rng(seed)
     x = _normalize(np.asarray(sample, np.float64))
-    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
+    k = min(n_centroids, len(x))
+    c = x[[rng.integers(len(x))]].copy()
+    for _ in range(1, k):
+        # squared cosine distance to the nearest chosen centroid
+        d2 = np.maximum(1.0 - np.max(x @ c.T, axis=1), 0.0) ** 2
+        tot = d2.sum()
+        if tot <= 0:  # degenerate: all points already covered
+            nxt = rng.integers(len(x))
+        else:
+            nxt = rng.choice(len(x), p=d2 / tot)
+        c = np.vstack([c, x[nxt]])
     for _ in range(iters):
         assign = np.argmax(x @ c.T, axis=1)
         for j in range(len(c)):
@@ -892,3 +909,78 @@ ORACLE_SQL["docs_embedding_coverage"] = """
     GROUP BY lang ORDER BY lang
 """
 QUERIES["docs_embedding_coverage"] = docs_embedding_coverage
+
+
+# ------------------------------------------------------- clustering profile
+
+
+class _ClusterLabelCells:
+    """Per-block (cluster, label) contingency partials against a
+    broadcast centroid matrix (worker-cached; argmax ties break to the
+    lowest centroid index, so assignment is layout-independent)."""
+
+    def __init__(self, centroids_ref):
+        import ray
+
+        self.centroids = (
+            ray.get(centroids_ref)
+            if isinstance(centroids_ref, ray.ObjectRef)
+            else centroids_ref
+        )
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(tbl)
+        if not len(emb):
+            return pa.table(
+                {"cluster": pa.array([], pa.int64()), "label": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        assign = np.argmax(_normalize(emb) @ self.centroids.T, axis=1)
+        cells = pa.table(
+            {
+                "cluster": pa.array(assign.astype(np.int64)),
+                "label": pc.cast(tbl.column("label").combine_chunks(), pa.int64()),
+            }
+        )
+        agg = cells.group_by(["cluster", "label"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["cluster", "label", "n"])
+
+
+def embeddings_cluster_label_profile(
+    sf_dir: str, n_clusters: int = 8, sample_size: int = 4096, seed: int = 42
+) -> pd.DataFrame:
+    """K-MEANS × LABEL CONTINGENCY (rows-only driver check — k-means is
+    iterative, not SQL-expressible; purity/determinism pinned in
+    tests/test_similarity.py): train the seeded Lloyd quantizer on an
+    unbiased hash-sample, broadcast the centroids once, assign every
+    vector per batch (argmax of a matmul), and fold the integer
+    (cluster, label, n) cells. The unsupervised-quality report a
+    training pipeline runs after embedding a corpus: which clusters are
+    label-pure, which mix.
+
+    Scale: sample O(sample_size), train driver-side, assignment is one
+    streaming shuffle-free pass, fold input #blocks × (clusters ×
+    labels) rows. Deterministic: hash-sample + seeded Lloyd + fixed
+    argmax tie-break are all independent of block layout.
+    """
+    import ray
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.engine.stages import worker_cached_stage
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    sample = _hash_sample(ds, sample_size, seed=seed)
+    centroids = train_ivf_centroids(sample, n_clusters, seed=seed)
+    cref = ray.put(centroids)
+    part = ds.map_batches(
+        worker_cached_stage(_ClusterLabelCells, centroids_ref=cref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = adaptive_grouped_agg(part, ["cluster", "label"], {"n": "sum"})
+    return out.sort_values(["cluster", "label"]).reset_index(drop=True)
+
+
+QUERIES["embeddings_cluster_label_profile"] = embeddings_cluster_label_profile

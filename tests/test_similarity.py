@@ -230,3 +230,55 @@ def test_pq_partition_independence(ray_session):
         for p in (2, 8)
     ]
     pd.testing.assert_frame_equal(results[0], results[1])
+
+
+def test_cluster_label_profile_determinism_and_completeness(ray_session):
+    """On the testdata (labels random w.r.t. geometry) the contingency
+    must still be deterministic across runs and conserve every row."""
+    from approximate_quantiles_ray.pipelines.similarity import (
+        embeddings_cluster_label_profile,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = embeddings_cluster_label_profile(sf)
+    b = embeddings_cluster_label_profile(sf)
+    pd.testing.assert_frame_equal(a, b)
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf}/embeddings.parquet").num_rows
+    assert int(a["n"].sum()) == n
+    assert [str(t) for t in a.dtypes] == ["int64", "int64", "int64"]
+
+
+def test_cluster_label_profile_purity_on_planted_clusters(ray_session, tmp_path):
+    """With geometry that follows the labels, clusters must be nearly
+    label-pure and the k-means must recover roughly one cluster per
+    label."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray.pipelines.similarity import (
+        embeddings_cluster_label_profile,
+    )
+
+    rng = np.random.default_rng(4)
+    dim, per = 32, 200
+    centers = rng.normal(size=(4, dim)) * 5
+    rows, labels = [], []
+    for lbl, c in enumerate(centers):
+        pts = c + rng.normal(size=(per, dim)) * 0.2
+        rows.extend(pts.astype(np.float32).tolist())
+        labels.extend([lbl] * per)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(rows)), pa.int64()),
+            "embedding": pa.array(rows, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = embeddings_cluster_label_profile(str(tmp_path), n_clusters=4)
+    n = 4 * per
+    assert int(out["n"].sum()) == n
+    dom = out.groupby("cluster")["n"].max().sum()
+    assert dom / n > 0.95, out
