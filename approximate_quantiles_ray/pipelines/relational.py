@@ -3626,3 +3626,38 @@ ORACLE_SQL["events_value_k_moments"] = """
     GROUP BY event_type ORDER BY event_type
 """
 QUERIES["events_value_k_moments"] = events_value_k_moments
+
+
+def events_value_ddsketch(sf_dir: str, alpha: float = 0.01) -> pd.DataFrame:
+    """Relative-error quantiles of events.value via DDSketch
+    (sketches/ddsketch.py): every estimate is within ``alpha``·true of
+    the true quantile VALUE — the guarantee latency-SLO monitoring
+    wants, complementing the rank-error sketches (t-digest / KLL) in
+    the flagship suite. One shuffle-free streaming pass; the bucket
+    histogram is a pure function of the value multiset, so the result
+    is BIT-identical under any partitioning / merge order
+    (tests/test_ddsketch.py pins the merge law,
+    tests/test_relational_wave3.py the Ray-path accuracy + invariance).
+
+    No SQL oracle (approximation is the point); the exact twin is
+    ``events_value_quantiles``.
+    """
+    from approximate_quantiles_ray.engine.udaf import SketchSpec, sketch_columns_streaming
+    from approximate_quantiles_ray.sketches.ddsketch import DDSketch
+
+    ds = _read(sf_dir, "events", ["value"])
+    merged = sketch_columns_streaming(
+        ds,
+        [SketchSpec(key="value_dd", factory=lambda: DDSketch(alpha=alpha), on="value")],
+    )
+    sk = merged["value_dd"]
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+    return pd.DataFrame(
+        {
+            "q": np.asarray(qs, np.float64),
+            "value_est": np.asarray([sk.est_value_at_quantile(q) for q in qs], np.float64),
+        }
+    )
+
+
+QUERIES["events_value_ddsketch"] = events_value_ddsketch
