@@ -192,7 +192,13 @@ class DDSketch(SlotState):
         if n == 0:
             raise ValueError("empty sketch")
         q = min(max(q, 0.0), 1.0)
-        rank = q * (n - 1)  # 0-based, paper convention
+        # element selection: floor(q·n + 0.5) clamped — the repo-wide
+        # LinearDigest convention (sketches/exact.py, reference
+        # linear_digest.rs:43-52) rather than the paper's floor(q·(n−1));
+        # both are within the ±1-element freedom the guarantee allows,
+        # and sharing the oracle's convention keeps extreme-tail
+        # relative errors comparable across sketches in ACCURACY.json
+        rank = min(int(math.floor(q * n + 0.5)), n - 1)
         # ascending order: negatives (highest index = most negative first),
         # then zeros, then positives ascending index
         neg_total = self.neg.total

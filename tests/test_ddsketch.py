@@ -17,9 +17,9 @@ QS = [0.001, 0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99, 0.999]
 
 
 def _true_quantile(x: np.ndarray, q: float) -> float:
-    # the sketch's cumulative-count walk selects the bucket containing
-    # the element of 0-based rank floor(q*(n-1)) — the paper's x_(⌊qn⌋)
-    return float(np.sort(x)[int(np.floor(q * (len(x) - 1)))])
+    # the sketch selects the element of 0-based rank floor(q*n + 0.5)
+    # clamped — the repo-wide LinearDigest convention (sketches/exact.py)
+    return float(np.sort(x)[min(int(np.floor(q * len(x) + 0.5)), len(x) - 1)])
 
 
 def _check_rel(sk: DDSketch, x: np.ndarray, alpha: float, qs=QS):
@@ -156,7 +156,7 @@ def test_events_value_ddsketch_ray_path(ray_session):
     v = np.sort(pq.read_table(f"{SF_DIR}/events.parquet", columns=["value"])
                 .column("value").to_numpy())
     for q, est in zip(out["q"], out["value_est"]):
-        true = v[int(np.floor(q * (len(v) - 1)))]
+        true = v[min(int(np.floor(q * len(v) + 0.5)), len(v) - 1)]
         assert abs(est - true) <= 0.01 * abs(true) * (1 + 1e-9), (q, true, est)
 
     # partitioning invariance: same estimates from a repartitioned read

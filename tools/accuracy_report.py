@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from approximate_quantiles_ray.functions.distributions import DISTRIBUTIONS
 from approximate_quantiles_ray.sketches.exact import ExactDigest
+from approximate_quantiles_ray.sketches.ddsketch import DDSketch
 from approximate_quantiles_ray.sketches.kll import KLL
 from approximate_quantiles_ray.sketches.tdigest import TDigest
 
@@ -35,6 +36,8 @@ CONFIGS = {
     "tdigest_d6000_k2": lambda: TDigest(delta=6000, scale="k2"),
     "tdigest_d500_k1": lambda: TDigest(delta=500, scale="k1"),
     "kll_k20": lambda: KLL(k=20, seed=42),
+    "ddsketch_a01": lambda: DDSketch(alpha=0.01),
+    "ddsketch_a05": lambda: DDSketch(alpha=0.05),
     "kll_k200": lambda: KLL(k=200, seed=42),
     "kll_k200_avg": lambda: KLL(k=200, seed=42, compaction="average"),
 }

@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from approximate_quantiles_ray.functions.hashing import hash_int64
 from approximate_quantiles_ray.sketches.bloom import BloomFilter
 from approximate_quantiles_ray.sketches.countmin import CountMinSketch
+from approximate_quantiles_ray.sketches.ddsketch import DDSketch
 from approximate_quantiles_ray.sketches.hll import HLL
 from approximate_quantiles_ray.sketches.kll import KLL
 from approximate_quantiles_ray.sketches.kll_fixed import KLLFixed
@@ -53,6 +54,7 @@ def run() -> dict:
         row = {
             "tdigest_d20": bench_one(lambda: TDigest(delta=20, scale="k1"), vals),
             "tdigest_d3000": bench_one(lambda: TDigest(delta=3000, scale="k2"), vals),
+            "ddsketch_a01": bench_one(lambda: DDSketch(alpha=0.01), vals),
             "kll_k16": bench_one(lambda: KLL(k=16, seed=1), vals),
             "kll_k64": bench_one(lambda: KLL(k=64, seed=1), vals),
             "kll_k256": bench_one(lambda: KLL(k=256, seed=1), vals),
