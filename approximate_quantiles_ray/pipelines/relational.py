@@ -91,6 +91,7 @@ def quantiles_from_histogram(
     extra_values: np.ndarray | None = None,
     driver_cap: int = 1 << 22,
     pre_grouped: bool = True,
+    target_fn=None,
 ) -> pd.DataFrame:
     """quantile_disc over a distributed distinct-value histogram with
     driver memory O(#blocks + #qs + len(extra_values)).
@@ -112,6 +113,13 @@ def quantiles_from_histogram(
     gaps from segmented lag, O(#blocks) of them) never enter the
     shuffle; they are counted into the walk at their sorted positions.
     """
+    # ``target_fn(q, n) -> 0-based position`` lets callers swap the
+    # element-selection rule: default quantile_disc (ceil(q·n)−1); the
+    # weighted path passes an integer-percent rule so both Ray and the
+    # SQL twin compute the cut in exact integer arithmetic (q·n in
+    # floats is hazardous: 0.1*10 → 1.0000000000000002 → ceil 2)
+    if target_fn is None:
+        target_fn = lambda q, n: max(0, math.ceil(q * n) - 1)  # noqa: E731
     empty = pd.DataFrame({"q": pd.Series(dtype=float), "value": pd.Series(dtype=float)})
     extras = (
         np.sort(np.asarray(extra_values))
@@ -152,7 +160,7 @@ def quantiles_from_histogram(
         vals = hist[col].to_numpy()
         rows = []
         for q in qs:
-            idx = max(0, math.ceil(q * n) - 1)
+            idx = target_fn(q, n)
             rows.append({"q": float(q), "value": float(vals[int(np.searchsorted(cum, idx + 1))])})
         return pd.DataFrame(rows)
 
@@ -206,7 +214,7 @@ def quantiles_from_histogram(
 
     # locate each target: extras run before a block, inside a block, or
     # the trailing extras run
-    targets = [max(0, math.ceil(q * n_total) - 1) for q in qs]
+    targets = [target_fn(q, n_total) for q in qs]
     where: list[tuple[str, int, int]] = []  # ("extra", extra_idx, _) | ("block", j, local_idx_base)
     for idx in targets:
         placed = False
@@ -3661,3 +3669,75 @@ def events_value_ddsketch(sf_dir: str, alpha: float = 0.01) -> pd.DataFrame:
 
 
 QUERIES["events_value_ddsketch"] = events_value_ddsketch
+
+
+def exact_weighted_quantiles(
+    ds, col: str, weight_col: str, q_pcts: tuple[int, ...], driver_cap: int = 1 << 22
+) -> pd.DataFrame:
+    """Exact WEIGHTED quantile_disc: the smallest value whose running
+    weight sum reaches q·W (W = total weight) — each row counts
+    ``weight`` times instead of once. Neither the reference nor plain
+    quantile_disc covers this; it is the "p50 order price weighted by
+    units sold" shape.
+
+    Same scale plan as :func:`exact_quantiles`: per-block (value,
+    weight-sum) partials → distributed distinct-value histogram →
+    histogram walk — only the target positions differ. Quantiles are
+    taken as INTEGER percents and the cut computed as
+    ``max(1, (qpct·W + 99) // 100)`` in int64 on both the Ray side and
+    the SQL twin, so selection is bit-exact (float q·W rounds wrong:
+    0.1·10 → 1.0000000000000002 → ceil 2). Weights must be integral
+    (validated per block); fractional weights would reintroduce float
+    cumsum ordering hazards.
+    """
+
+    def block_weighted(tbl: pa.Table) -> pa.Table:
+        w = tbl.column(weight_col).cast(pa.float64())
+        wi = pc.round(w).cast(pa.int64())
+        if not pc.all(pc.equal(w, wi.cast(pa.float64()))).as_py():
+            raise ValueError(f"{weight_col} must be integral for exact weighted quantiles")
+        t = pa.table({col: tbl.column(col), "w": wi})
+        agg = t.group_by([col]).aggregate([("w", "sum")])
+        return agg.rename_columns([col, "n"])
+
+    part = ds.map_batches(block_weighted, batch_format="pyarrow", zero_copy_batch=True)
+
+    def target(q: float, n: int) -> int:
+        qpct = int(round(q * 100))
+        return max(1, (qpct * int(n) + 99) // 100) - 1
+
+    return quantiles_from_histogram(
+        part,
+        col,
+        tuple(p / 100.0 for p in q_pcts),
+        driver_cap=driver_cap,
+        pre_grouped=False,
+        target_fn=target,
+    )
+
+
+def lineitem_weighted_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted quantiles of l_extendedprice (oracle-matched):
+    "the price point below which q% of UNITS ship" — element selection
+    over a weighted distinct-value histogram, bit-exact vs the SQL
+    cumulative-weight twin."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    return exact_weighted_quantiles(
+        ds, "l_extendedprice", "l_quantity", (10, 25, 50, 75, 90, 95, 99)
+    )
+
+
+ORACLE_SQL["lineitem_weighted_price_quantiles"] = """
+WITH h AS (
+  SELECT l_extendedprice AS v, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+  FROM lineitem GROUP BY v
+),
+t AS (SELECT SUM(w) AS tw FROM h),
+c AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw FROM h),
+qs(qpct) AS (VALUES (10), (25), (50), (75), (90), (95), (99))
+SELECT CAST(qpct AS DOUBLE) / 100.0 AS q,
+       (SELECT MIN(c.v) FROM c, t
+        WHERE c.cw >= GREATEST((qpct * t.tw + 99) // 100, 1)) AS value
+FROM qs ORDER BY q
+"""
+QUERIES["lineitem_weighted_price_quantiles"] = lineitem_weighted_price_quantiles

@@ -94,3 +94,71 @@ def test_heavy_duplicates(ray_session):
     # one hot value dominating (skew) + a tail
     data = np.concatenate([np.full(500, 42.0), np.arange(10, dtype=float)])
     _run(ray_session, data, np.array([42.0, 41.0]), 6)
+
+
+# ------------------------------------------------------- weighted selection
+
+
+def _weighted_reference(values: np.ndarray, weights: np.ndarray, q_pcts) -> list[float]:
+    """Smallest value whose running weight reaches max(1, ceil(qpct·W/100)),
+    computed in exact integer arithmetic."""
+    order = np.argsort(values)
+    v, w = values[order], weights[order].astype(np.int64)
+    cum = np.cumsum(w)
+    W = int(cum[-1])
+    out = []
+    for p in q_pcts:
+        tgt = max(1, (p * W + 99) // 100)
+        out.append(float(v[int(np.searchsorted(cum, tgt))]))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_weighted_quantiles_match_integer_reference(ray_session, seed, n_parts):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.relational import exact_weighted_quantiles
+
+    rng = np.random.default_rng(seed)
+    n = 5_000
+    # duplicate-heavy values so the distinct-value histogram actually folds
+    vals = np.round(rng.lognormal(3.0, 1.0, n), 1)
+    wts = rng.integers(1, 50, n).astype(np.float64)
+    q_pcts = (1, 10, 25, 50, 75, 90, 99)
+    exp = _weighted_reference(vals, wts, q_pcts)
+
+    ds = rd.from_items(
+        [{"v": float(a), "w": float(b)} for a, b in zip(vals, wts)]
+    ).repartition(n_parts)
+    for cap in (0, 1 << 22):  # distributed AND local-walk paths
+        out = exact_weighted_quantiles(ds, "v", "w", q_pcts, driver_cap=cap)
+        assert out["value"].tolist() == exp, f"driver_cap={cap}"
+
+
+def test_weighted_differs_from_unweighted_when_weights_skew(ray_session):
+    """One heavy row must drag the weighted median to itself."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.relational import (
+        exact_quantiles,
+        exact_weighted_quantiles,
+    )
+
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 1000.0])
+    wts = np.array([1.0, 1.0, 1.0, 1.0, 100.0])
+    ds = rd.from_items([{"v": float(a), "w": float(b)} for a, b in zip(vals, wts)])
+    wq = exact_weighted_quantiles(ds, "v", "w", (50,))
+    uq = exact_quantiles(ds, "v", (0.5,))
+    assert wq["value"].tolist() == [1000.0]
+    assert uq["value"].tolist() == [3.0]
+
+
+def test_weighted_rejects_fractional_weights(ray_session):
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.relational import exact_weighted_quantiles
+
+    ds = rd.from_items([{"v": 1.0, "w": 1.5}])
+    with pytest.raises(Exception, match="integral"):
+        exact_weighted_quantiles(ds, "v", "w", (50,))
