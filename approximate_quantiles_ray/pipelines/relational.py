@@ -3741,3 +3741,34 @@ SELECT CAST(qpct AS DOUBLE) / 100.0 AS q,
 FROM qs ORDER BY q
 """
 QUERIES["lineitem_weighted_price_quantiles"] = lineitem_weighted_price_quantiles
+
+
+def events_value_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust dispersion (oracle-matched): exact median and median
+    absolute deviation of events.value — two distributed histogram
+    walks (pass 1 median, pass 2 median of |value − median|). Both
+    passes are element SELECTION, and |x − med| is one exact IEEE op,
+    so the SQL twin matches bit-for-bit. The approximate alternative
+    at 100 TB is one DDSketch pass (events_value_ddsketch) whose p50
+    carries an α-relative guarantee instead.
+    """
+    ds = _read(sf_dir, "events", ["value"])
+    med = float(exact_quantiles(ds, "value", (0.5,))["value"].iloc[0])
+
+    def absdev(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {"dev": pc.abs(pc.subtract(tbl.column("value"), pa.scalar(med, pa.float64())))}
+        )
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True)
+    mad = float(exact_quantiles(dev, "dev", (0.5,))["value"].iloc[0])
+    return pd.DataFrame({"median": [med], "mad": [mad]})
+
+
+ORACLE_SQL["events_value_mad"] = """
+WITH m AS (SELECT quantile_disc(value, 0.5) AS med FROM events)
+SELECT m.med AS median,
+       (SELECT quantile_disc(abs(value - m.med), 0.5) FROM events) AS mad
+FROM m
+"""
+QUERIES["events_value_mad"] = events_value_mad

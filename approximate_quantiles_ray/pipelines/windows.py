@@ -390,3 +390,83 @@ ORACLE_SQL["docs_source_len_quartiles"] = """
     FROM documents GROUP BY source ORDER BY source
 """
 QUERIES["docs_source_len_quartiles"] = docs_source_len_quartiles
+
+
+def grouped_weighted_quantile_disc(
+    ds, key_col: str, val_col: str, weight_col: str, q_pcts: tuple[int, ...]
+) -> pd.DataFrame:
+    """Per-group WEIGHTED quantile_disc: within each group, the
+    smallest value whose running weight reaches q·W_group. Same plan as
+    :func:`grouped_quantile_disc` with weight-sums as the histogram
+    mass; cuts use the integer-percent rule
+    ``max(1, (qpct·W + 99) // 100)`` shared with
+    ``relational.exact_weighted_quantiles`` so the SQL twin is
+    bit-exact. Weights must be integral (validated per block).
+
+    Returns one row per key: (key, units, wq<p>...).
+    """
+
+    def block_weighted(tbl: pa.Table) -> pa.Table:
+        w = tbl.column(weight_col).cast(pa.float64())
+        wi = pc.round(w).cast(pa.int64())
+        if not pc.all(pc.equal(w, wi.cast(pa.float64()))).as_py():
+            raise ValueError(f"{weight_col} must be integral for weighted quantiles")
+        t = pa.table(
+            {key_col: tbl.column(key_col), val_col: tbl.column(val_col), "w": wi}
+        )
+        agg = t.group_by([key_col, val_col]).aggregate([("w", "sum")])
+        return agg.rename_columns([key_col, val_col, "n"])
+
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    part = ds.map_batches(block_weighted, batch_format="pyarrow", zero_copy_batch=True)
+    hist = adaptive_grouped_agg(part, [key_col, val_col], {"n": "sum"})
+    hist = hist.sort_values([key_col, val_col]).reset_index(drop=True)
+    rows = []
+    for key, g in hist.groupby(key_col, sort=True):
+        vals = g[val_col].to_numpy()
+        cum = np.cumsum(g["n"].to_numpy())
+        W = int(cum[-1])
+        row = {key_col: key, "units": W}
+        for p in q_pcts:
+            tgt = max(1, (p * W + 99) // 100)
+            row[f"wq{p}"] = vals[int(np.searchsorted(cum, tgt))]
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def lineitem_flag_weighted_price_quartiles(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag quantity-weighted price quartiles (oracle-matched):
+    the grouped form of the weighted-selection operator."""
+    from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    out = grouped_weighted_quantile_disc(
+        ds, "l_returnflag", "l_extendedprice", "l_quantity", (25, 50, 75)
+    )
+    out["units"] = out["units"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+ORACLE_SQL["lineitem_flag_weighted_price_quartiles"] = """
+WITH h AS (
+  SELECT l_returnflag AS key, l_extendedprice AS v,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+  FROM lineitem GROUP BY key, v
+),
+t AS (SELECT key, SUM(w) AS tw FROM h GROUP BY key),
+c AS (SELECT key, v, SUM(w) OVER (PARTITION BY key ORDER BY v) AS cw FROM h)
+SELECT t.key AS l_returnflag,
+       CAST(t.tw AS BIGINT) AS units,
+       (SELECT MIN(v) FROM c WHERE c.key = t.key
+        AND c.cw >= GREATEST((25 * t.tw + 99) // 100, 1)) AS wq25,
+       (SELECT MIN(v) FROM c WHERE c.key = t.key
+        AND c.cw >= GREATEST((50 * t.tw + 99) // 100, 1)) AS wq50,
+       (SELECT MIN(v) FROM c WHERE c.key = t.key
+        AND c.cw >= GREATEST((75 * t.tw + 99) // 100, 1)) AS wq75
+FROM t ORDER BY l_returnflag
+"""
+QUERIES["lineitem_flag_weighted_price_quartiles"] = lineitem_flag_weighted_price_quartiles

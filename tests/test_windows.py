@@ -45,3 +45,72 @@ def test_daily_sketch_windows_cover_all_turns(ray_session):
     for _, row in big.iterrows():
         grp = lens[df["day"] == row["window_start"]]
         assert row["len_p50"] == pytest.approx(grp.median(), rel=0.05, abs=8)
+
+
+def test_grouped_weighted_quantiles_planted(ray_session):
+    """Heavy weights drag per-group weighted quartiles; brute-force
+    integer reference per group."""
+    import numpy as np
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.windows import grouped_weighted_quantile_disc
+
+    rng = np.random.default_rng(9)
+    keys = rng.choice(["a", "b", "c"], 2000)
+    vals = np.round(rng.lognormal(2.0, 1.0, 2000), 2)
+    wts = rng.integers(1, 20, 2000).astype(float)
+    ds = rd.from_items(
+        [{"k": str(k), "v": float(v), "w": float(w)} for k, v, w in zip(keys, vals, wts)]
+    ).repartition(5)
+    out = grouped_weighted_quantile_disc(ds, "k", "v", "w", (25, 50, 75))
+    for _, row in out.iterrows():
+        sel = keys == row["k"]
+        order = np.argsort(vals[sel])
+        v, w = vals[sel][order], wts[sel][order].astype(np.int64)
+        cum = np.cumsum(w)
+        W = int(cum[-1])
+        assert row["units"] == W
+        for p in (25, 50, 75):
+            tgt = max(1, (p * W + 99) // 100)
+            assert row[f"wq{p}"] == v[int(np.searchsorted(cum, tgt))]
+
+
+def test_grouped_weighted_overcap_path_agrees(ray_session, monkeypatch):
+    import pandas as pd
+
+    import approximate_quantiles_ray.engine.folds as folds
+    from approximate_quantiles_ray.pipelines.windows import (
+        lineitem_flag_weighted_price_quartiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fast = lineitem_flag_weighted_price_quartiles(sf)
+    orig = folds.adaptive_grouped_agg
+
+    def force_ds(part_ds, keys, spec, cap=0):
+        return orig(part_ds, keys, spec, cap=0)
+
+    monkeypatch.setattr(folds, "adaptive_grouped_agg", force_ds)
+    slow = lineitem_flag_weighted_price_quartiles(sf)
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_events_value_mad_matches_numpy(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray.pipelines.relational import events_value_mad
+
+    sf = "/root/testdata/sf0.001"
+    out = events_value_mad(sf)
+    v = pq.read_table(f"{sf}/events.parquet", columns=["value"]).column("value").to_numpy()
+
+    def qdisc(x, q):
+        s = np.sort(x)
+        return float(s[max(0, math.ceil(q * len(s)) - 1)])
+
+    med = qdisc(v, 0.5)
+    assert out["median"].iloc[0] == med
+    assert out["mad"].iloc[0] == qdisc(np.abs(v - med), 0.5)
