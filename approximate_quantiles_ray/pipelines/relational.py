@@ -3772,3 +3772,67 @@ SELECT m.med AS median,
 FROM m
 """
 QUERIES["events_value_mad"] = events_value_mad
+
+
+def events_value_trimmed_mean(sf_dir: str, trim_pct: int = 10) -> pd.DataFrame:
+    """Exact 10%-trimmed mean of events.value (oracle-matched): drop
+    the lowest and highest ``trim_pct``% of rows BY RANK, average the
+    rest. Robust-statistics companion to events_value_mad.
+
+    Scale plan: one distinct-value histogram fold (values as integer
+    cents — exact for 2-decimal data), then the kept mass per distinct
+    value is a rank-interval overlap computed from the cumulative
+    walk. All arithmetic to the final division is int64 — summation
+    ORDER cannot perturb the result, so the SQL twin (same cumulative
+    overlap, same single CAST-then-divide) matches bit-for-bit;
+    float Σv·c would diverge from DuckDB's summation order.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def block_cents(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64())
+        vc = cents.combine_chunks().value_counts() if isinstance(
+            cents, pa.ChunkedArray
+        ) else cents.value_counts()
+        return pa.table(
+            {"cents": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    part = ds.map_batches(block_cents, batch_format="pyarrow", zero_copy_batch=True)
+    hist = adaptive_grouped_agg(part, ["cents"], {"n": "sum"})
+    hist = hist.sort_values("cents").reset_index(drop=True)
+    v = hist["cents"].to_numpy(np.int64)
+    c = hist["n"].to_numpy(np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    lo = (trim_pct * n) // 100
+    hi = n - lo
+    kept = np.maximum(
+        np.minimum(cum, hi) - np.maximum(cum - c, lo), 0
+    )
+    total_cents = int((v * kept).sum())
+    kept_n = int(kept.sum())
+    mean = float(total_cents) / kept_n / 100.0
+    return pd.DataFrame(
+        {"n": np.array([n], np.int64), "kept": np.array([kept_n], np.int64),
+         "trimmed_mean": np.array([mean], np.float64)}
+    )
+
+
+ORACLE_SQL["events_value_trimmed_mean"] = """
+WITH h AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents, COUNT(*) AS c
+  FROM events GROUP BY cents
+),
+t AS (SELECT SUM(c) AS n FROM h),
+cm AS (SELECT cents, c, SUM(c) OVER (ORDER BY cents) AS cum FROM h),
+b AS (SELECT (10 * n) // 100 AS lo, n - (10 * n) // 100 AS hi, n FROM t)
+SELECT CAST(b.n AS BIGINT) AS n,
+       CAST(b.hi - b.lo AS BIGINT) AS kept,
+       CAST(SUM(cm.cents * GREATEST(LEAST(cm.cum, b.hi) - GREATEST(cm.cum - cm.c, b.lo), 0))
+            AS DOUBLE) / (b.hi - b.lo) / 100.0 AS trimmed_mean
+FROM cm, b GROUP BY b.n, b.hi, b.lo
+"""
+QUERIES["events_value_trimmed_mean"] = events_value_trimmed_mean

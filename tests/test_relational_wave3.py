@@ -337,3 +337,40 @@ def test_running_total_negative_values(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.reset_index(), exp, check_exact=True
     )
+
+
+def test_trimmed_mean_planted(ray_session, tmp_path, monkeypatch):
+    """Outliers outside the trim band must not move the mean; brute
+    force numpy reference; forced over-cap fold path agrees."""
+    import numpy as np
+
+    import approximate_quantiles_ray.engine.folds as folds
+    from approximate_quantiles_ray.pipelines.relational import events_value_trimmed_mean
+
+    rng = np.random.default_rng(21)
+    vals = np.round(rng.uniform(10, 20, 90), 2)
+    vals = np.concatenate([vals, [0.01] * 5, [9999.99] * 5])  # 10% outliers split
+    rng.shuffle(vals)
+    rows = [
+        (i, i, "t", 1_700_000_000_000_000 + i, float(v)) for i, v in enumerate(vals)
+    ]
+    _write_events(tmp_path, rows)
+    out = events_value_trimmed_mean(str(tmp_path))
+
+    cents = np.sort(np.round(vals * 100).astype(np.int64))
+    n = len(cents)
+    lo, hi = (10 * n) // 100, n - (10 * n) // 100
+    expect = float(cents[lo:hi].sum()) / (hi - lo) / 100.0
+    assert out["trimmed_mean"].iloc[0] == expect
+    assert out["n"].iloc[0] == n and out["kept"].iloc[0] == hi - lo
+    # the planted outliers are fully trimmed: mean stays in the body band
+    assert 10 <= out["trimmed_mean"].iloc[0] <= 20
+
+    orig = folds.adaptive_grouped_agg
+
+    def force_ds(part_ds, keys, spec, cap=0):
+        return orig(part_ds, keys, spec, cap=0)
+
+    monkeypatch.setattr(folds, "adaptive_grouped_agg", force_ds)
+    out2 = events_value_trimmed_mean(str(tmp_path))
+    assert out2["trimmed_mean"].iloc[0] == expect
