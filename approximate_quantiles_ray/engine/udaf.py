@@ -59,6 +59,11 @@ class SketchSpec:
     on: str | None = None
     transform: Callable[[pa.Table], np.ndarray] | None = None
     kind: str = "float"
+    # optional weight column (kind="float" only): the sketch's
+    # update_weighted(values, weights) is fed instead of update —
+    # quantile positions then run over total weight (pairs with the
+    # exact oracle relational.exact_weighted_quantiles)
+    weight_on: str | None = None
     # set-semantics sketches (HLL, Bloom) ignore multiplicity: pre-unique
     # the batch (pc.unique, vectorized) so e.g. a conv_id column with ~30
     # turns/conversation feeds ~30× fewer values. NEVER set for
@@ -66,7 +71,7 @@ class SketchSpec:
     dedup_per_batch: bool = False
 
     def _cache_key(self):
-        return (id(self.transform), self.on, self.kind, self.dedup_per_batch)
+        return (id(self.transform), self.on, self.kind, self.dedup_per_batch, self.weight_on)
 
     def extract(self, block: pa.Table, cache: dict | None = None):
         """Column/derived values for this spec. ``kind="hash"`` columns
@@ -98,7 +103,12 @@ class SketchSpec:
         sketch = self.factory()
         values = self.extract(block, cache)
         if len(values):
-            if self.kind == "float":
+            if self.kind == "float" and self.weight_on is not None:
+                sketch.update_weighted(
+                    np.asarray(values, dtype=np.float64),
+                    column_as_numpy(block, self.weight_on),
+                )
+            elif self.kind == "float":
                 sketch.update(np.asarray(values, dtype=np.float64))
             else:
                 sketch.update(values)

@@ -3836,3 +3836,43 @@ SELECT CAST(b.n AS BIGINT) AS n,
 FROM cm, b GROUP BY b.n, b.hi, b.lo
 """
 QUERIES["events_value_trimmed_mean"] = events_value_trimmed_mean
+
+
+def lineitem_weighted_price_sketch(sf_dir: str) -> pd.DataFrame:
+    """APPROXIMATE weighted price quantiles in ONE shuffle-free pass:
+    t-digest and DDSketch fed through ``SketchSpec(weight_on=...)`` so
+    each row enters with its quantity as weight. The 100 TB plan when
+    even the weighted histogram fold is too much; the exact twin is
+    ``lineitem_weighted_price_quantiles`` (no SQL oracle here —
+    approximation is the point; tests bound both sketches against the
+    exact twin: DDSketch within its alpha, t-digest within 1%).
+    """
+    from approximate_quantiles_ray.engine.udaf import SketchSpec, sketch_columns_streaming
+    from approximate_quantiles_ray.sketches.ddsketch import DDSketch
+    from approximate_quantiles_ray.sketches.tdigest import TDigest
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    merged = sketch_columns_streaming(
+        ds,
+        [
+            SketchSpec(
+                key="td", factory=lambda: TDigest(delta=2000, scale="k2"),
+                on="l_extendedprice", weight_on="l_quantity",
+            ),
+            SketchSpec(
+                key="dd", factory=lambda: DDSketch(alpha=0.01),
+                on="l_extendedprice", weight_on="l_quantity",
+            ),
+        ],
+    )
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+    return pd.DataFrame(
+        {
+            "q": np.asarray(qs, np.float64),
+            "tdigest_est": [merged["td"].est_value_at_quantile(q) for q in qs],
+            "ddsketch_est": [merged["dd"].est_value_at_quantile(q) for q in qs],
+        }
+    )
+
+
+QUERIES["lineitem_weighted_price_sketch"] = lineitem_weighted_price_sketch

@@ -174,6 +174,38 @@ class DDSketch(SlotState):
             self.neg.add_indices(self._indices(neg))
         return self
 
+    def update_weighted(self, values, weights) -> "DDSketch":
+        """Add weighted values: each value contributes ``weight`` counts
+        to its bucket. Weights must be non-negative integers (counts in
+        the dense store are int64; weighted quantile positions are taken
+        over total weight). The merge law is unchanged — the state stays
+        a pure function of the weighted value multiset."""
+        x = np.asarray(values, dtype=np.float64).ravel()
+        w = np.asarray(weights, dtype=np.float64).ravel()
+        if len(x) != len(w):
+            raise ValueError("values and weights must align")
+        wi = np.round(w).astype(np.int64)
+        if not np.array_equal(wi.astype(np.float64), w) or (wi < 0).any():
+            raise ValueError("weights must be non-negative integers")
+        ok = ~np.isnan(x) & (wi > 0)
+        x, wi = x[ok], wi[ok]
+        if len(x) == 0:
+            return self
+        pos = x > _MIN_INDEXABLE
+        neg = x < -_MIN_INDEXABLE
+        self.zero_count += int(wi[~pos & ~neg].sum())
+        for store, sel, vals in ((self.pos, pos, x), (self.neg, neg, -x)):
+            if not sel.any():
+                continue
+            idx = self._indices(vals[sel])
+            lo, hi = int(idx.min()), int(idx.max())
+            store._reserve(lo, hi)
+            add = np.bincount(idx - store.offset, weights=wi[sel],
+                              minlength=len(store.counts))
+            store.counts += add.astype(np.int64)[: len(store.counts)]
+            store._collapse()
+        return self
+
     def merge(self, other: "DDSketch") -> "DDSketch":
         if abs(other.alpha - self.alpha) > 1e-15 or other.max_bins != self.max_bins:
             raise ValueError("cannot merge DDSketches with different (alpha, max_bins)")

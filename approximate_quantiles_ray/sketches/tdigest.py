@@ -101,6 +101,26 @@ class TDigest(SlotState):
             self._flush()
         return self
 
+    def update_weighted(self, values: np.ndarray, weights: np.ndarray) -> "TDigest":
+        """Add weighted points: each value enters the compaction as a
+        centroid of the given weight (the reference's centroid-buffer
+        path, t_digest.rs:301-361, which never required weight == 1).
+        Pairs with the exact oracle ``relational.exact_weighted_quantiles``
+        — quantile positions are taken over total WEIGHT, not row count."""
+        values = np.asarray(values, dtype=np.float64).ravel()
+        weights = np.asarray(weights, dtype=np.float64).ravel()
+        if len(values) != len(weights):
+            raise ValueError("values and weights must align")
+        pos = weights > 0
+        if not pos.all():
+            values, weights = values[pos], weights[pos]
+        if len(values) == 0:
+            return self
+        self._count += int(round(float(weights.sum())))
+        self._flush()  # keep pending weight-1 points ahead of the merge
+        self._add_weighted(values, weights)
+        return self
+
     def _flush(self) -> None:
         if self._pending_n == 0:
             return

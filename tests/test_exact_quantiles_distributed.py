@@ -162,3 +162,55 @@ def test_weighted_rejects_fractional_weights(ray_session):
     ds = rd.from_items([{"v": 1.0, "w": 1.5}])
     with pytest.raises(Exception, match="integral"):
         exact_weighted_quantiles(ds, "v", "w", (50,))
+
+
+def test_weighted_sketches_track_exact_weighted_oracle(ray_session):
+    """SketchSpec(weight_on=...): the weighted t-digest and DDSketch
+    paths must land within their guarantees of the exact weighted
+    selection on the same data."""
+    from approximate_quantiles_ray.pipelines.relational import (
+        exact_weighted_quantiles,
+        lineitem_weighted_price_sketch,
+    )
+    from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+    sf = "/root/testdata/sf0.01"
+    approx = lineitem_weighted_price_sketch(sf)
+    ds = read_parquet_sized(
+        f"{sf}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"]
+    )
+    exact = exact_weighted_quantiles(
+        ds, "l_extendedprice", "l_quantity", (10, 25, 50, 75, 90, 95, 99)
+    )
+    for (_, a), (_, e) in zip(approx.iterrows(), exact.iterrows()):
+        true = e["value"]
+        assert abs(a["ddsketch_est"] - true) <= 0.0101 * true, (a["q"], true)
+        assert abs(a["tdigest_est"] - true) <= 0.01 * true, (a["q"], true)
+
+
+def test_update_weighted_equals_repeated_update():
+    """w integer repeats == one weighted add (DDSketch bit-identical;
+    t-digest within epsilon — compaction order differs)."""
+    import numpy as np
+
+    from approximate_quantiles_ray.sketches.ddsketch import DDSketch
+    from approximate_quantiles_ray.sketches.tdigest import TDigest
+
+    rng = np.random.default_rng(31)
+    vals = rng.lognormal(3.0, 1.0, 3_000)
+    wts = rng.integers(1, 6, 3_000)
+    rep = np.repeat(vals, wts)
+
+    dd_w = DDSketch(alpha=0.01).update_weighted(vals, wts)
+    dd_r = DDSketch(alpha=0.01).update(rep)
+    assert dd_w.to_bytes() == dd_r.to_bytes()
+
+    td_w = TDigest(delta=2000, scale="k2").update_weighted(vals, wts.astype(float))
+    td_r = TDigest(delta=2000, scale="k2").update(rep)
+    assert td_w.count == td_r.count == len(rep)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        a, b = td_w.est_value_at_quantile(q), td_r.est_value_at_quantile(q)
+        assert abs(a - b) <= 0.01 * abs(b), (q, a, b)
+
+    with pytest.raises(ValueError):
+        DDSketch().update_weighted(vals[:4], np.array([1.0, 2.5, 1.0, 1.0]))
