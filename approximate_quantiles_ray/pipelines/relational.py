@@ -3876,3 +3876,67 @@ def lineitem_weighted_price_sketch(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["lineitem_weighted_price_sketch"] = lineitem_weighted_price_sketch
+
+
+def orders_price_gini(sf_dir: str) -> pd.DataFrame:
+    """Exact Gini coefficient of order prices (oracle-matched):
+    G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over ascending ranks i — the
+    inequality measure a revenue-concentration audit asks for.
+
+    Scale plan: one distinct-cents histogram fold; the rank-weighted
+    sum needs only each distinct value's PRIOR cumulative count
+    (Σ ranks of a c-run starting after s rows = c·s + c(c+1)/2), so
+    the driver walk is vocab-bounded. Rank-sums reach n²·x̄/2 — far
+    past int64 at corpus scale — so the driver accumulates in Python
+    arbitrary-precision ints and the SQL twin in HUGEINT; both cast
+    to double once, in the same two final divisions, so the float
+    result is bit-identical.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def block_cents(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(tbl.column("o_totalprice"), 100.0)), pa.int64())
+        vc = cents.combine_chunks().value_counts() if isinstance(
+            cents, pa.ChunkedArray
+        ) else cents.value_counts()
+        return pa.table(
+            {"cents": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    part = ds.map_batches(block_cents, batch_format="pyarrow", zero_copy_batch=True)
+    hist = adaptive_grouped_agg(part, ["cents"], {"n": "sum"})
+    hist = hist.sort_values("cents").reset_index(drop=True)
+    v = hist["cents"].to_numpy(np.int64)
+    c = hist["n"].to_numpy(np.int64)
+    prior = np.cumsum(c) - c
+    # arbitrary-precision: n² rank-sums overflow int64 at corpus scale
+    S = sum(int(vi) * (int(ci) * int(pi) + int(ci) * (int(ci) + 1) // 2)
+            for vi, ci, pi in zip(v, c, prior))
+    T = sum(int(vi) * int(ci) for vi, ci in zip(v, c))
+    n = int(c.sum())
+    gini = float(2 * S) / float(n * T) - float(n + 1) / float(n)
+    return pd.DataFrame({"n": np.array([n], np.int64), "gini": np.array([gini], np.float64)})
+
+
+ORACLE_SQL["orders_price_gini"] = """
+WITH h AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, COUNT(*) AS c
+  FROM orders GROUP BY cents
+),
+s AS (SELECT cents, c, SUM(c) OVER (ORDER BY cents) - c AS prior FROM h),
+a AS (
+  SELECT SUM(CAST(cents AS HUGEINT) *
+             (CAST(c AS HUGEINT) * CAST(prior AS HUGEINT)
+              + CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) + 1) // 2)) AS S,
+         SUM(CAST(cents AS HUGEINT) * CAST(c AS HUGEINT)) AS T,
+         SUM(c) AS n
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(2 * S AS DOUBLE) / CAST(n * T AS DOUBLE)
+         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+FROM a
+"""
+QUERIES["orders_price_gini"] = orders_price_gini

@@ -374,3 +374,53 @@ def test_trimmed_mean_planted(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(folds, "adaptive_grouped_agg", force_ds)
     out2 = events_value_trimmed_mean(str(tmp_path))
     assert out2["trimmed_mean"].iloc[0] == expect
+
+
+def test_gini_known_distributions(ray_session, tmp_path, monkeypatch):
+    """Gini laws: all-equal -> 0; extreme one-holder concentration ->
+    (n-1)/n; matches the brute-force rank formula on random data;
+    over-cap fold path agrees."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import approximate_quantiles_ray.engine.folds as folds
+    from approximate_quantiles_ray.pipelines.relational import orders_price_gini
+
+    def write_orders(dirname, prices):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table({"o_totalprice": pa.array(prices, pa.float64())}),
+            d / "orders.parquet",
+        )
+        return str(d)
+
+    # all equal -> 0.0 exactly
+    out = orders_price_gini(write_orders("eq", [10.0] * 50))
+    assert out["gini"].iloc[0] == 0.0
+
+    # one holder owns everything (others epsilon-free: zero allowed)
+    n = 100
+    out = orders_price_gini(write_orders("conc", [0.0] * (n - 1) + [500.0]))
+    assert abs(out["gini"].iloc[0] - (n - 1) / n) < 1e-12
+
+    # brute force on random data
+    rng = np.random.default_rng(5)
+    prices = np.round(rng.lognormal(4.0, 1.0, 400), 2)
+    d = write_orders("rand", list(prices))
+    out = orders_price_gini(d)
+    cents = np.sort(np.round(prices * 100).astype(np.int64))
+    i = np.arange(1, len(cents) + 1, dtype=np.int64)
+    expect = float(2 * int((i * cents).sum())) / float(len(cents) * int(cents.sum())) - float(
+        len(cents) + 1
+    ) / float(len(cents))
+    assert out["gini"].iloc[0] == expect
+
+    orig = folds.adaptive_grouped_agg
+
+    def force_ds(part_ds, keys, spec, cap=0):
+        return orig(part_ds, keys, spec, cap=0)
+
+    monkeypatch.setattr(folds, "adaptive_grouped_agg", force_ds)
+    assert orders_price_gini(d)["gini"].iloc[0] == expect
