@@ -3940,3 +3940,80 @@ SELECT CAST(n AS BIGINT) AS n,
 FROM a
 """
 QUERIES["orders_price_gini"] = orders_price_gini
+
+
+def events_ks_statistic(sf_dir: str, type_a: str = "click", type_b: str = "purchase") -> pd.DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event types (oracle-matched): the
+    distribution-drift check a data-quality gate runs between cohorts.
+
+    D = max_v |F_a(v) − F_b(v)| computed WITHOUT float division until
+    the very end: the maximum of |cum_a·n_b − cum_b·n_a| over distinct
+    values is an exact int64 (cross-multiplied CDF gap), divided once
+    by n_a·n_b — so the SQL twin matches bit-for-bit, where a float
+    running-max of CDF differences would be summation-order hazard.
+    Also reports ks_at, the smallest value attaining the max gap.
+
+    Scale plan: per-block (value, is_a, is_b) count partials → one
+    adaptive fold (distinct-value bounded) → vectorized cumulative
+    walk. At truly continuous corpus scale, bucket values first (the
+    histogram knob every KS implementation at scale uses).
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def block_counts(tbl: pa.Table) -> pa.Table:
+        ty = tbl.column("event_type")
+        keep = pc.or_(pc.equal(ty, type_a), pc.equal(ty, type_b))
+        sub = tbl.filter(keep)
+        is_a = pc.cast(pc.equal(sub.column("event_type"), type_a), pa.int64())
+        t = pa.table(
+            {"value": sub.column("value"), "ca": is_a,
+             "cb": pc.subtract(pa.scalar(1, pa.int64()), is_a)}
+        )
+        agg = t.group_by(["value"]).aggregate([("ca", "sum"), ("cb", "sum")])
+        return agg.rename_columns(["value", "ca", "cb"])
+
+    part = ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+    hist = adaptive_grouped_agg(part, ["value"], {"ca": "sum", "cb": "sum"})
+    hist = hist.sort_values("value").reset_index(drop=True)
+    ca = np.cumsum(hist["ca"].to_numpy(np.int64))
+    cb = np.cumsum(hist["cb"].to_numpy(np.int64))
+    na, nb = int(ca[-1]), int(cb[-1])
+    gap = np.abs(ca * nb - cb * na)  # exact int64 cross-multiplied CDF gap
+    k = int(np.argmax(gap))  # first (smallest value) max, matching SQL MIN(value)
+    return pd.DataFrame(
+        {
+            "n_a": np.array([na], np.int64),
+            "n_b": np.array([nb], np.int64),
+            "ks_num": np.array([int(gap[k])], np.int64),
+            "ks": np.array([float(int(gap[k])) / float(na * nb)], np.float64),
+            "ks_at": np.array([float(hist["value"].iloc[k])], np.float64),
+        }
+    )
+
+
+ORACLE_SQL["events_ks_statistic"] = """
+WITH f AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value
+),
+c AS (
+  SELECT value,
+         SUM(ca) OVER (ORDER BY value) AS cum_a,
+         SUM(cb) OVER (ORDER BY value) AS cum_b
+  FROM f
+),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM f),
+g AS (SELECT value, ABS(cum_a * t.nb - cum_b * t.na) AS gap FROM c, t),
+m AS (SELECT MAX(gap) AS mg FROM g)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(m.mg AS BIGINT) AS ks_num,
+       CAST(m.mg AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) AS ks,
+       (SELECT MIN(value) FROM g WHERE gap = m.mg) AS ks_at
+FROM t, m
+"""
+QUERIES["events_ks_statistic"] = events_ks_statistic

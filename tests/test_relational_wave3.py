@@ -424,3 +424,52 @@ def test_gini_known_distributions(ray_session, tmp_path, monkeypatch):
 
     monkeypatch.setattr(folds, "adaptive_grouped_agg", force_ds)
     assert orders_price_gini(d)["gini"].iloc[0] == expect
+
+
+def test_ks_statistic_laws(ray_session, tmp_path, monkeypatch):
+    """KS laws: identical samples -> 0, disjoint supports -> 1,
+    brute-force two-sample reference on random data; over-cap agrees."""
+    import numpy as np
+
+    import approximate_quantiles_ray.engine.folds as folds
+    from approximate_quantiles_ray.pipelines.relational import events_ks_statistic
+
+    def write(dirname, vals_a, vals_b):
+        rows = []
+        i = 0
+        for v in vals_a:
+            rows.append((i, i, "click", 1_700_000_000_000_000 + i, float(v)))
+            i += 1
+        for v in vals_b:
+            rows.append((i, i, "purchase", 1_700_000_000_000_000 + i, float(v)))
+            i += 1
+        d = tmp_path / dirname
+        d.mkdir()
+        _write_events(d, rows)
+        return str(d)
+
+    same = np.round(np.linspace(1, 50, 80), 2)
+    out = events_ks_statistic(write("same", same, same))
+    assert out["ks"].iloc[0] == 0.0
+
+    out = events_ks_statistic(write("disj", [1.0, 2.0, 3.0], [10.0, 11.0]))
+    assert out["ks"].iloc[0] == 1.0
+
+    rng = np.random.default_rng(7)
+    a = np.round(rng.normal(10, 2, 300), 2)
+    b = np.round(rng.normal(11, 3, 250), 2)
+    d = write("rand", a, b)
+    out = events_ks_statistic(d)
+    # brute force: max CDF gap over the union of values
+    union = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), union, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), union, side="right") / len(b)
+    assert abs(out["ks"].iloc[0] - np.abs(fa - fb).max()) < 1e-12
+
+    orig = folds.adaptive_grouped_agg
+
+    def force_ds(part_ds, keys, spec, cap=0):
+        return orig(part_ds, keys, spec, cap=0)
+
+    monkeypatch.setattr(folds, "adaptive_grouped_agg", force_ds)
+    assert events_ks_statistic(d)["ks"].iloc[0] == out["ks"].iloc[0]
