@@ -4017,3 +4017,81 @@ SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
 FROM t, m
 """
 QUERIES["events_ks_statistic"] = events_ks_statistic
+
+
+def events_wasserstein_value(sf_dir: str, type_a: str = "click", type_b: str = "purchase") -> pd.DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the value
+    distributions of two event types (oracle-matched): the
+    magnitude-sensitive drift measure next to the KS max-gap —
+    W₁ = ∫|F_a − F_b| dv = Σ |gap_i|·Δv_i / (n_a·n_b).
+
+    Everything stays integral until one shared division chain: values
+    become cents, the CDF gap is the cross-multiplied int64
+    |cum_a·n_b − cum_b·n_a| (as in events_ks_statistic), each term is
+    gap·Δcents, and terms accumulate in Python arbitrary-precision ints
+    (SQL: HUGEINT) since gap alone can reach n_a·n_b. One cast, one
+    divide by n_a·n_b, one divide by 100 — bit-identical to the twin.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def block_counts(tbl: pa.Table) -> pa.Table:
+        ty = tbl.column("event_type")
+        keep = pc.or_(pc.equal(ty, type_a), pc.equal(ty, type_b))
+        sub = tbl.filter(keep)
+        is_a = pc.cast(pc.equal(sub.column("event_type"), type_a), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(sub.column("value"), 100.0)), pa.int64())
+        t = pa.table(
+            {"cents": cents, "ca": is_a,
+             "cb": pc.subtract(pa.scalar(1, pa.int64()), is_a)}
+        )
+        agg = t.group_by(["cents"]).aggregate([("ca", "sum"), ("cb", "sum")])
+        return agg.rename_columns(["cents", "ca", "cb"])
+
+    part = ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+    hist = adaptive_grouped_agg(part, ["cents"], {"ca": "sum", "cb": "sum"})
+    hist = hist.sort_values("cents").reset_index(drop=True)
+    cv = hist["cents"].to_numpy(np.int64)
+    ca = np.cumsum(hist["ca"].to_numpy(np.int64))
+    cb = np.cumsum(hist["cb"].to_numpy(np.int64))
+    na, nb = int(ca[-1]), int(cb[-1])
+    total = sum(
+        abs(int(a) * nb - int(b) * na) * (int(cv[i + 1]) - int(cv[i]))
+        for i, (a, b) in enumerate(zip(ca[:-1], cb[:-1]))
+    )
+    w1 = float(total) / float(na * nb) / 100.0
+    return pd.DataFrame(
+        {
+            "n_a": np.array([na], np.int64),
+            "n_b": np.array([nb], np.int64),
+            "w1": np.array([w1], np.float64),
+        }
+    )
+
+
+ORACLE_SQL["events_wasserstein_value"] = """
+WITH f AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY cents
+),
+c AS (
+  SELECT cents,
+         SUM(ca) OVER (ORDER BY cents) AS cum_a,
+         SUM(cb) OVER (ORDER BY cents) AS cum_b,
+         LEAD(cents) OVER (ORDER BY cents) AS nxt
+  FROM f
+),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM f),
+s AS (
+  SELECT SUM(CAST(ABS(cum_a * t.nb - cum_b * t.na) AS HUGEINT)
+             * CAST(nxt - cents AS HUGEINT)) AS total
+  FROM c, t WHERE nxt IS NOT NULL
+)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(s.total AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) / 100.0 AS w1
+FROM t, s
+"""
+QUERIES["events_wasserstein_value"] = events_wasserstein_value

@@ -473,3 +473,50 @@ def test_ks_statistic_laws(ray_session, tmp_path, monkeypatch):
 
     monkeypatch.setattr(folds, "adaptive_grouped_agg", force_ds)
     assert events_ks_statistic(d)["ks"].iloc[0] == out["ks"].iloc[0]
+
+
+def test_wasserstein_laws(ray_session, tmp_path, monkeypatch):
+    """W1 laws: identical -> 0; point masses at distance d -> d;
+    matches scipy-free brute force (mean |sorted_a - sorted_b| for
+    equal sizes); over-cap agrees."""
+    import numpy as np
+
+    import approximate_quantiles_ray.engine.folds as folds
+    from approximate_quantiles_ray.pipelines.relational import events_wasserstein_value
+
+    def write(dirname, vals_a, vals_b):
+        rows = []
+        i = 0
+        for v in vals_a:
+            rows.append((i, i, "click", 1_700_000_000_000_000 + i, float(v)))
+            i += 1
+        for v in vals_b:
+            rows.append((i, i, "purchase", 1_700_000_000_000_000 + i, float(v)))
+            i += 1
+        d = tmp_path / dirname
+        d.mkdir()
+        _write_events(d, rows)
+        return str(d)
+
+    same = np.round(np.linspace(1, 50, 60), 2)
+    assert events_wasserstein_value(write("same", same, same))["w1"].iloc[0] == 0.0
+
+    out = events_wasserstein_value(write("pts", [5.0] * 10, [12.5] * 7))
+    assert out["w1"].iloc[0] == 7.5
+
+    rng = np.random.default_rng(11)
+    a = np.round(rng.normal(20, 4, 256), 2)
+    b = np.round(rng.normal(23, 5, 256), 2)
+    d = write("rand", a, b)
+    out = events_wasserstein_value(d)
+    # equal sample sizes: W1 = mean |sorted_a - sorted_b|
+    expect = float(np.abs(np.sort(a) - np.sort(b)).mean())
+    assert abs(out["w1"].iloc[0] - expect) < 1e-9
+
+    orig = folds.adaptive_grouped_agg
+
+    def force_ds(part_ds, keys, spec, cap=0):
+        return orig(part_ds, keys, spec, cap=0)
+
+    monkeypatch.setattr(folds, "adaptive_grouped_agg", force_ds)
+    assert events_wasserstein_value(d)["w1"].iloc[0] == out["w1"].iloc[0]
