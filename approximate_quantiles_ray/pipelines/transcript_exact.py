@@ -99,6 +99,32 @@ def tool_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def _gap_hist(sf_dir: str, layout: str = "auto"):
+    """Shared gap-histogram plan: (partial (gap_us, n) Dataset, boundary
+    extras or None). ``auto`` rides the cached conv_id-bucketed layout
+    (complete per-bucket histograms, zero stitching); fallback is the
+    one-shot range-sort fused segmented plan."""
+    boundary = None
+    hist = None
+    if layout in ("auto", "bucketed"):
+        try:
+            from approximate_quantiles_ray.sources.bucketed import (
+                ensure_bucketed,
+                gap_hist_bucketed,
+            )
+
+            hist = gap_hist_bucketed(ensure_bucketed(transcripts_dir_for(sf_dir)))
+        except Exception:
+            if layout == "bucketed":
+                raise
+    if hist is None:
+        from approximate_quantiles_ray.engine.segmented import segmented_gap_hist
+
+        ds = read_transcripts_ds(sf_dir, ["conv_id", "turn_idx", "ts"])
+        hist, boundary = segmented_gap_hist(ds)
+    return hist, boundary
+
+
 def latency_quantiles_exact(sf_dir: str, layout: str = "auto") -> pd.DataFrame:
     """Element-exact quantiles of inter-turn latency (µs).
 
@@ -114,27 +140,7 @@ def latency_quantiles_exact(sf_dir: str, layout: str = "auto") -> pd.DataFrame:
     """
     from approximate_quantiles_ray.pipelines.relational import quantiles_from_histogram
 
-    boundary = None
-    if layout in ("auto", "bucketed"):
-        try:
-            from approximate_quantiles_ray.sources.bucketed import (
-                ensure_bucketed,
-                gap_hist_bucketed,
-            )
-
-            root = ensure_bucketed(transcripts_dir_for(sf_dir))
-            hist = gap_hist_bucketed(root)
-        except Exception:
-            if layout == "bucketed":
-                raise
-            hist = None
-    else:
-        hist = None
-    if hist is None:
-        from approximate_quantiles_ray.engine.segmented import segmented_gap_hist
-
-        ds = read_transcripts_ds(sf_dir, ["conv_id", "turn_idx", "ts"])
-        hist, boundary = segmented_gap_hist(ds)
+    hist, boundary = _gap_hist(sf_dir, layout)
     out = quantiles_from_histogram(
         hist, "gap_us", LATENCY_QS, extra_values=boundary, pre_grouped=False
     )
@@ -179,6 +185,20 @@ def oracle_sql(sf_dir_for_oracle: str) -> dict[str, str]:
             GROUP BY tool ORDER BY n_uses DESC, tool ASC LIMIT 10
         """,
         "transcript_latency_quantiles": lat,
+        "transcript_latency_mad": f"""
+            WITH gg AS (
+              SELECT gap_us FROM (
+                SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+                FROM read_parquet('{glob}')
+              ) WHERE gap_us IS NOT NULL
+            ),
+            m AS (SELECT quantile_disc(gap_us, 0.5) AS med FROM gg)
+            SELECT CAST(m.med AS BIGINT) AS median_us,
+                   (SELECT CAST(quantile_disc(abs(gap_us - m.med), 0.5) AS BIGINT)
+                    FROM gg) AS mad_us
+            FROM m
+        """,
         # row conservation + sortedness law (the checksums have no SQL
         # twin and are pytest-verified instead)
         "transcript_order_invariant": f"""
@@ -311,10 +331,60 @@ def conv_dedup_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def latency_mad(sf_dir: str, layout: str = "auto") -> pd.DataFrame:
+    """Exact median + median-absolute-deviation of inter-turn latency
+    (oracle-matched vs SQL LAG): the robust "typical gap and its
+    typical spread" pair an SLO review wants from the flagship table.
+
+    ONE data pass: the shared gap histogram (:func:`_gap_hist`) feeds
+    two selection walks — the median, then the median of the
+    DERIVED |gap − med| histogram, which is just an Arrow transform of
+    the partial (gap_us, n) rows (two distinct gaps may map to one
+    deviation; the walk's pre_grouped=False re-fold handles the merge).
+    Boundary extras transform the same way on the driver.
+    """
+    from approximate_quantiles_ray.pipelines.relational import quantiles_from_histogram
+
+    hist, boundary = _gap_hist(sf_dir, layout)
+    med_df = quantiles_from_histogram(
+        hist, "gap_us", (0.5,), extra_values=boundary, pre_grouped=False
+    )
+    if not len(med_df):
+        return pd.DataFrame(
+            {"median_us": pd.Series(dtype="int64"), "mad_us": pd.Series(dtype="int64")}
+        )
+    med = int(med_df["value"].iloc[0])
+
+    def dev(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dev_us": pc.abs(
+                    pc.subtract(tbl.column("gap_us"), pa.scalar(med, pa.int64()))
+                ),
+                "n": tbl.column("n"),
+            }
+        )
+
+    dev_hist = hist.map_batches(dev, batch_format="pyarrow", zero_copy_batch=True)
+    dev_boundary = (
+        np.abs(np.asarray(boundary, np.int64) - med) if boundary is not None else None
+    )
+    mad_df = quantiles_from_histogram(
+        dev_hist, "dev_us", (0.5,), extra_values=dev_boundary, pre_grouped=False
+    )
+    return pd.DataFrame(
+        {
+            "median_us": np.array([med], np.int64),
+            "mad_us": np.array([int(mad_df["value"].iloc[0])], np.int64),
+        }
+    )
+
+
 QUERIES = {
     "transcript_role_stats": role_stats,
     "transcript_tool_topk": tool_topk,
     "transcript_latency_quantiles": latency_quantiles_exact,
+    "transcript_latency_mad": latency_mad,
     "transcript_role_transitions": role_transitions,
     "transcript_conv_dedup": conv_dedup_stats,
 }

@@ -106,3 +106,35 @@ def test_per_turn_text_equality_exact(exact_frame, transcripts_dir):
     assert len(a) == len(b)
     assert (a["text"] == b["text"]).all()
     assert (a["conv_id"] == b["conv_id"]).all()
+
+
+def test_latency_mad_paths_and_reference(ray_session):
+    """latency_mad: bucketed and sort layouts agree and match the
+    numpy LAG reference (quantile_disc selection on gaps and |gap-med|)."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from approximate_quantiles_ray.pipelines import transcript_exact as te
+
+    sf = "/root/testdata/sf0.001"
+    auto = te.latency_mad(sf, layout="auto")
+    sort = te.latency_mad(sf, layout="sort")
+    assert auto.equals(sort)
+
+    glob = te._tdir_glob(sf)
+    gaps = duckdb.sql(
+        f"""SELECT gap_us FROM (
+              SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+              FROM read_parquet('{glob}')) WHERE gap_us IS NOT NULL"""
+    ).df()["gap_us"].to_numpy(np.int64)
+
+    def qdisc(x, q):
+        s = np.sort(x)
+        return int(s[max(0, math.ceil(q * len(s)) - 1)])
+
+    med = qdisc(gaps, 0.5)
+    assert auto["median_us"].iloc[0] == med
+    assert auto["mad_us"].iloc[0] == qdisc(np.abs(gaps - med), 0.5)
