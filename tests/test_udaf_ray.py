@@ -190,3 +190,36 @@ def test_grouped_top_rows_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got[["g", "v", "tie", "payload", "rnk"]], want[["g", "v", "tie", "payload", "rnk"]]
     )
+
+
+def test_grouped_ddsketch_guarantee_per_group(ray_session):
+    """DDSketch through the grouped engine path: per-group estimates
+    keep the alpha relative-error guarantee vs per-group numpy, and
+    states are bit-identical across partitionings (exact merge law
+    survives the groupby shuffle)."""
+    import math
+
+    import ray.data as rd
+
+    from approximate_quantiles_ray.sketches.ddsketch import DDSketch
+
+    spec = SketchSpec(key="v_dd", factory=lambda: DDSketch(alpha=0.01), on="value")
+
+    def states(n_parts):
+        ds = rd.read_parquet(EVENTS, columns=["event_type", "value"]).repartition(n_parts)
+        return {
+            r["event_type"]: r["v_dd"]
+            for r in grouped_sketches(ds, "event_type", [spec]).take_all()
+        }
+
+    a, b = states(1), states(6)
+    assert a == b  # serialized bytes equal per group
+
+    pdf = pq.read_table(EVENTS, columns=["event_type", "value"]).to_pandas()
+    for etype, grp in pdf.groupby("event_type"):
+        sk = sketch_from_bytes(a[etype])
+        v = np.sort(grp["value"].to_numpy())
+        assert sk.count == len(v)
+        for q in (0.1, 0.5, 0.99):
+            true = float(v[min(int(math.floor(q * len(v) + 0.5)), len(v) - 1)])
+            assert abs(sk.est_value_at_quantile(q) - true) <= 0.0101 * abs(true)
