@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from approximate_quantiles_ray.pipelines import (
             curation,
             dedup,
+            drift,
             multimodal,
             overlap,
             patterns,
@@ -167,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             windows,
         )
 
+        q.update(drift.QUERIES)
         q.update(curation.QUERIES)
         q.update(dedup.QUERIES)
         q.update(similarity.QUERIES)
@@ -192,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         from approximate_quantiles_ray.pipelines import (
             curation,
             dedup,
+            drift,
             overlap,
             patterns,
             sampling,
@@ -200,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
             windows,
         )
 
+        sqls.update(drift.ORACLE_SQL)
         sqls.update(curation.ORACLE_SQL)
         sqls.update(dedup.ORACLE_SQL)
         sqls.update(similarity.ORACLE_SQL)

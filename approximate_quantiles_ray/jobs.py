@@ -585,6 +585,22 @@ def cmd_synth(args) -> None:
     _emit({"path": path, "n_turns": args.n_turns, "n_shards": args.n_shards}, None)
 
 
+
+def cmd_drift(args) -> None:
+    """Exact distribution-drift report between two corpora on one
+    column (pipelines/drift.py): KS max-gap, Wasserstein-1, per-side
+    medians — the pre-flight before mixing a new crawl into an
+    existing corpus."""
+    _ensure_ray()
+    from approximate_quantiles_ray.pipelines.drift import drift_report
+    from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+    a = read_parquet_sized(args.input_a, columns=[args.column])
+    b = read_parquet_sized(args.input_b, columns=[args.column])
+    rep = drift_report(a, b, args.column, decimals=args.decimals)
+    _emit(rep, args.output)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="approximate_quantiles_ray.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -693,6 +709,15 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--n-shards", type=int, default=8)
     cu.add_argument("--seed", type=int, default=42)
     cu.set_defaults(fn=cmd_curate)
+
+    dr = sub.add_parser("drift", help="exact KS/W1 drift report between two corpora on one column")
+    dr.add_argument("--input-a", required=True)
+    dr.add_argument("--input-b", required=True)
+    dr.add_argument("--column", required=True)
+    dr.add_argument("--decimals", type=int, default=None,
+                    help="bucket floats as round(v*10^decimals); omit for integral columns")
+    dr.add_argument("--output")
+    dr.set_defaults(fn=cmd_drift)
 
     sx = sub.add_parser("shuffle-export", help="seeded deterministic shuffle into training shards")
     sx.add_argument("--input", required=True)

@@ -1,0 +1,185 @@
+"""Distribution-drift operators: exact KS, Wasserstein-1 and medians
+between two corpora (or two cohorts of one corpus) on an integral
+column, from ONE shared histogram fold.
+
+The data-QA pre-flight a training-data pipeline runs before mixing a
+new crawl into an existing corpus: "did the length / score / value
+distribution move, and by how much?" KS gives the max CDF gap
+(scale-free), W1 the magnitude of the move (same units as the column).
+
+All statistics are exact and SQL-reproducible because nothing is ever
+a float until one final division per statistic (the same discipline as
+relational.events_ks_statistic / events_wasserstein_value, which are
+the single-table cohort forms of this module):
+
+- the CDF gap is the cross-multiplied int64 |cum_a·n_b − cum_b·n_a|;
+- W1 terms gap·Δv accumulate in Python arbitrary-precision ints;
+- medians are element selection (ceil(q·n)−1) — no arithmetic at all.
+
+Scale: the fold is distinct-VALUE bounded (domain-bounded for integral
+columns like lengths, cents, counts — not corpus-bounded); for truly
+continuous columns pass ``decimals`` to bucket first, the knob every
+KS-at-scale implementation uses.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _block_tagged_counts(col: str, tag: str, decimals: int | None):
+    """map_batches fn: per-block (v, ca, cb) distinct-value partials
+    with the whole block's mass on the ``tag`` side."""
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col)
+        if decimals is not None:
+            v = pc.cast(
+                pc.round(pc.multiply(pc.cast(v, pa.float64()), float(10**decimals))),
+                pa.int64(),
+            )
+        else:
+            v = pc.cast(v, pa.int64())
+        arr = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        vc = arr.value_counts()
+        n = pc.cast(vc.field("counts"), pa.int64())
+        zero = pa.array(np.zeros(len(vc), np.int64))
+        return pa.table(
+            {
+                "v": vc.field("values"),
+                "ca": n if tag == "a" else zero,
+                "cb": n if tag == "b" else zero,
+            }
+        )
+
+    return fn
+
+
+def drift_histogram(ds_a, ds_b, col: str, decimals: int | None = None) -> pd.DataFrame:
+    """Fold both sides into one (v, ca, cb) distinct-value histogram.
+    ``decimals``: scale floats by 10^decimals and round to integers
+    (None = column is already integral)."""
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    part_a = ds_a.map_batches(
+        _block_tagged_counts(col, "a", decimals), batch_format="pyarrow", zero_copy_batch=True
+    )
+    part_b = ds_b.map_batches(
+        _block_tagged_counts(col, "b", decimals), batch_format="pyarrow", zero_copy_batch=True
+    )
+    hist = adaptive_grouped_agg(part_a.union(part_b), ["v"], {"ca": "sum", "cb": "sum"})
+    return hist.sort_values("v").reset_index(drop=True)
+
+
+def drift_stats(hist: pd.DataFrame, scale: float = 1.0) -> dict:
+    """Exact drift statistics from a (v, ca, cb) histogram. ``scale``
+    divides value-unit outputs back to the original units (e.g. 100.0
+    when values were folded as cents)."""
+    v = hist["v"].to_numpy(np.int64)
+    ca = np.cumsum(hist["ca"].to_numpy(np.int64))
+    cb = np.cumsum(hist["cb"].to_numpy(np.int64))
+    na, nb = int(ca[-1]), int(cb[-1])
+    if na == 0 or nb == 0:
+        raise ValueError("both sides need at least one row")
+    gap = np.abs(ca * nb - cb * na)
+    k = int(np.argmax(gap))
+    w1_total = sum(
+        int(g) * (int(v[i + 1]) - int(v[i])) for i, g in enumerate(gap[:-1]) if g
+    )
+
+    def median(cum, n):
+        idx = max(0, math.ceil(0.5 * n) - 1)
+        return int(v[int(np.searchsorted(cum, idx + 1))])
+
+    return {
+        "n_a": na,
+        "n_b": nb,
+        "ks_num": int(gap[k]),
+        "ks": float(int(gap[k])) / float(na * nb),
+        "ks_at": float(v[k]) / scale,
+        "w1": float(w1_total) / float(na * nb) / scale,
+        "median_a": float(median(ca, na)) / scale,
+        "median_b": float(median(cb, nb)) / scale,
+    }
+
+
+def drift_report(ds_a, ds_b, col: str, decimals: int | None = None) -> dict:
+    """One-fold drift report between two Datasets on an integral (or
+    ``decimals``-bucketed float) column."""
+    hist = drift_histogram(ds_a, ds_b, col, decimals)
+    return drift_stats(hist, scale=float(10 ** (decimals or 0)))
+
+
+def docs_len_drift(sf_dir: str, source_a: str = "src0", source_b: str = "src7") -> pd.DataFrame:
+    """CORPUS-DRIFT QUERY (oracle-matched): exact KS + W1 + per-cohort
+    medians between the document-LENGTH distributions of two sources —
+    the "new crawl vs existing corpus" pre-flight, here between two
+    cohorts of the documents table so a SQL twin can pin every number.
+    """
+    from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def pick(src):
+        def fn(tbl: pa.Table) -> pa.Table:
+            sub = tbl.filter(pc.equal(tbl.column("source"), src))
+            return pa.table({"len": pc.cast(pc.utf8_length(sub.column("text")), pa.int64())})
+
+        return fn
+
+    a = ds.map_batches(pick(source_a), batch_format="pyarrow", zero_copy_batch=True)
+    b = ds.map_batches(pick(source_b), batch_format="pyarrow", zero_copy_batch=True)
+    st = drift_report(a, b, "len")
+    return pd.DataFrame(
+        {
+            "n_a": np.array([st["n_a"]], np.int64),
+            "n_b": np.array([st["n_b"]], np.int64),
+            "ks_num": np.array([st["ks_num"]], np.int64),
+            "ks": np.array([st["ks"]], np.float64),
+            "w1": np.array([st["w1"]], np.float64),
+            "median_a": np.array([int(st["median_a"])], np.int64),
+            "median_b": np.array([int(st["median_b"])], np.int64),
+        }
+    )
+
+
+ORACLE_SQL = {
+    "docs_len_drift": """
+WITH f AS (
+  SELECT LENGTH(text) AS v,
+         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS cb
+  FROM documents WHERE source IN ('src0', 'src7') GROUP BY v
+),
+c AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b,
+         LEAD(v) OVER (ORDER BY v) AS nxt
+  FROM f
+),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM f),
+g AS (SELECT v, cum_a, cum_b, nxt, ABS(cum_a * t.nb - cum_b * t.na) AS gap FROM c, t),
+m AS (SELECT MAX(gap) AS mg FROM g),
+w AS (
+  SELECT SUM(CAST(gap AS HUGEINT) * CAST(nxt - v AS HUGEINT)) AS total
+  FROM g WHERE nxt IS NOT NULL
+)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(m.mg AS BIGINT) AS ks_num,
+       CAST(m.mg AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) AS ks,
+       CAST(w.total AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) AS w1,
+       (SELECT quantile_disc(LENGTH(text), 0.5) FROM documents
+        WHERE source = 'src0') AS median_a,
+       (SELECT quantile_disc(LENGTH(text), 0.5) FROM documents
+        WHERE source = 'src7') AS median_b
+FROM t, m, w
+""",
+}
+
+QUERIES = {"docs_len_drift": docs_len_drift}

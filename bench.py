@@ -120,6 +120,7 @@ def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
             from approximate_quantiles_ray.pipelines import (
                 curation,
                 dedup,
+                drift,
                 overlap,
                 patterns,
                 sampling,
@@ -127,6 +128,8 @@ def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
                 similarity,
                 windows,
             )
+
+            bench_queries.update(drift.QUERIES)
 
             bench_queries.update(curation.QUERIES)
             bench_queries.update(dedup.QUERIES)

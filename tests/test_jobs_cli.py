@@ -447,3 +447,37 @@ def test_dedup_incremental_two_batches(ray_session, tmp_path_factory, capsys):
     t = pads.dataset(str(root / "o2")).to_table()
     assert sorted(t.column("text").to_pylist()) == ["delta", "gamma"]
     assert "h" not in t.schema.names  # internal column stripped
+
+
+def test_drift_cli(ray_session, tmp_path, capsys):
+    """jobs drift: exact KS/W1 between two written corpora matches the
+    in-process drift_report, floats bucketed via --decimals."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray import jobs
+
+    rng = np.random.default_rng(3)
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(); b_dir.mkdir()
+    a_vals = np.round(rng.normal(50, 5, 500), 2)
+    b_vals = np.round(rng.normal(55, 7, 400), 2)
+    pq.write_table(pa.table({"x": pa.array(a_vals, pa.float64())}), a_dir / "p.parquet")
+    pq.write_table(pa.table({"x": pa.array(b_vals, pa.float64())}), b_dir / "p.parquet")
+
+    out = str(tmp_path / "drift.json")
+    jobs.main(["drift", "--input-a", str(a_dir), "--input-b", str(b_dir),
+               "--column", "x", "--decimals", "2", "--output", out])
+    import json
+
+    rep = json.load(open(out))
+    assert rep["n_a"] == 500 and rep["n_b"] == 400
+
+    # brute force KS over the union of values
+    union = np.unique(np.concatenate([a_vals, b_vals]))
+    fa = np.searchsorted(np.sort(a_vals), union, side="right") / len(a_vals)
+    fb = np.searchsorted(np.sort(b_vals), union, side="right") / len(b_vals)
+    assert abs(rep["ks"] - np.abs(fa - fb).max()) < 1e-12
+    assert rep["median_a"] == np.sort(a_vals)[249]  # ceil(0.5*500)-1
+    assert rep["w1"] > 0
