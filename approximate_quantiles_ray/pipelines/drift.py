@@ -183,3 +183,78 @@ FROM t, m, w
 }
 
 QUERIES = {"docs_len_drift": docs_len_drift}
+
+
+def events_type_ks_matrix(sf_dir: str) -> pd.DataFrame:
+    """PAIRWISE DRIFT MATRIX (oracle-matched): the exact KS statistic
+    between the value distributions of EVERY pair of event types, from
+    ONE fold — per-block (value, type) counts reduce once, the driver
+    pivots the domain-bounded histogram to per-type cumulative counts
+    and reads all C(k,2) cross-multiplied gaps off the same arrays.
+    The SQL twin must scan the table once per pair; the engine's
+    one-pass shape is the point at corpus scale.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def block_counts(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["value", "event_type"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["value", "event_type", "n"])
+
+    part = ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+    hist = adaptive_grouped_agg(part, ["value", "event_type"], {"n": "sum"})
+    pivot = (
+        hist.pivot_table(index="value", columns="event_type", values="n",
+                         aggfunc="sum", fill_value=0)
+        .sort_index()
+    )
+    types = sorted(pivot.columns)
+    cums = {t: np.cumsum(pivot[t].to_numpy(np.int64)) for t in types}
+    ns = {t: int(cums[t][-1]) for t in types}
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            gap = np.abs(cums[a] * ns[b] - cums[b] * ns[a])
+            rows.append(
+                {
+                    "type_a": a,
+                    "type_b": b,
+                    "ks_num": int(gap.max()),
+                    "ks": float(int(gap.max())) / float(ns[a] * ns[b]),
+                }
+            )
+    out = pd.DataFrame(rows)
+    out["ks_num"] = out["ks_num"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+ORACLE_SQL["events_type_ks_matrix"] = " UNION ALL ".join(
+    f"""
+    SELECT '{a}' AS type_a, '{b}' AS type_b,
+           CAST(MAX(gap) AS BIGINT) AS ks_num,
+           CAST(MAX(gap) AS DOUBLE) / CAST(MAX(na) * MAX(nb) AS DOUBLE) AS ks
+    FROM (
+      SELECT ABS(SUM(ca) OVER (ORDER BY value) * t.nb
+               - SUM(cb) OVER (ORDER BY value) * t.na) AS gap,
+             t.na AS na, t.nb AS nb
+      FROM (
+        SELECT value,
+               SUM(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS cb
+        FROM events WHERE event_type IN ('{a}', '{b}') GROUP BY value
+      ) f, (
+        SELECT SUM(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS na,
+               SUM(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS nb
+        FROM events WHERE event_type IN ('{a}', '{b}')
+      ) t
+    )
+    """
+    for i, a in enumerate(_EVENT_TYPES)
+    for b in _EVENT_TYPES[i + 1:]
+) + " ORDER BY type_a, type_b"
+
+QUERIES["events_type_ks_matrix"] = events_type_ks_matrix

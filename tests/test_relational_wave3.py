@@ -520,3 +520,17 @@ def test_wasserstein_laws(ray_session, tmp_path, monkeypatch):
 
     monkeypatch.setattr(folds, "adaptive_grouped_agg", force_ds)
     assert events_wasserstein_value(d)["w1"].iloc[0] == out["w1"].iloc[0]
+
+
+def test_ks_matrix_consistent_with_single_pair(ray_session):
+    """The one-fold pairwise matrix must reproduce the dedicated
+    single-pair query for (click, purchase)."""
+    from approximate_quantiles_ray.pipelines.drift import events_type_ks_matrix
+    from approximate_quantiles_ray.pipelines.relational import events_ks_statistic
+
+    sf = "/root/testdata/sf0.001"
+    mat = events_type_ks_matrix(sf)
+    row = mat[(mat["type_a"] == "click") & (mat["type_b"] == "purchase")].iloc[0]
+    single = events_ks_statistic(sf).iloc[0]
+    assert row["ks_num"] == single["ks_num"]
+    assert row["ks"] == single["ks"]
