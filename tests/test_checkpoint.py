@@ -184,3 +184,32 @@ def test_transform_sig_distinguishes_partials_and_rejects_opaque():
 
     with pytest.raises(UnsignableTransformError):
         _transform_sig(with_cell(Opaque()))
+
+
+def test_weighted_ddsketch_checkpoint_resume_bitwise(ray_session, input_files, tmp_path):
+    """New-sketch coverage: a WEIGHTED DDSketch spec (weight_on) rides
+    the checkpoint/resume machinery bit-for-bit — interrupted + resumed
+    equals unbroken (the dense-store merge law makes this exact, not
+    just within epsilon)."""
+    from approximate_quantiles_ray.sketches.ddsketch import DDSketch
+
+    # weight by turn_idx (0-based: first turns carry zero weight —
+    # still a valid weighted sketch, and an existing integral column)
+    def specs():
+        return [
+            SketchSpec(
+                key="len_dd_w",
+                factory=lambda: DDSketch(alpha=0.01),
+                transform=text_length_transform("text"),
+                weight_on="turn_idx",
+            ),
+        ]
+
+    d_full = str(tmp_path / "full")
+    full = CheckpointedSketchJob(input_files, specs(), d_full).run()
+    d_res = str(tmp_path / "resume")
+    job1 = CheckpointedSketchJob(input_files, specs(), d_res)
+    job1.run(max_shards=1)  # interrupt after one shard
+    merged = CheckpointedSketchJob(input_files, specs(), d_res).run()
+    assert merged["len_dd_w"].to_bytes() == full["len_dd_w"].to_bytes()
+    assert merged["len_dd_w"].count > 0
