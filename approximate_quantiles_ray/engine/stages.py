@@ -60,12 +60,22 @@ def worker_cached_stage(cls, **ctor_kwargs):
     )
 
     def stage_fn(batch):
-        inst = _CACHE.get(cache_key)
+        # resolve the cache through the module AT CALL TIME: stage_fn is
+        # a closure, so cloudpickle ships it by value — naming _CACHE
+        # directly would capture the DRIVER's cache dict with its current
+        # contents into every task spec (re-shipping cached instances,
+        # and poisoning the spec with entries whose classes workers
+        # cannot import). The module attribute lookup makes each process
+        # use its own cache.
+        from approximate_quantiles_ray.engine import stages as _stages
+
+        cache = _stages._CACHE
+        inst = cache.get(cache_key)
         if inst is None:
-            if len(_CACHE) > 16:  # bound growth across many queries
-                _CACHE.clear()
+            if len(cache) > 16:  # bound growth across many queries
+                cache.clear()
             inst = cls(**ctor_kwargs)
-            _CACHE[cache_key] = inst
+            cache[cache_key] = inst
         return inst(batch)
 
     stage_fn.__name__ = f"cached_{cls.__name__}"

@@ -346,6 +346,10 @@ def latency_mad(sf_dir: str, layout: str = "auto") -> pd.DataFrame:
     from approximate_quantiles_ray.pipelines.relational import quantiles_from_histogram
 
     hist, boundary = _gap_hist(sf_dir, layout)
+    # both walks reuse the SAME materialized partial histogram — without
+    # this the gap computation re-executes per walk (measured ~1.2 s/extra
+    # pass at sf0.1)
+    hist = hist.materialize()
     med_df = quantiles_from_histogram(
         hist, "gap_us", (0.5,), extra_values=boundary, pre_grouped=False
     )

@@ -91,3 +91,27 @@ def test_worker_cached_stage_rejects_unsafe_cache_keys():
         worker_cached_stage(MinHasher, seed=np.arange(10_000))
     # scalars / strings / tuples stay accepted
     worker_cached_stage(MinHasher, seed=7, text_col="text")
+
+
+def test_stage_fn_does_not_ship_driver_cache(ray_session, transcripts_dir):
+    """Regression (round-3): stage_fn is cloudpickled by value; it must
+    NOT capture the driver's _CACHE contents into the task spec. Poison
+    the driver cache with an instance of a test-local (worker-
+    unimportable) class, then run a real worker_cached_stage through
+    map_batches on workers — before the fix this failed to deserialize
+    with ModuleNotFoundError on the test module."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.stages import _CACHE, worker_cached_stage
+
+    _CACHE["poison"] = _CountingStage(7)  # test-module class instance
+    try:
+        from approximate_quantiles_ray.pipelines.textstats import QualityScorer
+
+        fn = worker_cached_stage(QualityScorer, text_col="text")
+        ds = rd.from_items([{"text": "the quick brown fox"}] * 50).map_batches(
+            fn, batch_format="pyarrow"
+        )
+        assert ds.count() == 50
+    finally:
+        _CACHE.pop("poison", None)
