@@ -127,3 +127,59 @@ def test_cms_and_bloom_states_exact(a, b):
     # no false negatives, ever
     if a:
         assert bl_a.contains(np.asarray(a, np.int64)).all()
+
+
+# ------------------------------------------------------------- DDSketch laws
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(float_lists, float_lists, float_lists)
+def test_ddsketch_monoid_bit_exact(a, b, c):
+    """DDSketch merges are BIT-identical (not just within-ε): state is
+    a pure function of the value multiset, so associativity,
+    commutativity, and split-vs-single-pass all hold at byte level."""
+    from approximate_quantiles_ray.sketches.ddsketch import DDSketch
+
+    def mk(xs):
+        sk = DDSketch(alpha=0.02, max_bins=512)
+        if xs:
+            sk.update(_arr(xs))
+        return sk
+
+    left = mk(a).merge(mk(b)).merge(mk(c))
+    right = mk(a).merge(mk(b).merge(mk(c)))
+    flipped = mk(c).merge(mk(a)).merge(mk(b))
+    single = mk(a + b + c)
+    assert left.to_bytes() == right.to_bytes() == flipped.to_bytes() == single.to_bytes()
+    assert left.count == len(a) + len(b) + len(c)
+
+
+# magnitudes within one non-collapsing store span: at alpha=0.02
+# (ln gamma ~ 0.04), 2048 bins cover ~e^82 of dynamic range; [1e-6, 1e9]
+# is ~e^35. Values outside the span are the DOCUMENTED collapse case
+# (guarantee excluded there — test_ddsketch.py pins that separately).
+_mag = st.floats(min_value=1e-6, max_value=1e9, allow_nan=False, width=64)
+_dd_floats = st.one_of(st.just(0.0), _mag, _mag.map(lambda x: -x))
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.lists(_dd_floats, min_size=1, max_size=400))
+def test_ddsketch_relative_error_property(xs):
+    """Every quantile estimate within alpha of the selected element,
+    for arbitrary float multisets (zeros, negatives, duplicates,
+    adversarial spacings) within one store span."""
+    import math
+
+    from approximate_quantiles_ray.sketches.ddsketch import DDSketch
+
+    alpha = 0.02
+    sk = DDSketch(alpha=alpha).update(_arr(xs))
+    s = np.sort(_arr(xs))
+    n = len(s)
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        true = float(s[min(int(math.floor(q * n + 0.5)), n - 1)])
+        est = sk.est_value_at_quantile(q)
+        if abs(true) <= 1e-270:
+            assert est == 0.0
+        else:
+            assert abs(est - true) <= alpha * abs(true) * (1 + 1e-9), (q, true, est)
