@@ -570,3 +570,29 @@ def test_resumable_keyed_replay(ray_session, tmp_path):
 
         pytest.fail("corrupt checkpoint must fall back to a fresh replay")
     pd.testing.assert_frame_equal(one_shot, fresh)
+
+
+def test_streaming_windowed_ddsketch_guarantee():
+    """Composition: DDSketch as a per-window streaming spec — each
+    finalized window's p50 carries the alpha guarantee vs the exact
+    per-window selection, and window partial-merge stays bit-exact."""
+    import math
+
+    from approximate_quantiles_ray.sketches.ddsketch import DDSketch
+
+    specs = [SketchSpec(key="v_dd", factory=lambda: DDSketch(alpha=0.01), on="v")]
+    rng = np.random.default_rng(23)
+    n = 6_000
+    ts = np.sort(rng.integers(0, 5 * WINDOW, n))
+    vals = rng.lognormal(2.0, 1.0, n)
+    agg = StreamingWindowAggregator(specs, window_us=WINDOW, allowed_lateness_us=1 << 60)
+    for i in range(0, n, 512):
+        agg.push(_batch(ts[i:i + 512], vals[i:i + 512], np.zeros(min(512, n - i))))
+    done = {w["window_start_us"]: w for w in agg.flush()}
+    for wstart in np.unique((ts // WINDOW) * WINDOW):
+        sel = (ts // WINDOW) * WINDOW == wstart
+        v = np.sort(vals[sel])
+        sk = done[int(wstart)]["v_dd"]
+        assert sk.count == len(v)
+        true = float(v[min(int(math.floor(0.5 * len(v) + 0.5)), len(v) - 1)])
+        assert abs(sk.est_value_at_quantile(0.5) - true) <= 0.0101 * true
