@@ -4095,3 +4095,69 @@ SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
 FROM t, s
 """
 QUERIES["events_wasserstein_value"] = events_wasserstein_value
+
+
+def events_value_winsorized_mean(sf_dir: str, trim_pct: int = 10) -> pd.DataFrame:
+    """Exact 10%-winsorized mean of events.value (oracle-matched): the
+    companion to the trimmed mean that CLAMPS the tails to the cut
+    values instead of dropping them — same one-fold cents histogram,
+    same all-int64-until-one-division discipline. The two cut values
+    are themselves rank selections (the values at ranks ⌊p·n⌋+1 and
+    n−⌊p·n⌋ in the quantile_disc convention), so the SQL twin pins
+    them with quantile_disc and the clamped sum with LEAST/GREATEST.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def block_cents(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64())
+        vc = cents.combine_chunks().value_counts() if isinstance(
+            cents, pa.ChunkedArray
+        ) else cents.value_counts()
+        return pa.table(
+            {"cents": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    part = ds.map_batches(block_cents, batch_format="pyarrow", zero_copy_batch=True)
+    hist = adaptive_grouped_agg(part, ["cents"], {"n": "sum"})
+    hist = hist.sort_values("cents").reset_index(drop=True)
+    v = hist["cents"].to_numpy(np.int64)
+    c = hist["n"].to_numpy(np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    k = (trim_pct * n) // 100
+    # cut values: quantile_disc at q=p and q=1-p → ranks ceil(q*n)-1
+    lo_v = int(v[int(np.searchsorted(cum, max(0, math.ceil(trim_pct / 100 * n) - 1) + 1))])
+    hi_v = int(v[int(np.searchsorted(cum, max(0, math.ceil((100 - trim_pct) / 100 * n) - 1) + 1))])
+    clamped = np.clip(v, lo_v, hi_v)
+    total = int((clamped * c).sum())
+    mean = float(total) / n / 100.0
+    return pd.DataFrame(
+        {
+            "n": np.array([n], np.int64),
+            "lo_cut": np.array([lo_v], np.int64),
+            "hi_cut": np.array([hi_v], np.int64),
+            "winsorized_mean": np.array([mean], np.float64),
+        }
+    )
+
+
+ORACLE_SQL["events_value_winsorized_mean"] = """
+WITH h AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents, COUNT(*) AS c
+  FROM events GROUP BY cents
+),
+t AS (SELECT SUM(c) AS n FROM h),
+b AS (
+  SELECT CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.10) AS BIGINT) AS lo_v,
+         CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.90) AS BIGINT) AS hi_v
+  FROM events
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       b.lo_v AS lo_cut, b.hi_v AS hi_cut,
+       CAST(SUM(LEAST(GREATEST(h.cents, b.lo_v), b.hi_v) * h.c) AS DOUBLE)
+         / t.n / 100.0 AS winsorized_mean
+FROM h, t, b GROUP BY t.n, b.lo_v, b.hi_v
+"""
+QUERIES["events_value_winsorized_mean"] = events_value_winsorized_mean

@@ -534,3 +534,36 @@ def test_ks_matrix_consistent_with_single_pair(ray_session):
     single = events_ks_statistic(sf).iloc[0]
     assert row["ks_num"] == single["ks_num"]
     assert row["ks"] == single["ks"]
+
+
+def test_winsorized_mean_planted(ray_session, tmp_path):
+    """Outliers are clamped to the cut values, not dropped: the
+    winsorized mean sits between trimmed mean and raw mean; matches the
+    brute-force clamp."""
+    import numpy as np
+
+    from approximate_quantiles_ray.pipelines.relational import (
+        events_value_trimmed_mean,
+        events_value_winsorized_mean,
+    )
+
+    rng = np.random.default_rng(29)
+    vals = np.round(rng.uniform(10, 20, 90), 2)
+    vals = np.concatenate([vals, [0.01] * 5, [9999.99] * 5])
+    rng.shuffle(vals)
+    rows = [(i, i, "t", 1_700_000_000_000_000 + i, float(v)) for i, v in enumerate(vals)]
+    _write_events(tmp_path, rows)
+    out = events_value_winsorized_mean(str(tmp_path))
+
+    import math
+
+    cents = np.sort(np.round(vals * 100).astype(np.int64))
+    n = len(cents)
+    lo_v = cents[max(0, math.ceil(0.10 * n) - 1)]
+    hi_v = cents[max(0, math.ceil(0.90 * n) - 1)]
+    expect = float(np.clip(cents, lo_v, hi_v).sum()) / n / 100.0
+    assert out["winsorized_mean"].iloc[0] == expect
+    assert out["lo_cut"].iloc[0] == lo_v and out["hi_cut"].iloc[0] == hi_v
+    trimmed = events_value_trimmed_mean(str(tmp_path))["trimmed_mean"].iloc[0]
+    raw = vals.mean()
+    assert trimmed <= out["winsorized_mean"].iloc[0] <= raw
