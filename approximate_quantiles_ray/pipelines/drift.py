@@ -258,3 +258,84 @@ ORACLE_SQL["events_type_ks_matrix"] = " UNION ALL ".join(
 ) + " ORDER BY type_a, type_b"
 
 QUERIES["events_type_ks_matrix"] = events_type_ks_matrix
+
+
+def ddsketch_drift(a, b) -> dict:
+    """APPROXIMATE drift between two DDSketches: KS and W1 estimated on
+    the union grid of both sketches' bucket representatives — the
+    100 TB path when even a domain-bounded exact histogram is too much
+    state (two α-relative sketches are KBs regardless of scale).
+
+    Error model: each CDF is exact in RANK per bucket (counts are
+    exact); the value grid carries α relative error, so KS inherits at
+    most the mass of one bucket per side and W1 at most ~2α relative
+    value error. Tests bound both against the exact statistics.
+    """
+    import math as _math
+
+    def grid_of(sk):
+        vals = []
+        for store, sign in ((sk.pos, 1.0), (sk.neg, -1.0)):
+            if len(store.counts):
+                idx = np.flatnonzero(store.counts) + store.offset
+                vals.append(sign * np.exp(idx * sk._log_gamma) * (1.0 - sk.alpha))
+        if sk.zero_count:
+            vals.append(np.array([0.0]))
+        return np.concatenate(vals) if vals else np.zeros(0)
+
+    grid = np.unique(np.concatenate([grid_of(a), grid_of(b)]))
+    if not len(grid):
+        return {"ks": 0.0, "w1": 0.0, "n_a": a.count, "n_b": b.count}
+    fa = np.array([a.est_quantile_at_value(float(v)) for v in grid])
+    fb = np.array([b.est_quantile_at_value(float(v)) for v in grid])
+    gap = np.abs(fa - fb)
+    # W1 = ∫|Fa−Fb| dv — left-Riemann over the bucket grid
+    w1 = float(np.sum(gap[:-1] * np.diff(grid))) if len(grid) > 1 else 0.0
+    return {
+        "ks": float(gap.max()),
+        "w1": w1,
+        "n_a": a.count,
+        "n_b": b.count,
+    }
+
+
+def events_type_drift_sketch(sf_dir: str, type_a: str = "click", type_b: str = "purchase",
+                             alpha: float = 0.005) -> pd.DataFrame:
+    """Sketch-path drift between two event types (no SQL oracle —
+    approximation is the point; the exact twins are
+    ``relational.events_ks_statistic`` / ``events_wasserstein_value``,
+    and tests bound this against them): ONE shuffle-free streaming
+    pass builds both DDSketches, the drift is read off their buckets.
+    """
+    from approximate_quantiles_ray.engine.udaf import SketchSpec, sketch_columns_streaming
+    from approximate_quantiles_ray.sketches.ddsketch import DDSketch
+    from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def side(ty):
+        def tf(tbl: pa.Table):
+            sub = tbl.filter(pc.equal(tbl.column("event_type"), ty))
+            return sub.column("value").to_numpy(zero_copy_only=False)
+
+        return tf
+
+    merged = sketch_columns_streaming(
+        ds,
+        [
+            SketchSpec(key="a", factory=lambda: DDSketch(alpha=alpha), transform=side(type_a)),
+            SketchSpec(key="b", factory=lambda: DDSketch(alpha=alpha), transform=side(type_b)),
+        ],
+    )
+    st = ddsketch_drift(merged["a"], merged["b"])
+    return pd.DataFrame(
+        {
+            "n_a": np.array([st["n_a"]], np.int64),
+            "n_b": np.array([st["n_b"]], np.int64),
+            "ks_est": np.array([st["ks"]], np.float64),
+            "w1_est": np.array([st["w1"]], np.float64),
+        }
+    )
+
+
+QUERIES["events_type_drift_sketch"] = events_type_drift_sketch

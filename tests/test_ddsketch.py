@@ -173,3 +173,29 @@ def test_events_value_ddsketch_ray_path(ray_session):
         )
         got = [merged["d"].est_value_at_quantile(q) for q in out["q"]]
         assert got == list(out["value_est"])
+
+
+def test_ddsketch_drift_kernel_bounds():
+    """Kernel-level (no Ray): sketch-estimated KS/W1 track the exact
+    two-sample statistics on random lognormals."""
+    from approximate_quantiles_ray.pipelines.drift import ddsketch_drift
+
+    rng = np.random.default_rng(41)
+    a = rng.lognormal(3.0, 1.0, 50_000)
+    b = rng.lognormal(3.2, 1.1, 40_000)
+    sa = DDSketch(alpha=0.005).update(a)
+    sb = DDSketch(alpha=0.005).update(b)
+    st = ddsketch_drift(sa, sb)
+
+    union = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), union, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), union, side="right") / len(b)
+    ks_exact = float(np.abs(fa - fb).max())
+    gap = np.abs(fa - fb)
+    w1_exact = float(np.sum(gap[:-1] * np.diff(union)))
+
+    assert abs(st["ks"] - ks_exact) < 0.01
+    assert abs(st["w1"] - w1_exact) <= 0.03 * w1_exact
+    # identical sketches -> zero drift
+    same = ddsketch_drift(sa, DDSketch.from_bytes(sa.to_bytes()))
+    assert same["ks"] == 0.0 and same["w1"] == 0.0

@@ -567,3 +567,22 @@ def test_winsorized_mean_planted(ray_session, tmp_path):
     trimmed = events_value_trimmed_mean(str(tmp_path))["trimmed_mean"].iloc[0]
     raw = vals.mean()
     assert trimmed <= out["winsorized_mean"].iloc[0] <= raw
+
+
+def test_sketch_drift_tracks_exact(ray_session):
+    """The DDSketch drift path must land near the exact statistics:
+    KS within one bucket's mass worth of rank, W1 within ~2 alpha +
+    grid granularity of relative error."""
+    from approximate_quantiles_ray.pipelines.drift import events_type_drift_sketch
+    from approximate_quantiles_ray.pipelines.relational import (
+        events_ks_statistic,
+        events_wasserstein_value,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    approx = events_type_drift_sketch(sf).iloc[0]
+    ks_exact = events_ks_statistic(sf).iloc[0]["ks"]
+    w1_exact = events_wasserstein_value(sf).iloc[0]["w1"]
+    assert approx["n_a"] == events_ks_statistic(sf).iloc[0]["n_a"]
+    assert abs(approx["ks_est"] - ks_exact) < 0.02
+    assert abs(approx["w1_est"] - w1_exact) <= 0.05 * w1_exact + 0.05
