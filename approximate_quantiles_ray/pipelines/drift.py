@@ -339,3 +339,89 @@ def events_type_drift_sketch(sf_dir: str, type_a: str = "click", type_b: str = "
 
 
 QUERIES["events_type_drift_sketch"] = events_type_drift_sketch
+
+
+def events_daily_value_drift(sf_dir: str) -> pd.DataFrame:
+    """DRIFT TIME SERIES (oracle-matched): for every day with a
+    preceding day in the feed, the exact KS statistic between that
+    day's value distribution and the previous day's — the monitoring
+    query a feed-health dashboard polls. ONE fold of (day, value)
+    counts; the driver pivots the domain-bounded histogram once and
+    reads every consecutive-day pair off per-day cumulative arrays.
+    Days are integer epoch-days (µs // 86 400 000 000) on both sides;
+    only EXACTLY-consecutive day numbers pair (a gap day restarts the
+    series), matching the SQL twin's ``day - 1`` join.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def block_counts(tbl: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(tbl.column("ts"), pa.int64()), 86_400_000_000)
+        t = pa.table({"day": day, "value": tbl.column("value")})
+        agg = t.group_by(["day", "value"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["day", "value", "n"])
+
+    part = ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+    hist = adaptive_grouped_agg(part, ["day", "value"], {"n": "sum"})
+    pivot = (
+        hist.pivot_table(index="value", columns="day", values="n",
+                         aggfunc="sum", fill_value=0)
+        .sort_index()
+    )
+    days = sorted(int(d) for d in pivot.columns)
+    cums = {d: np.cumsum(pivot[d].to_numpy(np.int64)) for d in days}
+    ns = {d: int(cums[d][-1]) for d in days}
+    rows = []
+    for prev, cur in zip(days, days[1:]):
+        if cur != prev + 1:
+            continue
+        gap = np.abs(cums[cur] * ns[prev] - cums[prev] * ns[cur])
+        rows.append(
+            {
+                "day": cur,
+                "n_prev": ns[prev],
+                "n_cur": ns[cur],
+                "ks_num": int(gap.max()),
+                "ks": float(int(gap.max())) / float(ns[cur] * ns[prev]),
+            }
+        )
+    out = pd.DataFrame(rows, columns=["day", "n_prev", "n_cur", "ks_num", "ks"])
+    for c in ("day", "n_prev", "n_cur", "ks_num"):
+        out[c] = out[c].astype("int64")
+    out["ks"] = out["ks"].astype(np.float64)
+    return out.sort_values("day").reset_index(drop=True)
+
+
+ORACLE_SQL["events_daily_value_drift"] = """
+WITH h AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, value, COUNT(*) AS c
+  FROM events GROUP BY day, value
+),
+days AS (SELECT DISTINCT day FROM h),
+vals AS (SELECT DISTINCT value FROM h),
+dense AS (
+  SELECT d.day, v.value, COALESCE(h.c, 0) AS c
+  FROM days d CROSS JOIN vals v
+  LEFT JOIN h ON h.day = d.day AND h.value = v.value
+),
+c AS (SELECT day, value, SUM(c) OVER (PARTITION BY day ORDER BY value) AS cum FROM dense),
+n AS (SELECT day, SUM(c) AS n FROM h GROUP BY day),
+pair AS (
+  SELECT c1.day AS day, c1.cum AS cum_cur, c0.cum AS cum_prev,
+         n1.n AS n_cur, n0.n AS n_prev
+  FROM c c1
+  JOIN c c0 ON c0.day = c1.day - 1 AND c0.value = c1.value
+  JOIN n n1 ON n1.day = c1.day
+  JOIN n n0 ON n0.day = c1.day - 1
+)
+SELECT day,
+       CAST(n_prev AS BIGINT) AS n_prev,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(MAX(ABS(cum_cur * n_prev - cum_prev * n_cur)) AS BIGINT) AS ks_num,
+       CAST(MAX(ABS(cum_cur * n_prev - cum_prev * n_cur)) AS DOUBLE)
+         / CAST(n_cur * n_prev AS DOUBLE) AS ks
+FROM pair GROUP BY day, n_prev, n_cur ORDER BY day
+"""
+QUERIES["events_daily_value_drift"] = events_daily_value_drift

@@ -586,3 +586,25 @@ def test_sketch_drift_tracks_exact(ray_session):
     assert approx["n_a"] == events_ks_statistic(sf).iloc[0]["n_a"]
     assert abs(approx["ks_est"] - ks_exact) < 0.02
     assert abs(approx["w1_est"] - w1_exact) <= 0.05 * w1_exact + 0.05
+
+
+def test_daily_drift_gap_day_restarts_series(ray_session, tmp_path):
+    """A missing day breaks the consecutive-pair chain (both sides use
+    the day-1 join rule); planted shift on day 2 shows up as high KS."""
+    import numpy as np
+
+    from approximate_quantiles_ray.pipelines.drift import events_daily_value_drift
+
+    US_DAY = 86_400_000_000
+    rng = np.random.default_rng(17)
+    rows = []
+    i = 0
+    # days 0, 1 (shifted), 3 (gap at 2)
+    for day, (mu, n) in {0: (10, 200), 1: (30, 200), 3: (10, 150)}.items():
+        for v in np.round(rng.normal(mu, 1, n), 2):
+            rows.append((i, i, "t", day * US_DAY + i, float(v)))
+            i += 1
+    _write_events(tmp_path, rows)
+    out = events_daily_value_drift(str(tmp_path))
+    assert out["day"].tolist() == [1]  # day 3 has no day 2 to pair with
+    assert out["ks"].iloc[0] > 0.9  # planted mean shift -> near-total separation
