@@ -601,6 +601,27 @@ def cmd_drift(args) -> None:
     _emit(rep, args.output)
 
 
+
+def cmd_profile(args) -> None:
+    """Generic column profile of any Parquet input: per-column exact
+    distinct count + null count (relational.column_profile) plus total
+    rows — the pre-flight schema audit, one streaming pass."""
+    _ensure_ray()
+    from approximate_quantiles_ray.pipelines.relational import column_profile
+    from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(args.input, columns=args.columns or None)
+    cols = args.columns or [f.name for f in ds.schema().base_schema]
+    prof = column_profile(ds, cols)
+    _emit(
+        {
+            "rows": ds.count(),
+            "columns": prof.to_dict(orient="records"),
+        },
+        args.output,
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="approximate_quantiles_ray.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -718,6 +739,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="bucket floats as round(v*10^decimals); omit for integral columns")
     dr.add_argument("--output")
     dr.set_defaults(fn=cmd_drift)
+
+    pf = sub.add_parser("profile", help="per-column exact distinct/null profile of any Parquet input")
+    pf.add_argument("--input", required=True)
+    pf.add_argument("--columns", nargs="*", default=None)
+    pf.add_argument("--output")
+    pf.set_defaults(fn=cmd_profile)
 
     sx = sub.add_parser("shuffle-export", help="seeded deterministic shuffle into training shards")
     sx.add_argument("--input", required=True)

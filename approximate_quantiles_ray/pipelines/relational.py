@@ -2095,11 +2095,12 @@ ORACLE_SQL["referential_integrity_audit"] = """
 QUERIES["referential_integrity_audit"] = referential_integrity_audit
 
 
-def events_column_profile(sf_dir: str) -> pd.DataFrame:
-    """COLUMN PROFILER (oracle-matched): per-column null count and
-    exact distinct count over the events table — the schema-audit
-    pass that sizes dictionaries, picks partition keys and catches
-    ingest breakage.
+def column_profile(ds, cols: list[str]) -> pd.DataFrame:
+    """Generic COLUMN PROFILER core: per-column null count and exact
+    distinct count for any Dataset — the schema-audit pass that sizes
+    dictionaries, picks partition keys and catches ingest breakage.
+    ``events_column_profile`` is the oracle-matched instantiation;
+    ``jobs profile`` runs this over arbitrary Parquet.
 
     Scale plan: ONE streaming pass; each block emits, per column, its
     null count and its set of distinct values pre-hashed to int64
@@ -2116,9 +2117,6 @@ def events_column_profile(sf_dir: str) -> pd.DataFrame:
         adaptive_grouped_agg,
         adaptive_grouped_agg_ds,
     )
-
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    ds = _read(sf_dir, "events", cols)
 
     def block_profile(tbl: pa.Table) -> pa.Table:
         names, nulls, hashes = [], [], []
@@ -2168,6 +2166,13 @@ def events_column_profile(sf_dir: str) -> pd.DataFrame:
     out["n_distinct"] = out["n_distinct"].astype(np.int64)
     out["n_nulls"] = out["n_nulls"].astype(np.int64)
     return out.sort_values("col").reset_index(drop=True)[["col", "n_distinct", "n_nulls"]]
+
+
+def events_column_profile(sf_dir: str) -> pd.DataFrame:
+    """Oracle-matched instantiation of :func:`column_profile` over the
+    events table."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    return column_profile(_read(sf_dir, "events", cols), cols)
 
 
 ORACLE_SQL["events_column_profile"] = """

@@ -481,3 +481,40 @@ def test_drift_cli(ray_session, tmp_path, capsys):
     assert abs(rep["ks"] - np.abs(fa - fb).max()) < 1e-12
     assert rep["median_a"] == np.sort(a_vals)[249]  # ceil(0.5*500)-1
     assert rep["w1"] > 0
+
+
+def test_profile_cli(ray_session, tmp_path):
+    """jobs profile: exact distinct/null counts for an arbitrary
+    parquet table, full-schema default and --columns subset."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray import jobs
+
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array([1, 1, 2, None, 3], pa.int64()),
+                "b": pa.array(["x", "x", "x", "y", None], pa.string()),
+                "c": pa.array(np.arange(5.0)),
+            }
+        ),
+        d / "p.parquet",
+    )
+    out = str(tmp_path / "prof.json")
+    jobs.main(["profile", "--input", str(d), "--output", out])
+    rep = json.load(open(out))
+    assert rep["rows"] == 5
+    by_col = {r["col"]: r for r in rep["columns"]}
+    assert by_col["a"] == {"col": "a", "n_distinct": 3, "n_nulls": 1}
+    assert by_col["b"] == {"col": "b", "n_distinct": 2, "n_nulls": 1}
+    assert by_col["c"]["n_distinct"] == 5
+
+    jobs.main(["profile", "--input", str(d), "--columns", "a", "--output", out])
+    rep = json.load(open(out))
+    assert [r["col"] for r in rep["columns"]] == ["a"]
