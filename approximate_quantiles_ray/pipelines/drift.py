@@ -425,3 +425,75 @@ SELECT day,
 FROM pair GROUP BY day, n_prev, n_cur ORDER BY day
 """
 QUERIES["events_daily_value_drift"] = events_daily_value_drift
+
+
+_HALF_CUT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z in epoch µs
+
+
+def events_user_share_drift(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """FREQUENCY-DRIFT TOP-K (oracle-matched): the users whose share of
+    event volume moved most between the first and second half of the
+    window — the "who changed behavior" companion to the value-
+    distribution drift queries. Share changes are compared as the
+    exact integer cross product |c_first·n_second − c_second·n_first|
+    (the same no-float-until-reporting rule as the KS family), so
+    ranking and ties (diff desc, user_id asc) are bit-stable.
+
+    ONE fold of (user, half) counts; per-block partials bound the
+    shuffle at distinct-users × 2 rows per block.
+    """
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+    from approximate_quantiles_ray.sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def block_counts(tbl: pa.Table) -> pa.Table:
+        ts = pc.cast(tbl.column("ts"), pa.int64())
+        second = pc.cast(pc.greater_equal(ts, _HALF_CUT_US), pa.int64())
+        t = pa.table({"user_id": tbl.column("user_id"), "second": second})
+        agg = t.group_by(["user_id", "second"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["user_id", "second", "n"])
+
+    part = ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+    folded = adaptive_grouped_agg(part, ["user_id", "second"], {"n": "sum"})
+    pivot = (
+        folded.pivot_table(index="user_id", columns="second", values="n",
+                           aggfunc="sum", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+    )
+    c1 = pivot[0].to_numpy(np.int64)
+    c2 = pivot[1].to_numpy(np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    diff = np.abs(c1 * n2 - c2 * n1)
+    out = pd.DataFrame(
+        {
+            "user_id": pivot.index.to_numpy(np.int64),
+            "n_first": c1,
+            "n_second": c2,
+            "share_diff_num": diff,
+        }
+    )
+    out = out.sort_values(
+        ["share_diff_num", "user_id"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORACLE_SQL["events_user_share_drift"] = """
+WITH h AS (
+  SELECT user_id,
+         SUM(CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END) AS c2
+  FROM events GROUP BY user_id
+),
+t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM h)
+SELECT h.user_id,
+       CAST(h.c1 AS BIGINT) AS n_first,
+       CAST(h.c2 AS BIGINT) AS n_second,
+       CAST(ABS(h.c1 * t.n2 - h.c2 * t.n1) AS BIGINT) AS share_diff_num
+FROM h, t
+ORDER BY share_diff_num DESC, user_id ASC LIMIT 10
+"""
+QUERIES["events_user_share_drift"] = events_user_share_drift

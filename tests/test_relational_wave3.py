@@ -608,3 +608,30 @@ def test_daily_drift_gap_day_restarts_series(ray_session, tmp_path):
     out = events_daily_value_drift(str(tmp_path))
     assert out["day"].tolist() == [1]  # day 3 has no day 2 to pair with
     assert out["ks"].iloc[0] > 0.9  # planted mean shift -> near-total separation
+
+
+def test_user_share_drift_planted(ray_session, tmp_path):
+    """A user active only in the first half tops the drift ranking; a
+    perfectly stable user scores zero."""
+    import numpy as np
+
+    from approximate_quantiles_ray.pipelines.drift import (
+        _HALF_CUT_US,
+        events_user_share_drift,
+    )
+
+    rows = []
+    i = 0
+    # user 1: 50 events first half only; user 2: 25+25 balanced
+    for n_first, n_second, uid in ((50, 0, 1), (25, 25, 2)):
+        for _ in range(n_first):
+            rows.append((i, uid, "t", _HALF_CUT_US - 10_000_000 - i, 1.0)); i += 1
+        for _ in range(n_second):
+            rows.append((i, uid, "t", _HALF_CUT_US + 10_000_000 + i, 1.0)); i += 1
+    _write_events(tmp_path, rows)
+    out = events_user_share_drift(str(tmp_path))
+    assert out["user_id"].iloc[0] == 1
+    stable = out[out["user_id"] == 2].iloc[0]
+    # exact cross products: n1=75, n2=25; user2 |25*25 - 25*75| = 1250
+    assert stable["share_diff_num"] == 1250
+    assert out["share_diff_num"].iloc[0] == abs(50 * 25 - 0 * 75)
