@@ -183,3 +183,49 @@ def test_ddsketch_relative_error_property(xs):
             assert est == 0.0
         else:
             assert abs(est - true) <= alpha * abs(true) * (1 + 1e-9), (q, true, est)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=200),
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=200),
+)
+def test_drift_stats_match_brute_force(a, b):
+    """drift_stats (the exact-integer KS/W1/median core) equals the
+    brute-force definitions on arbitrary integer multisets."""
+    import math
+
+    import pandas as pd
+
+    from approximate_quantiles_ray.pipelines.drift import drift_stats
+
+    av, bv = np.asarray(a, np.int64), np.asarray(b, np.int64)
+    union = np.unique(np.concatenate([av, bv]))
+    hist = pd.DataFrame(
+        {
+            "v": union,
+            "ca": [int((av == u).sum()) for u in union],
+            "cb": [int((bv == u).sum()) for u in union],
+        }
+    )
+    st_ = drift_stats(hist)
+    fa = np.searchsorted(np.sort(av), union, side="right") / len(av)
+    fb = np.searchsorted(np.sort(bv), union, side="right") / len(bv)
+    gap = np.abs(fa - fb)
+    assert abs(st_["ks"] - gap.max()) < 1e-12
+    w1 = float(np.sum(gap[:-1] * np.diff(union))) if len(union) > 1 else 0.0
+    assert abs(st_["w1"] - w1) < 1e-9
+    for side, arr in (("median_a", av), ("median_b", bv)):
+        s = np.sort(arr)
+        assert st_[side] == float(s[max(0, math.ceil(0.5 * len(s)) - 1)])
+
+
+def test_drift_stats_empty_side_raises():
+    import pandas as pd
+    import pytest as _pytest
+
+    from approximate_quantiles_ray.pipelines.drift import drift_stats
+
+    hist = pd.DataFrame({"v": [1, 2], "ca": [1, 1], "cb": [0, 0]})
+    with _pytest.raises(ValueError, match="at least one row"):
+        drift_stats(hist)
