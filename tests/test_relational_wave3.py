@@ -635,3 +635,36 @@ def test_user_share_drift_planted(ray_session, tmp_path):
     # exact cross products: n1=75, n2=25; user2 |25*25 - 25*75| = 1250
     assert stable["share_diff_num"] == 1250
     assert out["share_diff_num"].iloc[0] == abs(50 * 25 - 0 * 75)
+
+
+@pytest.mark.parametrize(
+    "mod_name, fn_name",
+    [
+        ("relational", "events_value_winsorized_mean"),
+        ("relational", "events_wasserstein_value"),
+        ("drift", "docs_len_drift"),
+        ("drift", "events_type_ks_matrix"),
+        ("drift", "events_daily_value_drift"),
+        ("drift", "events_user_share_drift"),
+    ],
+)
+def test_new_fold_queries_overcap_agree(ray_session, monkeypatch, mod_name, fn_name):
+    """Every new fold-based statistic must produce identical results on
+    the under-cap pandas path and the forced distributed path."""
+    import importlib
+
+    import pandas as pd
+
+    import approximate_quantiles_ray.engine.folds as folds
+
+    mod = importlib.import_module(f"approximate_quantiles_ray.pipelines.{mod_name}")
+    fn = getattr(mod, fn_name)
+    sf = "/root/testdata/sf0.001"
+    fast = fn(sf)
+    orig = folds.adaptive_grouped_agg
+
+    def force_ds(part_ds, keys, spec, cap=0):
+        return orig(part_ds, keys, spec, cap=0)
+
+    monkeypatch.setattr(folds, "adaptive_grouped_agg", force_ds)
+    pd.testing.assert_frame_equal(fast, fn(sf))
