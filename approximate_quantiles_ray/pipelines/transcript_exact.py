@@ -185,6 +185,27 @@ def oracle_sql(sf_dir_for_oracle: str) -> dict[str, str]:
             GROUP BY tool ORDER BY n_uses DESC, tool ASC LIMIT 10
         """,
         "transcript_latency_quantiles": lat,
+        "transcript_conv_gini": f"""
+            WITH sz AS (
+                SELECT conv_id, COUNT(*) AS n
+                FROM read_parquet('{glob}') GROUP BY conv_id
+            ),
+            h AS (SELECT n AS v, COUNT(*) AS c FROM sz GROUP BY n),
+            s AS (SELECT v, c, SUM(c) OVER (ORDER BY v) - c AS prior FROM h),
+            a AS (
+              SELECT SUM(CAST(v AS HUGEINT) *
+                         (CAST(c AS HUGEINT) * CAST(prior AS HUGEINT)
+                          + CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) + 1) // 2)) AS S,
+                     SUM(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)) AS T,
+                     SUM(c) AS n
+              FROM s
+            )
+            SELECT CAST(n AS BIGINT) AS n_convs,
+                   CAST(T AS BIGINT) AS n_turns,
+                   CAST(2 * S AS DOUBLE) / CAST(n * T AS DOUBLE)
+                     - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+            FROM a
+        """,
         "transcript_latency_mad": f"""
             WITH gg AS (
               SELECT gap_us FROM (
@@ -434,3 +455,48 @@ def conv_stats(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["transcript_conv_stats"] = conv_stats
+
+
+def conv_size_gini(sf_dir: str) -> pd.DataFrame:
+    """Exact Gini of per-conversation turn counts (oracle-matched):
+    how concentrated the corpus is in its largest conversations — the
+    skew number that decides whether grouped work needs salting
+    (engine/planner.py acts on the same signal via CMS). The synthetic
+    corpus is Zipf by design, so this is a real inequality, not ~0.
+
+    Plan: per-block (conv_id, n) partials → adaptive fold → distinct
+    SIZE histogram (domain-bounded: #distinct conversation sizes) →
+    the HUGEINT-safe rank-weighted walk of relational.orders_price_gini
+    (Python bigints; one shared cast-then-divide)."""
+    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg
+
+    ds = read_transcripts_ds(sf_dir, ["conv_id"])
+
+    def block_counts(tbl: pa.Table) -> pa.Table:
+        vc = tbl.column("conv_id").combine_chunks().value_counts()
+        return pa.table(
+            {"conv_id": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    part = ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+    sizes = adaptive_grouped_agg(part, ["conv_id"], {"n": "sum"})
+    # distinct-size histogram: (size, #convs with that size)
+    hist = sizes.groupby("n").size().reset_index(name="c").sort_values("n")
+    v = hist["n"].to_numpy(np.int64)
+    c = hist["c"].to_numpy(np.int64)
+    prior = np.cumsum(c) - c
+    S = sum(int(vi) * (int(ci) * int(pi) + int(ci) * (int(ci) + 1) // 2)
+            for vi, ci, pi in zip(v, c, prior))
+    T = sum(int(vi) * int(ci) for vi, ci in zip(v, c))
+    n = int(c.sum())
+    gini = float(2 * S) / float(n * T) - float(n + 1) / float(n)
+    return pd.DataFrame(
+        {
+            "n_convs": np.array([n], np.int64),
+            "n_turns": np.array([T], np.int64),
+            "gini": np.array([gini], np.float64),
+        }
+    )
+
+
+QUERIES["transcript_conv_gini"] = conv_size_gini
