@@ -45,6 +45,18 @@ def bench_one(factory, data, trials: int = 3) -> float:
     return len(data) / best
 
 
+def bench_weighted(factory, data, weights, trials: int = 3) -> float:
+    best = float("inf")
+    for _ in range(trials):
+        sk = factory()
+        t0 = time.perf_counter()
+        sk.update_weighted(data, weights)
+        if hasattr(sk, "est_value_at_quantile"):
+            sk.est_value_at_quantile(0.5)
+        best = min(best, time.perf_counter() - t0)
+    return len(data) / best
+
+
 def run() -> dict:
     rng = np.random.default_rng(1)
     out = {"sizes": SIZES, "elements_per_sec": {}}
@@ -55,6 +67,13 @@ def run() -> dict:
             "tdigest_d20": bench_one(lambda: TDigest(delta=20, scale="k1"), vals),
             "tdigest_d3000": bench_one(lambda: TDigest(delta=3000, scale="k2"), vals),
             "ddsketch_a01": bench_one(lambda: DDSketch(alpha=0.01), vals),
+            "ddsketch_a01_weighted": bench_weighted(
+                lambda: DDSketch(alpha=0.01), vals, rng.integers(1, 50, n)
+            ),
+            "tdigest_d3000_weighted": bench_weighted(
+                lambda: TDigest(delta=3000, scale="k2"), vals,
+                rng.integers(1, 50, n).astype(float),
+            ),
             "kll_k16": bench_one(lambda: KLL(k=16, seed=1), vals),
             "kll_k64": bench_one(lambda: KLL(k=64, seed=1), vals),
             "kll_k256": bench_one(lambda: KLL(k=256, seed=1), vals),
