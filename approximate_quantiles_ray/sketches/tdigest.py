@@ -25,9 +25,13 @@ Semantics follow the reference implementation
   reference's own ``ParTDigest::flush`` pattern
   (/root/reference/src/t_digest/par_t_digest.rs:59-94).
 
-The clustering insert paths ``add_cluster`` / ``add_cluster_tree``
-(t_digest.rs:368-520) are deliberately NOT ported: they are O(log n)
-per-item paths that are strictly worse for a batch engine (SURVEY.md §2.2).
+The clustering insert paths ``add_cluster`` / ``add_cluster_tree`` /
+``find_closest_centroids`` (t_digest.rs:368-575) ARE ported (bottom of
+this module, backed by sketches/keyed_sum_tree.py) for full API parity,
+but they are per-item O(n) inserts the batch engine never uses —
+``update``/``merge`` above is the default and strictly faster path
+(PARITY.md §2.2; reference add_cluster tests ported in
+tests/test_tdigest_cluster.py).
 
 Counts are carried as int64 separately from float64 weights so that
 count conservation survives 10^12-scale merges.
@@ -386,3 +390,163 @@ class TDigest(SlotState):
             f"TDigest(delta={self.delta}, scale={self.scale!r}, "
             f"centroids={len(self.means)}, count={self._count})"
         )
+
+
+# ------------------------------------------------------------- cluster path
+# Parity port of the reference's per-item clustering inserts
+# (t_digest.rs:368-436 add_cluster, :443-520 add_cluster_tree, :527-575
+# find_closest_centroids). NOT the engine's path — per-item O(n) inserts
+# are strictly worse than the batched merge-compaction for a batch
+# engine (PARITY.md §2.2) — but a reference user switching over keeps
+# the full API. The reference's own add_cluster tests are ported in
+# tests/test_tdigest_cluster.py.
+
+
+def _cluster_helpers(self):
+    from approximate_quantiles_ray.sketches.scale_functions import SCALE_FUNCTIONS as _SF
+
+    return _SF[self.scale][0]
+
+
+def _k_size_from_weights(self, weight: float, weight_left: float, new_total: float) -> float:
+    """t_digest.rs:617-623: scaled quantile width of a centroid."""
+    k = _cluster_helpers(self)
+    q_left = weight_left / new_total
+    q_right = q_left + weight / new_total
+    return k(q_right, self.delta, new_total) - k(q_left, self.delta, new_total)
+
+
+def _find_closest_centroids(self, target_mean: float):
+    """t_digest.rs:527-575, quirks preserved: distances are SIGNED
+    diffs (mean − target), and the minimum of (lower, higher) picks the
+    signed minimum — the reference never takes abs() here. Returns a
+    half-open (start, end) index range or None on an empty digest."""
+    self._materialize()
+    m = self.means
+    n = len(m)
+    if n == 0:
+        return None
+    index = int(np.searchsorted(m, target_mean, side="left"))
+    left_index, right_index = index, index + 1
+    if index == 0:
+        min_lr = m[0] - target_mean
+    elif index == n:
+        min_lr = m[n - 1] - target_mean
+        left_index, right_index = n - 1, n
+    else:
+        lower = m[index - 1] - target_mean
+        higher = m[index] - target_mean
+        min_lr = lower if lower <= higher else higher
+    while left_index > 0 and m[left_index - 1] - target_mean == min_lr:
+        left_index -= 1
+    while right_index < n - 1 and m[right_index + 1] - target_mean == min_lr:
+        right_index += 1
+    return (left_index, right_index)
+
+
+def _add_cluster(self, means, weights, growth_limit: float = 5.0) -> "TDigest":
+    """t_digest.rs:368-436: insert each centroid into its closest
+    acceptable (|k_size| < 1) existing centroid — choosing the one with
+    the minimum mean·weight product, the reference's tie rule — else
+    insert it sorted; periodically recompress when the digest exceeds
+    growth_limit·δ centroids. No final merge (reference behavior)."""
+    xm = np.asarray(means, np.float64).ravel()
+    xw = np.asarray(weights, np.float64).ravel()
+    if len(xm) != len(xw):
+        raise ValueError("means and weights must align")
+    if not len(xm):
+        return self
+    self._materialize()
+    self.min = min(self.min, float(xm.min()))
+    self.max = max(self.max, float(xm.max()))
+    self._count += int(round(float(xw.sum())))
+    ms, ws = self.means.copy(), self.weights.copy()
+    total = float(ws.sum())
+    limit = growth_limit * self.delta
+    for mean, weight in zip(xm, xw):
+        self.means, self.weights = ms, ws  # for find_closest on live state
+        rng_idx = _find_closest_centroids(self, float(mean))
+        picked = None
+        if rng_idx is not None:
+            cum = np.cumsum(ws)
+            for idx in range(rng_idx[0], rng_idx[1]):
+                new_w = ws[idx] + weight
+                new_mean = (ms[idx] * ws[idx] + mean * weight) / new_w
+                lo = int(np.searchsorted(ms, new_mean, side="left"))
+                w_left = float(cum[lo - 1]) if lo else 0.0
+                # quirk preserved: new_total double-counts the existing
+                # centroid's weight (k_size adds the MERGED weight to a
+                # total that already contains the old one)
+                ks = _k_size_from_weights(self, new_w, w_left, total + new_w)
+                if abs(ks) < 1.0:
+                    if picked is None or (
+                        ms[picked] * ws[picked] > ms[idx] * ws[idx]
+                    ):
+                        picked = idx
+        total += float(weight)
+        if picked is not None:
+            new_w = ws[picked] + weight
+            ms[picked] = (ms[picked] * ws[picked] + mean * weight) / new_w
+            ws[picked] = new_w
+        else:
+            at = int(np.searchsorted(ms, mean, side="left"))
+            ms = np.insert(ms, at, mean)
+            ws = np.insert(ws, at, weight)
+        if len(ms) > limit:
+            order = np.argsort(ms, kind="stable")
+            ms, ws = self._compress(ms[order], ws[order])
+    self.means, self.weights = ms, ws
+    return self
+
+
+def _add_cluster_tree(self, means, weights, growth_limit: float = 5.0) -> "TDigest":
+    """t_digest.rs:443-520 via KeyedSumTree. Two documented deviations:
+    (1) no thread_rng shuffle — it only balanced the reference's
+    unbalanced BST; the array-backed tree is order-free, making this
+    path deterministic like everything else here. (2) the reference
+    passes new_MEAN as the `weight` argument of k_size_from_weights
+    (t_digest.rs:461-466) — an evident bug; we pass the merged WEIGHT,
+    which is what add_cluster's own acceptance test uses."""
+    from approximate_quantiles_ray.sketches.keyed_sum_tree import KeyedSumTree
+
+    xm = np.asarray(means, np.float64).ravel()
+    xw = np.asarray(weights, np.float64).ravel()
+    if not len(xm):
+        return self
+    self._materialize()
+    self.min = min(self.min, float(xm.min()))
+    self.max = max(self.max, float(xm.max()))
+    self._count += int(round(float(xw.sum())))
+    tree = KeyedSumTree.from_centroids(self.means, self.weights)
+    total = float(self.weights.sum())
+    limit = growth_limit * self.delta
+    for mean, weight in zip(xm, xw):
+        picked = None
+        for cm, cw in tree.closest_keys(float(mean)):
+            new_w = cw + weight
+            new_mean = (cm * cw + mean * weight) / new_w
+            w_left = tree.less_than_sum(new_mean) or 0.0
+            ks = _k_size_from_weights(self, new_w, w_left, total + weight)
+            if abs(ks) < 1.0:
+                if picked is None or (picked[0] * picked[1] > cm * cw):
+                    picked = (cm, cw)
+        total += float(weight)
+        if picked is not None:
+            cm, cw = picked
+            tree.delete(cm)
+            new_w = cw + weight
+            tree.insert((cm * cw + mean * weight) / new_w, new_w)
+        else:
+            tree.insert(float(mean), float(weight))
+        if tree.size() > limit:
+            ms, ws = tree.sorted_vec_key()
+            ms, ws = self._compress(ms, ws)
+            tree = KeyedSumTree.from_centroids(ms, ws)
+    self.means, self.weights = tree.sorted_vec_key()
+    return self
+
+
+TDigest.k_size_from_weights = _k_size_from_weights
+TDigest.find_closest_centroids = _find_closest_centroids
+TDigest.add_cluster = _add_cluster
+TDigest.add_cluster_tree = _add_cluster_tree
