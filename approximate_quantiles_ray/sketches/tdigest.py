@@ -409,10 +409,12 @@ def _cluster_helpers(self):
 
 
 def _k_size_from_weights(self, weight: float, weight_left: float, new_total: float) -> float:
-    """t_digest.rs:617-623: scaled quantile width of a centroid."""
+    """t_digest.rs:617-623: scaled quantile width of a centroid.
+    Quantiles are clamped to [0, 1]: float rounding can push q a ulp
+    past 1, where Rust's asin quietly yields NaN but Python raises."""
     k = _cluster_helpers(self)
-    q_left = weight_left / new_total
-    q_right = q_left + weight / new_total
+    q_left = min(max(weight_left / new_total, 0.0), 1.0)
+    q_right = min(max(q_left + weight / new_total, 0.0), 1.0)
     return k(q_right, self.delta, new_total) - k(q_left, self.delta, new_total)
 
 

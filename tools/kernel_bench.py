@@ -45,6 +45,24 @@ def bench_one(factory, data, trials: int = 3) -> float:
     return len(data) / best
 
 
+def bench_cluster(factory, data, tree: bool, trials: int = 1) -> float:
+    """Reference bench shapes t_digest_add_cluster[_tree]_* (benches/
+    t_digest.rs:57-112): per-item clustering inserts — parity paths,
+    orders slower than the batch kernel by design. Capped input so the
+    kernel-bench run stays fast."""
+    data = data[: min(len(data), 1 << 14)]
+    best = float("inf")
+    for _ in range(trials):
+        sk = factory()
+        t0 = time.perf_counter()
+        if tree:
+            sk.add_cluster_tree(data, np.ones(len(data)), 5.0)
+        else:
+            sk.add_cluster(data, np.ones(len(data)), 5.0)
+        best = min(best, time.perf_counter() - t0)
+    return len(data) / best
+
+
 def bench_weighted(factory, data, weights, trials: int = 3) -> float:
     best = float("inf")
     for _ in range(trials):
@@ -69,6 +87,12 @@ def run() -> dict:
             "ddsketch_a01": bench_one(lambda: DDSketch(alpha=0.01), vals),
             "ddsketch_a01_weighted": bench_weighted(
                 lambda: DDSketch(alpha=0.01), vals, rng.integers(1, 50, n)
+            ),
+            "tdigest_d20_add_cluster": bench_cluster(
+                lambda: TDigest(delta=20, scale="k1"), vals, tree=False
+            ),
+            "tdigest_d20_add_cluster_tree": bench_cluster(
+                lambda: TDigest(delta=20, scale="k1"), vals, tree=True
             ),
             "tdigest_d3000_weighted": bench_weighted(
                 lambda: TDigest(delta=3000, scale="k2"), vals,
