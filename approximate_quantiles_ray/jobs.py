@@ -607,12 +607,12 @@ def cmd_profile(args) -> None:
     distinct count + null count (relational.column_profile) plus total
     rows — the pre-flight schema audit, one streaming pass."""
     _ensure_ray()
-    from approximate_quantiles_ray.pipelines.relational import column_profile
+    from approximate_quantiles_ray.pipelines.relational import column_minmax, column_profile
     from approximate_quantiles_ray.sources.read import read_parquet_sized
 
     ds = read_parquet_sized(args.input, columns=args.columns or None)
     cols = args.columns or [f.name for f in ds.schema().base_schema]
-    prof = column_profile(ds, cols)
+    prof = column_profile(ds, cols).merge(column_minmax(ds, cols), on="col")
     _emit(
         {
             "rows": ds.count(),

@@ -4166,3 +4166,58 @@ SELECT CAST(t.n AS BIGINT) AS n,
 FROM h, t, b GROUP BY t.n, b.lo_v, b.hi_v
 """
 QUERIES["events_value_winsorized_mean"] = events_value_winsorized_mean
+
+
+def column_minmax(ds, cols: list[str]) -> pd.DataFrame:
+    """Per-column min/max for any orderable columns (numeric, string,
+    timestamp) in one streaming pass: each block reduces to ONE row of
+    per-column extrema (Arrow C++ min_max), the driver folds #blocks
+    rows. Complements :func:`column_profile` in the `jobs profile`
+    pre-flight; values are returned stringified so heterogeneous column
+    types share one schema (the CLI emits JSON anyway)."""
+
+    # per-block typed extrema: numeric/temporal columns fold on float64
+    # keys (string min of "10" < "9" would be wrong); strings fold
+    # lexicographically on the values themselves
+    def block_keys(tbl: pa.Table) -> pa.Table:
+        names, kmin, kmax, smin, smax = [], [], [], [], []
+        for c in cols:
+            col = tbl.column(c)
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            names.append(c)
+            t = tbl.schema.field(c).type
+            if pa.types.is_integer(t) or pa.types.is_floating(t):
+                kmin.append(float(lo) if lo is not None else np.nan)
+                kmax.append(float(hi) if hi is not None else np.nan)
+            elif pa.types.is_timestamp(t):
+                kmin.append(float(pa.scalar(lo, t).cast(pa.int64()).as_py())
+                            if lo is not None else np.nan)
+                kmax.append(float(pa.scalar(hi, t).cast(pa.int64()).as_py())
+                            if hi is not None else np.nan)
+            else:
+                kmin.append(np.nan)
+                kmax.append(np.nan)
+            smin.append(None if lo is None else str(lo))
+            smax.append(None if hi is None else str(hi))
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "kmin": pa.array(kmin, pa.float64()),
+                "kmax": pa.array(kmax, pa.float64()),
+                "smin": pa.array(smin, pa.string()),
+                "smax": pa.array(smax, pa.string()),
+            }
+        )
+
+    part = ds.map_batches(block_keys, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    rows = []
+    for c, g in part.groupby("col", sort=True):
+        if g["kmin"].notna().any():  # numeric/temporal: fold on typed keys
+            lo = g.loc[g["kmin"].idxmin(), "smin"]
+            hi = g.loc[g["kmax"].idxmax(), "smax"]
+        else:  # strings: lexicographic fold on the values themselves
+            lo = g["smin"].dropna().min() if g["smin"].notna().any() else None
+            hi = g["smax"].dropna().max() if g["smax"].notna().any() else None
+        rows.append({"col": c, "vmin": lo, "vmax": hi})
+    return pd.DataFrame(rows)

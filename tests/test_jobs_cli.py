@@ -511,9 +511,12 @@ def test_profile_cli(ray_session, tmp_path):
     rep = json.load(open(out))
     assert rep["rows"] == 5
     by_col = {r["col"]: r for r in rep["columns"]}
-    assert by_col["a"] == {"col": "a", "n_distinct": 3, "n_nulls": 1}
-    assert by_col["b"] == {"col": "b", "n_distinct": 2, "n_nulls": 1}
+    assert by_col["a"] == {"col": "a", "n_distinct": 3, "n_nulls": 1,
+                           "vmin": "1", "vmax": "3"}
+    assert by_col["b"] == {"col": "b", "n_distinct": 2, "n_nulls": 1,
+                           "vmin": "x", "vmax": "y"}
     assert by_col["c"]["n_distinct"] == 5
+    assert by_col["c"]["vmin"] == "0.0" and by_col["c"]["vmax"] == "4.0"
 
     jobs.main(["profile", "--input", str(d), "--columns", "a", "--output", out])
     rep = json.load(open(out))
