@@ -31,16 +31,21 @@ from approximate_quantiles_ray.functions.hashing import hash_any
 from approximate_quantiles_ray.sketches.base import sketch_from_bytes
 
 
-def column_as_numpy(tbl: pa.Table, col: str, drop_nulls: bool = True) -> np.ndarray:
-    """Extract a column as a numpy array, zero-copy when the type allows."""
-    arr = tbl.column(col)
-    if drop_nulls and arr.null_count:
-        arr = arr.drop_null()
+def _array_as_numpy(arr) -> np.ndarray:
+    """Arrow (chunked) array -> numpy, zero-copy when the type allows."""
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     try:
         return arr.to_numpy(zero_copy_only=True)
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
         return arr.to_numpy(zero_copy_only=False)
+
+
+def column_as_numpy(tbl: pa.Table, col: str, drop_nulls: bool = True) -> np.ndarray:
+    """Extract a column as a numpy array, zero-copy when the type allows."""
+    arr = tbl.column(col)
+    if drop_nulls and arr.null_count:
+        arr = arr.drop_null()
+    return _array_as_numpy(arr)
 
 
 @dataclass
@@ -101,14 +106,46 @@ class SketchSpec:
 
     def build(self, block: pa.Table, cache: dict | None = None):
         sketch = self.factory()
+        if self.kind == "float" and self.weight_on is not None:
+            # value/weight pairing must survive null dropping TOGETHER:
+            # independent per-column drop_null misaligns the pairs when
+            # the null positions differ, so filter rows where either
+            # side is null before converting.
+            if self.transform is not None:
+                # derived values are row-aligned with the block; drop
+                # null-weight rows BEFORE transforming so pairs stay
+                # aligned (transforms must return one value per row)
+                blk = block
+                wcol = blk.column(self.weight_on)
+                if wcol.null_count:
+                    blk = blk.filter(pc.is_valid(wcol))
+                    wcol = blk.column(self.weight_on)
+                values = np.asarray(self.transform(blk), dtype=np.float64)
+                if len(values) != blk.num_rows:
+                    raise ValueError(
+                        f"SketchSpec {self.key!r}: weighted transform must be "
+                        f"row-aligned ({len(values)} values for {blk.num_rows} rows)"
+                    )
+                if len(values):
+                    sketch.update_weighted(values, _array_as_numpy(wcol))
+                return sketch
+            if self.on is None:
+                raise ValueError(f"SketchSpec {self.key!r}: weight_on requires `on`")
+            pair = block.select([self.on, self.weight_on])
+            vcol, wcol = pair.column(0), pair.column(1)
+            if vcol.null_count or wcol.null_count:
+                mask = pc.and_kleene(pc.is_valid(vcol), pc.is_valid(wcol))
+                pair = pair.filter(mask)
+                vcol, wcol = pair.column(0), pair.column(1)
+            if pair.num_rows:
+                sketch.update_weighted(
+                    np.asarray(_array_as_numpy(vcol), dtype=np.float64),
+                    _array_as_numpy(wcol),
+                )
+            return sketch
         values = self.extract(block, cache)
         if len(values):
-            if self.kind == "float" and self.weight_on is not None:
-                sketch.update_weighted(
-                    np.asarray(values, dtype=np.float64),
-                    column_as_numpy(block, self.weight_on),
-                )
-            elif self.kind == "float":
+            if self.kind == "float":
                 sketch.update(np.asarray(values, dtype=np.float64))
             else:
                 sketch.update(values)

@@ -86,7 +86,13 @@ def drift_stats(hist: pd.DataFrame, scale: float = 1.0) -> dict:
     na, nb = int(ca[-1]), int(cb[-1])
     if na == 0 or nb == 0:
         raise ValueError("both sides need at least one row")
-    gap = np.abs(ca * nb - cb * na)
+    if na * nb < 2**62:
+        gap = np.abs(ca * nb - cb * na)
+    else:
+        # cross-multiplied gap can reach na*nb and would wrap int64 past
+        # ~3e9 rows per side; fall back to Python bigints (object dtype),
+        # same as the W1 accumulation below
+        gap = np.abs(ca.astype(object) * nb - cb.astype(object) * na)
     k = int(np.argmax(gap))
     w1_total = sum(
         int(g) * (int(v[i + 1]) - int(v[i])) for i, g in enumerate(gap[:-1]) if g

@@ -42,7 +42,11 @@ ACTIVE_PATTERNS: dict[str, str] = {
     "s_words": r"\bs\w{3,}\b",         # scan / slow / sort / stream ...
 }
 
-ALL_PATTERNS: dict[str, str] = {**ACTIVE_PATTERNS, **PII_PATTERNS}
+# PII first: masking order matters for redaction — an ACTIVE pattern
+# (e.g. vowel_pair) firing inside an email/phone would otherwise break
+# the later PII match and leave PII-shaped spans partially intact. The
+# SQL twins derive from this dict, so both sides stay in lockstep.
+ALL_PATTERNS: dict[str, str] = {**PII_PATTERNS, **ACTIVE_PATTERNS}
 
 REDACT_MASK = "[REDACTED]"
 

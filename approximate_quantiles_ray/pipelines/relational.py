@@ -3986,7 +3986,12 @@ def events_ks_statistic(sf_dir: str, type_a: str = "click", type_b: str = "purch
     ca = np.cumsum(hist["ca"].to_numpy(np.int64))
     cb = np.cumsum(hist["cb"].to_numpy(np.int64))
     na, nb = int(ca[-1]), int(cb[-1])
-    gap = np.abs(ca * nb - cb * na)  # exact int64 cross-multiplied CDF gap
+    # exact cross-multiplied CDF gap; int64 wraps once na*nb ≥ 2^63
+    # (~3e9 rows per side) so big corpora use Python-bigint object dtype
+    if na * nb < 2**62:
+        gap = np.abs(ca * nb - cb * na)
+    else:
+        gap = np.abs(ca.astype(object) * nb - cb.astype(object) * na)
     k = int(np.argmax(gap))  # first (smallest value) max, matching SQL MIN(value)
     return pd.DataFrame(
         {
@@ -4176,35 +4181,46 @@ def column_minmax(ds, cols: list[str]) -> pd.DataFrame:
     pre-flight; values are returned stringified so heterogeneous column
     types share one schema (the CLI emits JSON anyway)."""
 
-    # per-block typed extrema: numeric/temporal columns fold on float64
-    # keys (string min of "10" < "9" would be wrong); strings fold
-    # lexicographically on the values themselves
+    # per-block typed extrema. Key-column choice matters for exactness:
+    # float columns fold on float64 keys; INTEGER and TIMESTAMP columns
+    # fold on int64 keys — nanosecond epochs (~1.7e18) exceed float64's
+    # 2^53 integer range, so a float64 fold could pick the wrong block's
+    # extremum for values within ~256 ns of each other. Strings fold
+    # lexicographically on the values themselves.
     def block_keys(tbl: pa.Table) -> pa.Table:
-        names, kmin, kmax, smin, smax = [], [], [], [], []
+        names, fmin, fmax, imin, imax, smin, smax = [], [], [], [], [], [], []
         for c in cols:
             col = tbl.column(c)
             mm = pc.min_max(col)
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
             names.append(c)
             t = tbl.schema.field(c).type
-            if pa.types.is_integer(t) or pa.types.is_floating(t):
-                kmin.append(float(lo) if lo is not None else np.nan)
-                kmax.append(float(hi) if hi is not None else np.nan)
+            f_lo = f_hi = None
+            i_lo = i_hi = None
+            if pa.types.is_floating(t):
+                f_lo = float(lo) if lo is not None else None
+                f_hi = float(hi) if hi is not None else None
+            elif pa.types.is_integer(t):
+                i_lo = int(lo) if lo is not None else None
+                i_hi = int(hi) if hi is not None else None
             elif pa.types.is_timestamp(t):
-                kmin.append(float(pa.scalar(lo, t).cast(pa.int64()).as_py())
-                            if lo is not None else np.nan)
-                kmax.append(float(pa.scalar(hi, t).cast(pa.int64()).as_py())
-                            if hi is not None else np.nan)
-            else:
-                kmin.append(np.nan)
-                kmax.append(np.nan)
+                i_lo = (pa.scalar(lo, t).cast(pa.int64()).as_py()
+                        if lo is not None else None)
+                i_hi = (pa.scalar(hi, t).cast(pa.int64()).as_py()
+                        if hi is not None else None)
+            fmin.append(f_lo)
+            fmax.append(f_hi)
+            imin.append(i_lo)
+            imax.append(i_hi)
             smin.append(None if lo is None else str(lo))
             smax.append(None if hi is None else str(hi))
         return pa.table(
             {
                 "col": pa.array(names, pa.string()),
-                "kmin": pa.array(kmin, pa.float64()),
-                "kmax": pa.array(kmax, pa.float64()),
+                "fmin": pa.array(fmin, pa.float64()),
+                "fmax": pa.array(fmax, pa.float64()),
+                "imin": pa.array(imin, pa.int64()),
+                "imax": pa.array(imax, pa.int64()),
                 "smin": pa.array(smin, pa.string()),
                 "smax": pa.array(smax, pa.string()),
             }
@@ -4213,9 +4229,12 @@ def column_minmax(ds, cols: list[str]) -> pd.DataFrame:
     part = ds.map_batches(block_keys, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     rows = []
     for c, g in part.groupby("col", sort=True):
-        if g["kmin"].notna().any():  # numeric/temporal: fold on typed keys
-            lo = g.loc[g["kmin"].idxmin(), "smin"]
-            hi = g.loc[g["kmax"].idxmax(), "smax"]
+        if g["imin"].notna().any():  # integer/temporal: exact int64 fold
+            lo = g.loc[g["imin"].idxmin(), "smin"]
+            hi = g.loc[g["imax"].idxmax(), "smax"]
+        elif g["fmin"].notna().any():  # floats: float64 fold
+            lo = g.loc[g["fmin"].idxmin(), "smin"]
+            hi = g.loc[g["fmax"].idxmax(), "smax"]
         else:  # strings: lexicographic fold on the values themselves
             lo = g["smin"].dropna().min() if g["smin"].notna().any() else None
             hi = g["smax"].dropna().max() if g["smax"].notna().any() else None

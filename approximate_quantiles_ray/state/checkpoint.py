@@ -63,7 +63,9 @@ def _config_hash(specs: list[SketchSpec]) -> str:
     h = hashlib.sha256()
     h.update(json.dumps([HASH_VERSION, probe]).encode())
     for s in specs:
-        h.update(json.dumps([s.key, s.kind, s.on, s.dedup_per_batch]).encode())
+        h.update(
+            json.dumps([s.key, s.kind, s.on, s.dedup_per_batch, s.weight_on]).encode()
+        )
         h.update(_transform_sig(s.transform).encode())
         h.update(s.factory().to_bytes())
     return h.hexdigest()[:16]

@@ -521,3 +521,34 @@ def test_profile_cli(ray_session, tmp_path):
     jobs.main(["profile", "--input", str(d), "--columns", "a", "--output", out])
     rep = json.load(open(out))
     assert [r["col"] for r in rep["columns"]] == ["a"]
+
+
+def test_column_minmax_ns_timestamp_exact(ray_session):
+    """ADVICE r3 item 4: nanosecond timestamps (~1.7e18) exceed
+    float64's 2^53 integer range; the min/max fold must compare on
+    int64 keys so two blocks' extrema within ~256 ns resolve
+    correctly. Also covers int64 columns beyond 2^53."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.relational import column_minmax
+
+    base = 1_700_000_000_000_000_000  # ~2023 in ns epoch
+    # true min is base+1 (block B), true max base+130 (block B); block A
+    # holds base+2 and base+129 — all four collide when cast to float64
+    blk_a = pa.table({
+        "ts": pa.array(np.array([base + 2, base + 129], np.int64), pa.timestamp("ns")),
+        "big": pa.array(np.array([2**60 + 2, 2**60 + 129], np.int64)),
+    })
+    blk_b = pa.table({
+        "ts": pa.array(np.array([base + 1, base + 130], np.int64), pa.timestamp("ns")),
+        "big": pa.array(np.array([2**60 + 1, 2**60 + 130], np.int64)),
+    })
+    assert float(base + 1) == float(base + 2)  # premise: float64 can't tell
+    ds = rd.from_arrow([blk_a, blk_b])
+    out = column_minmax(ds, ["ts", "big"]).set_index("col")
+    assert out.loc["big", "vmin"] == str(2**60 + 1)
+    assert out.loc["big", "vmax"] == str(2**60 + 130)
+    assert out.loc["ts", "vmin"].endswith(".000000001")
+    assert out.loc["ts", "vmax"].endswith(".000000130")

@@ -94,3 +94,21 @@ def test_scrub_cli(ray_session, tmp_path, capsys):
     texts = res.column("text").to_pylist()
     assert "alice@example.com" not in texts[0]
     assert res.column("_scrub_changed").to_pylist() == [1, 1, 1, 0]
+
+
+def test_redaction_masks_pii_before_active_patterns():
+    """ADVICE r3 item 5: PII patterns run before the corpus-active demo
+    patterns, so a vowel pair inside an email can't break the email
+    match and leave PII-shaped fragments behind."""
+    import pyarrow as pa
+
+    from approximate_quantiles_ray.pipelines.patterns import (
+        ALL_PATTERNS,
+        PII_PATTERNS,
+        redact_batch,
+    )
+
+    assert list(ALL_PATTERNS)[: len(PII_PATTERNS)] == list(PII_PATTERNS)
+    tbl = pa.table({"text": pa.array(["contact aeio.doe@mail.example.com now"])})
+    out = redact_batch(tbl, ALL_PATTERNS).column("text").to_pylist()[0]
+    assert "example" not in out and "@" not in out and "doe" not in out

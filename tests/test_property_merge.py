@@ -229,3 +229,23 @@ def test_drift_stats_empty_side_raises():
     hist = pd.DataFrame({"v": [1, 2], "ca": [1, 1], "cb": [0, 0]})
     with _pytest.raises(ValueError, match="at least one row"):
         drift_stats(hist)
+
+
+def test_drift_stats_bigint_no_overflow():
+    """ADVICE r3 item 3: the cross-multiplied KS gap must not wrap
+    int64 when n_a * n_b >= 2^63 (~3e9 rows per side). Counts here are
+    ~2^33 per side so ca*nb reaches ~2^66."""
+    import pandas as pd
+
+    from approximate_quantiles_ray.pipelines.drift import drift_stats
+
+    big = 2**33  # 8.6e9 rows per side
+    hist = pd.DataFrame(
+        {"v": [0, 1, 2], "ca": [big, 0, big], "cb": [0, big, big]}
+    )
+    st_ = drift_stats(hist)
+    # exact: at v=0 the CDF gap is |big*nb - 0| / (na*nb) = 1/2
+    assert st_["n_a"] == 2 * big and st_["n_b"] == 2 * big
+    assert abs(st_["ks"] - 0.5) < 1e-12
+    assert st_["ks_num"] == big * (2 * big)
+    assert st_["ks_num"] > 0  # a wrapped int64 would have gone negative/odd

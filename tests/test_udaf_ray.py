@@ -223,3 +223,61 @@ def test_grouped_ddsketch_guarantee_per_group(ray_session):
         for q in (0.1, 0.5, 0.99):
             true = float(v[min(int(math.floor(q * len(v) + 0.5)), len(v) - 1)])
             assert abs(sk.est_value_at_quantile(q) - true) <= 0.0101 * abs(true)
+
+
+def test_weighted_spec_drops_nulls_jointly():
+    """ADVICE r3 item 1: a null in EITHER the value or the weight
+    column drops the whole row, keeping (value, weight) pairs aligned.
+    Before the fix, independent per-column null-dropping silently
+    attached wrong weights to wrong values."""
+    import pyarrow as pa
+
+    from approximate_quantiles_ray.sketches.ddsketch import DDSketch
+
+    spec = SketchSpec(
+        key="wv", factory=lambda: DDSketch(alpha=0.01), on="v", weight_on="w"
+    )
+    block = pa.table(
+        {
+            "v": pa.array([10.0, None, 30.0, 40.0], pa.float64()),
+            "w": pa.array([1, 2, None, 4], pa.int64()),
+        }
+    )
+    got = spec.build(block)
+    want = DDSketch(alpha=0.01).update_weighted(
+        np.array([10.0, 40.0]), np.array([1, 4])
+    )
+    assert got.to_bytes() == want.to_bytes()
+    assert got.count == 5  # 1 + 4, not 7
+
+    # equal-null-count misalignment case from the advice: values/weights
+    # with nulls at DIFFERENT positions but the same null count must not
+    # silently pair up either
+    block2 = pa.table(
+        {
+            "v": pa.array([10.0, None, 30.0, 40.0], pa.float64()),
+            "w": pa.array([1.0, 2.0, 3.0, None], pa.float64()),
+        }
+    )
+    got2 = spec.build(block2)
+    want2 = DDSketch(alpha=0.01).update_weighted(
+        np.array([10.0, 30.0]), np.array([1.0, 3.0])
+    )
+    assert got2.to_bytes() == want2.to_bytes()
+
+
+def test_config_hash_signs_weight_on():
+    """ADVICE r3 item 2: weighted vs unweighted specs must produce
+    different checkpoint config hashes so a weight_on change
+    invalidates old part files instead of silently merging."""
+    from approximate_quantiles_ray.sketches.ddsketch import DDSketch
+    from approximate_quantiles_ray.state.checkpoint import _config_hash
+
+    base = SketchSpec(key="x", factory=lambda: DDSketch(alpha=0.01), on="v")
+    weighted = SketchSpec(
+        key="x", factory=lambda: DDSketch(alpha=0.01), on="v", weight_on="w"
+    )
+    assert _config_hash([base]) != _config_hash([weighted])
+    assert _config_hash([weighted]) != _config_hash(
+        [SketchSpec(key="x", factory=lambda: DDSketch(alpha=0.01), on="v", weight_on="u")]
+    )
