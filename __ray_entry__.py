@@ -136,7 +136,11 @@ def _order_invariant(sf_dir: str) -> pd.DataFrame:
     SQL twin exists for the hash."""
     import ray.data as rd
 
-    summary = order_invariant_summary(rd.read_parquet(te.transcripts_dir_for(sf_dir)))
+    summary = order_invariant_summary(
+        rd.read_parquet(
+            te.transcripts_dir_for(sf_dir), columns=["conv_id", "turn_idx", "text"]
+        )
+    )
     return pd.DataFrame(
         [{"n_rows": int(summary["rows"]), "sorted_ok": bool(summary["sorted_ok"])}]
     )

@@ -113,9 +113,17 @@ def latency_sketches(ds, specs: list[SketchSpec]):
     return segmented_gap_sketches(narrow, specs, scale=1e-6)
 
 
-def read_transcripts(table_dir: str):
+# exactly what order_invariant_summary consumes — keep the scan pruned
+ORDER_INVARIANT_COLUMNS = ["conv_id", "turn_idx", "text"]
 
-    return read_parquet_sized(table_dir)
+
+def read_transcripts(table_dir: str, columns: list[str] | None = None):
+    """Pruned transcript scan. Defaults to the order-invariant column
+    set; at 100 TB an unprojected read of a wide transcript table
+    (ts/tool/role never touched here) is real money."""
+    return read_parquet_sized(
+        table_dir, columns=ORDER_INVARIANT_COLUMNS if columns is None else columns
+    )
 
 
 def transcript_report(

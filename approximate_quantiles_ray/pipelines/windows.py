@@ -240,10 +240,12 @@ def events_hourly_keyed_stream_counts(sf_dir: str) -> pd.DataFrame:
 _SLIDE_US = 900_000_000  # 15 min stride under a 1 h window (4 panes)
 
 
-def events_sliding_stream_counts(sf_dir: str) -> pd.DataFrame:
+def events_sliding_stream_counts_demo(sf_dir: str) -> pd.DataFrame:
     """SLIDING windows (1 h window, 15 min slide — each event in 4
-    windows), keyed by event_type, through the streaming engine;
-    oracle-checked against a DuckDB pane-offset expansion."""
+    windows), keyed by event_type, through the SEQUENTIAL streaming
+    replay. Demo/pytest reference ONLY (driver micro-batch loop): the
+    registered `events_sliding_stream_counts` runs the distributed
+    plan; this stays as the sequential-equivalence ground truth."""
     from approximate_quantiles_ray.engine.streaming import stream_keyed_windows
 
     ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
@@ -352,7 +354,10 @@ QUERIES = {
     "events_hourly_stream_counts": events_hourly_stream_counts,
     "events_hourly_stream_counts_dist": events_hourly_stream_counts_dist,
     "events_hourly_keyed_stream_counts": events_hourly_keyed_stream_counts,
-    "events_sliding_stream_counts": events_sliding_stream_counts,
+    # the registered sliding-window name runs the DISTRIBUTED plan
+    # (round-3 verdict item 5); the sequential replay stays available as
+    # events_sliding_stream_counts_demo for tests/equivalence only
+    "events_sliding_stream_counts": events_sliding_stream_counts_dist,
     "events_sliding_stream_counts_dist": events_sliding_stream_counts_dist,
 }
 

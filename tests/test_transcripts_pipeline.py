@@ -138,3 +138,18 @@ def test_latency_mad_paths_and_reference(ray_session):
     med = qdisc(gaps, 0.5)
     assert auto["median_us"].iloc[0] == med
     assert auto["mad_us"].iloc[0] == qdisc(np.abs(gaps - med), 0.5)
+
+
+def test_read_transcripts_scan_is_pruned(ray_session, transcripts_dir):
+    """VERDICT r3 item 6: the flagship/order-invariant scans must
+    project only the columns they touch — an unprojected read of a
+    wide transcript table wastes IO at corpus scale."""
+    from approximate_quantiles_ray.pipelines.transcripts import (
+        ORDER_INVARIANT_COLUMNS,
+        read_transcripts,
+    )
+
+    ds = read_transcripts(transcripts_dir)
+    assert ds.schema().names == ORDER_INVARIANT_COLUMNS
+    ds2 = read_transcripts(transcripts_dir, columns=["conv_id"])
+    assert ds2.schema().names == ["conv_id"]
