@@ -63,7 +63,6 @@ _register_package_by_value()
 from approximate_quantiles_ray.pipelines import relational, textstats
 from approximate_quantiles_ray.pipelines import transcript_exact as te
 from approximate_quantiles_ray.pipelines.transcripts import (
-    grouped_text_len_by_role,
     order_invariant_summary,
     transcript_report,
 )
@@ -79,44 +78,6 @@ def entry() -> Any:
     synthetic transcript table."""
     table_dir = transcripts_for_sf(0.001)
     return transcript_report(table_dir)
-
-
-def _sketch_report(sf_dir: str) -> pd.DataFrame:
-    return transcript_report(te.transcripts_dir_for(sf_dir))
-
-
-def _role_len_sketch(sf_dir: str) -> pd.DataFrame:
-    return grouped_text_len_by_role(te.transcripts_dir_for(sf_dir))
-
-
-def _tool_hh_cms(sf_dir: str) -> pd.DataFrame:
-    import ray.data as rd
-
-    from approximate_quantiles_ray.engine.topk import heavy_hitters
-
-    ds = rd.read_parquet(te.transcripts_dir_for(sf_dir), columns=["tool"])
-    return heavy_hitters(ds, "tool", k=10)
-
-
-def _tool_hh_mg(sf_dir: str) -> pd.DataFrame:
-    """Deterministic heavy hitters: one Misra–Gries summary merged
-    shuffle-free across blocks; every row carries the sandwich bound
-    est ≤ true ≤ est + err_bound (tests pin it against exact counts —
-    the CMS twin above gives only probabilistic over-estimates)."""
-    import ray.data as rd
-
-    from approximate_quantiles_ray.engine.udaf import SketchSpec, sketch_columns
-    from approximate_quantiles_ray.sketches.misra_gries import MisraGries
-
-    ds = rd.read_parquet(te.transcripts_dir_for(sf_dir), columns=["tool"])
-    mg = sketch_columns(
-        ds, [SketchSpec(key="tool", factory=lambda: MisraGries(k=32), on="tool", kind="hash")]
-    )["tool"]
-    rows = [
-        {"tool": key, "est": int(est), "upper": int(upper)}
-        for key, est, upper in mg.top(10)
-    ]
-    return pd.DataFrame(rows)
 
 
 def _membership(sf_dir: str) -> pd.DataFrame:
@@ -151,11 +112,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(relational.QUERIES)
     q.update(textstats.QUERIES)
     q.update(te.QUERIES)
-    # sketch suite (approximate → rows-only driver check; ε-bounds in tests/)
-    q["transcript_sketch_report"] = _sketch_report
-    q["transcript_role_len_sketch"] = _role_len_sketch
-    q["transcript_tool_hh_cms"] = _tool_hh_cms
-    q["transcript_tool_hh_mg"] = _tool_hh_mg
     q["transcript_membership"] = _membership
     q["transcript_order_invariant"] = _order_invariant
     try:  # extension pipelines registered as they land
@@ -184,6 +140,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q.update(patterns.QUERIES)
     except ImportError:
         pass
+    # oracle-matched gates for the sketch suite (round-3 verdict item 1):
+    # registered LAST so the gate versions win the shared names — exact
+    # scalars hash-pinned, approximation guarantees as boolean laws
+    from approximate_quantiles_ray.pipelines import sketch_gates
+
+    q.update(sketch_gates.QUERIES)
     return q
 
 
@@ -219,4 +181,8 @@ def oracle_sql() -> dict[str, str]:
         sqls.update(patterns.ORACLE_SQL)
     except ImportError:
         pass
+    from approximate_quantiles_ray.pipelines import sketch_gates
+
+    sqls.update(sketch_gates.ORACLE_SQL)
+    sqls.update(sketch_gates.oracle_sql(_ORACLE_SF_DIR))
     return sqls

@@ -3438,15 +3438,14 @@ ORACLE_SQL["urgent_revenue_bloom_join"] = """
 QUERIES["urgent_revenue_bloom_join"] = urgent_revenue_bloom_join
 
 
-def events_range_partition_stats(sf_dir: str, n_parts: int = 8) -> pd.DataFrame:
-    """SKETCH-DRIVEN RANGE PARTITIONER AUDIT (rows-only check; balance
-    law in tests/test_partitioning.py): t-digest quantile cut points
-    for events.value from one streaming fold, and the per-partition
-    row counts they induce — the no-sort range layout plan for a
-    skewed 100 TB column (engine/partitioning.py). Approximate by
-    design (counts are within the sketch's rank error of n/parts), so
-    no SQL twin; the balance and round-trip contracts are pytest laws.
-    """
+def events_range_partition_stats_raw(sf_dir: str, n_parts: int = 8) -> pd.DataFrame:
+    """SKETCH-DRIVEN RANGE PARTITIONER AUDIT (raw surface): t-digest
+    quantile cut points for events.value from one streaming fold, and
+    the per-partition row counts they induce — the no-sort range
+    layout plan for a skewed 100 TB column (engine/partitioning.py).
+    Counts/bounds are sketch-dependent; the ORACLE-MATCHED entry is
+    :func:`events_range_partition_stats`, which pins the row
+    conservation + balance + monotone-bounds laws."""
     from approximate_quantiles_ray.engine.partitioning import range_partition_stats
 
     ds = _read(sf_dir, "events", ["value"])
@@ -3462,6 +3461,36 @@ def events_range_partition_stats(sf_dir: str, n_parts: int = 8) -> pd.DataFrame:
     )
 
 
+def events_range_partition_stats(sf_dir: str, n_parts: int = 8) -> pd.DataFrame:
+    """ORACLE-MATCHED partitioner gate (round-3 verdict item 1): the
+    SQL-checkable invariants of the sketch-driven range layout —
+    total_rows pins row conservation against COUNT(*) (a dropped or
+    double-assigned row hash-mismatches), balance_ok pins every
+    partition within ±30% of ideal (the pytest law, now in-query), and
+    bounds_monotone pins strictly ordered cut points. Raw counts and
+    bounds stay on :func:`events_range_partition_stats_raw`."""
+    raw = events_range_partition_stats_raw(sf_dir, n_parts)
+    counts = raw["n"].to_numpy(np.int64)
+    total = int(counts.sum())
+    ideal = total / n_parts
+    bounds = raw["hi"].to_numpy()[:-1]
+    return pd.DataFrame(
+        {
+            "n_parts": np.array([n_parts], np.int64),
+            "total_rows": np.array([total], np.int64),
+            "balance_ok": np.array(
+                [bool(counts.max() <= ideal * 1.3 and counts.min() >= ideal * 0.7)]
+            ),
+            "bounds_monotone": np.array([bool(np.all(np.diff(bounds) > 0))]),
+        }
+    )
+
+
+ORACLE_SQL["events_range_partition_stats"] = """
+    SELECT CAST(8 AS BIGINT) AS n_parts, COUNT(*) AS total_rows,
+           TRUE AS balance_ok, TRUE AS bounds_monotone
+    FROM events
+"""
 QUERIES["events_range_partition_stats"] = events_range_partition_stats
 
 
@@ -3641,7 +3670,7 @@ ORACLE_SQL["events_value_k_moments"] = """
 QUERIES["events_value_k_moments"] = events_value_k_moments
 
 
-def events_value_ddsketch(sf_dir: str, alpha: float = 0.01) -> pd.DataFrame:
+def events_value_ddsketch_estimates(sf_dir: str, alpha: float = 0.01) -> pd.DataFrame:
     """Relative-error quantiles of events.value via DDSketch
     (sketches/ddsketch.py): every estimate is within ``alpha``·true of
     the true quantile VALUE — the guarantee latency-SLO monitoring
@@ -3649,11 +3678,12 @@ def events_value_ddsketch(sf_dir: str, alpha: float = 0.01) -> pd.DataFrame:
     the flagship suite. One shuffle-free streaming pass; the bucket
     histogram is a pure function of the value multiset, so the result
     is BIT-identical under any partitioning / merge order
-    (tests/test_ddsketch.py pins the merge law,
-    tests/test_relational_wave3.py the Ray-path accuracy + invariance).
+    (tests/test_ddsketch.py pins the merge law, the Ray-path accuracy
+    and the partitioning invariance).
 
-    No SQL oracle (approximation is the point); the exact twin is
-    ``events_value_quantiles``.
+    Raw estimates (bench/pytest surface); the ORACLE-MATCHED entry is
+    :func:`events_value_ddsketch`, which pins the within-alpha law
+    against the exact distributed quantiles.
     """
     from approximate_quantiles_ray.engine.udaf import SketchSpec, sketch_columns_streaming
     from approximate_quantiles_ray.sketches.ddsketch import DDSketch
@@ -3673,6 +3703,53 @@ def events_value_ddsketch(sf_dir: str, alpha: float = 0.01) -> pd.DataFrame:
     )
 
 
+def events_value_ddsketch(sf_dir: str, alpha: float = 0.01) -> pd.DataFrame:
+    """ORACLE-MATCHED DDSketch gate (round-3 verdict item 1): runs the
+    sketch AND the exact distributed quantile selection over the same
+    scan, and emits per quantile the EXACT value (hash-pinned against
+    DuckDB quantile_disc) plus the boolean within-alpha law. A sketch
+    regression breaking the published ε bound flips within_alpha to
+    FALSE and hash-mismatches; the raw estimates stay available via
+    :func:`events_value_ddsketch_estimates`.
+
+    The boolean allows ±1 RANK of slack: the sketch's quantile index
+    convention (round) and quantile_disc's (ceil−1) legitimately differ
+    by one element, and on a small discrete sample adjacent elements
+    can differ by more than alpha·value — the estimate must be within
+    alpha of SOME element at rank offset −1/0/+1."""
+    est = events_value_ddsketch_estimates(sf_dir, alpha)
+    qs = tuple(est["q"])
+    part = _read(sf_dir, "events", ["value"]).map_batches(
+        _block_value_counts("value"), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def tf(off):
+        return lambda q, n: min(max(0, math.ceil(q * n) - 1 + off), n - 1)
+
+    exact = quantiles_from_histogram(part, "value", qs, pre_grouped=False)
+    neighbors = [
+        quantiles_from_histogram(part, "value", qs, pre_grouped=False, target_fn=tf(off))
+        for off in (-1, 0, 1)
+    ]
+    e = est["value_est"].to_numpy()
+    ok = np.zeros(len(qs), bool)
+    for nb in neighbors:
+        v = nb["value"].to_numpy()
+        ok |= np.abs(e - v) <= alpha * np.abs(v) * (1 + 1e-9)
+    return pd.DataFrame(
+        {
+            "q": est["q"].to_numpy(np.float64),
+            "value": exact["value"].to_numpy(np.float64),
+            "within_alpha": ok.astype(bool),
+        }
+    )
+
+
+ORACLE_SQL["events_value_ddsketch"] = " UNION ALL ".join(
+    f"SELECT {q} AS q, quantile_disc(value, {q}) AS value, TRUE AS within_alpha"
+    " FROM events"
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+)
 QUERIES["events_value_ddsketch"] = events_value_ddsketch
 
 
@@ -3880,7 +3957,48 @@ def lineitem_weighted_price_sketch(sf_dir: str) -> pd.DataFrame:
     )
 
 
-QUERIES["lineitem_weighted_price_sketch"] = lineitem_weighted_price_sketch
+def lineitem_weighted_price_sketch_gate(sf_dir: str) -> pd.DataFrame:
+    """ORACLE-MATCHED weighted-sketch gate (round-3 verdict item 1):
+    runs the weighted t-digest + DDSketch suite AND the exact weighted
+    selection, emitting per quantile the EXACT value (hash-pinned
+    against the DuckDB cumulative-weight twin) plus the two
+    within-bound booleans (t-digest 1%, DDSketch alpha+rounding) the
+    pytest law pins. Raw estimates stay on
+    :func:`lineitem_weighted_price_sketch`."""
+    est = lineitem_weighted_price_sketch(sf_dir)
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    exact = exact_weighted_quantiles(
+        ds, "l_extendedprice", "l_quantity", (10, 25, 50, 75, 90, 95, 99)
+    )
+    true = exact["value"].to_numpy(np.float64)
+    td_ok = np.abs(est["tdigest_est"].to_numpy() - true) <= 0.01 * np.abs(true)
+    dd_ok = np.abs(est["ddsketch_est"].to_numpy() - true) <= 0.0101 * np.abs(true)
+    return pd.DataFrame(
+        {
+            "q": exact["q"].to_numpy(np.float64),
+            "value": true,
+            "tdigest_within_1pct": td_ok.astype(bool),
+            "ddsketch_within_alpha": dd_ok.astype(bool),
+        }
+    )
+
+
+ORACLE_SQL["lineitem_weighted_price_sketch"] = """
+WITH h AS (
+  SELECT l_extendedprice AS v, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+  FROM lineitem GROUP BY v
+),
+t AS (SELECT SUM(w) AS tw FROM h),
+c AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw FROM h),
+qs(qpct) AS (VALUES (10), (25), (50), (75), (90), (95), (99))
+SELECT CAST(qpct AS DOUBLE) / 100.0 AS q,
+       (SELECT MIN(c.v) FROM c, t
+        WHERE c.cw >= GREATEST((qpct * t.tw + 99) // 100, 1)) AS value,
+       TRUE AS tdigest_within_1pct,
+       TRUE AS ddsketch_within_alpha
+FROM qs ORDER BY q
+"""
+QUERIES["lineitem_weighted_price_sketch"] = lineitem_weighted_price_sketch_gate
 
 
 def orders_price_gini(sf_dir: str) -> pd.DataFrame:

@@ -152,7 +152,9 @@ def test_events_value_ddsketch_ray_path(ray_session):
 
     from approximate_quantiles_ray.pipelines.relational import events_value_ddsketch
 
-    out = events_value_ddsketch(SF_DIR, alpha=0.01)
+    from approximate_quantiles_ray.pipelines.relational import events_value_ddsketch_estimates
+
+    out = events_value_ddsketch_estimates(SF_DIR, alpha=0.01)
     v = np.sort(pq.read_table(f"{SF_DIR}/events.parquet", columns=["value"])
                 .column("value").to_numpy())
     for q, est in zip(out["q"], out["value_est"]):

