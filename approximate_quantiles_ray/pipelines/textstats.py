@@ -160,7 +160,26 @@ def fingerprint_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
 # ------------------------------------------------------------------- pipelines
 
 
-def docs_token_stats(sf_dir: str) -> pd.DataFrame:
+def _per_doc_result(ds_out, output_path: str | None) -> pd.DataFrame:
+    """Terminal step for per-document report pipelines. With no sink
+    the full result comes back to the driver for the oracle diff
+    (sf-test scale only); with ``output_path`` the result STREAMS to
+    Parquet and only a bounded one-row summary returns — at corpus
+    scale a per-doc report IS an export job and the driver must never
+    hold one row per document (round-3 verdict item 4)."""
+    if output_path is None:
+        out = ds_out.to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+    ds_out.write_parquet(output_path)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(output_path, format="parquet").count_rows()
+    return pd.DataFrame(
+        {"rows_written": np.array([n], np.int64), "output_path": [output_path]}
+    )
+
+
+def docs_token_stats(sf_dir: str, output_path: str | None = None) -> pd.DataFrame:
     """Per-doc token/char counts (oracle-matched vs DuckDB regexes)."""
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -168,11 +187,11 @@ def docs_token_stats(sf_dir: str) -> pd.DataFrame:
         lambda t: token_count_stats(t).drop_columns(["text"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    )
+    return _per_doc_result(out, output_path)
 
 
-def docs_quality_report(sf_dir: str) -> pd.DataFrame:
+def docs_quality_report(sf_dir: str, output_path: str | None = None) -> pd.DataFrame:
     """Per-doc quality features + composite score, oracle-matched: the
     score is rational IEEE arithmetic over the integer evidence counts,
     replicated operation-for-operation in SQL."""
@@ -184,11 +203,11 @@ def docs_quality_report(sf_dir: str) -> pd.DataFrame:
         worker_cached_stage(QualityScorer),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).drop_columns(["text"]).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    ).drop_columns(["text"])
+    return _per_doc_result(out, output_path)
 
 
-def docs_lang_id(sf_dir: str) -> pd.DataFrame:
+def docs_lang_id(sf_dir: str, output_path: str | None = None) -> pd.DataFrame:
     """Predicted language per doc + agreement with the labeled lang."""
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
@@ -197,28 +216,33 @@ def docs_lang_id(sf_dir: str) -> pd.DataFrame:
     pred = ds.map_batches(
         worker_cached_stage(LanguageID), batch_format="pyarrow", zero_copy_batch=True
     ).drop_columns(["text"])
-    out = pred.to_pandas()
-    out["match"] = out["lang_pred"] == out["lang"]
-    return out.sort_values("doc_id").reset_index(drop=True)
+    pred = pred.map_batches(
+        lambda t: t.append_column(
+            "match", pc.equal(t.column("lang_pred"), t.column("lang"))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _per_doc_result(pred, output_path)
 
 
-def docs_fingerprints(sf_dir: str) -> pd.DataFrame:
-    """Per-doc 64-bit content fingerprint (rows-only check: the polars
-    xxhash base is not reproducible in SQL; determinism and exact-dup
-    collision behavior are pytest-verified instead)."""
+def docs_fingerprints(sf_dir: str, output_path: str | None = None) -> pd.DataFrame:
+    """Per-doc 64-bit content fingerprint (rows-only surface; the
+    ORACLE-MATCHED invariants — determinism, collision-freedom, doc
+    counts — live in sketch_gates.docs_fingerprints_gate)."""
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
         lambda t: fingerprint_batch(t).drop_columns(["text"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    )
+    return _per_doc_result(out, output_path)
 
 
 _STOP_RE = r"(?i)\b(" + "|".join(sorted({w for ws in STOPWORDS.values() for w in ws})) + r")\b"
 
 
-def docs_quality_features(sf_dir: str) -> pd.DataFrame:
+def docs_quality_features(sf_dir: str, output_path: str | None = None) -> pd.DataFrame:
     """The INTEGER evidence columns behind the quality score, oracle-
     matched vs DuckDB regexp counts (the float ratios/score stay in
     docs_quality_report — division results are deterministic too, but
@@ -238,11 +262,11 @@ def docs_quality_features(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ds.map_batches(features, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(features, batch_format="pyarrow", zero_copy_batch=True)
+    return _per_doc_result(out, output_path)
 
 
-def docs_lang_stopword_hits(sf_dir: str) -> pd.DataFrame:
+def docs_lang_stopword_hits(sf_dir: str, output_path: str | None = None) -> pd.DataFrame:
     """Per-doc per-language stopword hit counts — the integer evidence
     the LanguageID heuristic votes on, oracle-matched vs DuckDB."""
 
@@ -257,11 +281,11 @@ def docs_lang_stopword_hits(sf_dir: str) -> pd.DataFrame:
             cols[f"hits_{lang}"] = pc.cast(pc.count_substring_regex(text, rx), pa.int64())
         return pa.table(cols)
 
-    out = ds.map_batches(hits, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(hits, batch_format="pyarrow", zero_copy_batch=True)
+    return _per_doc_result(out, output_path)
 
 
-def docs_quality_ratios(sf_dir: str) -> pd.DataFrame:
+def docs_quality_ratios(sf_dir: str, output_path: str | None = None) -> pd.DataFrame:
     """The float feature columns of the quality score, oracle-matched:
     each ratio is ONE IEEE-754 double division of two integer counts —
     bit-identical between numpy and DuckDB (no reduction, no libm), so
@@ -293,8 +317,8 @@ def docs_quality_ratios(sf_dir: str) -> pd.DataFrame:
                 }
             )
 
-    out = ds.map_batches(ratios, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(ratios, batch_format="pyarrow", zero_copy_batch=True)
+    return _per_doc_result(out, output_path)
 
 
 def _sql_stop_re(words: list[str]) -> str:
@@ -475,7 +499,7 @@ ORACLE_SQL["docs_vocab_topk"] = """
 """
 
 
-def docs_content_ids(sf_dir: str) -> pd.DataFrame:
+def docs_content_ids(sf_dir: str, output_path: str | None = None) -> pd.DataFrame:
     """CONTENT-ADDRESSABLE IDS (oracle-matched): md5 hex digest of each
     document's text — the cross-run-stable content key an ingest uses
     to dedup against an existing corpus (the 64-bit xxhash fingerprint
@@ -505,8 +529,8 @@ def docs_content_ids(sf_dir: str) -> pd.DataFrame:
             {"doc_id": tbl.column("doc_id"), "content_md5": pa.array(digests, pa.string())}
         )
 
-    out = ds.map_batches(batch_md5, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(batch_md5, batch_format="pyarrow", zero_copy_batch=True)
+    return _per_doc_result(out, output_path)
 
 
 ORACLE_SQL["docs_content_ids"] = """

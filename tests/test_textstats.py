@@ -111,3 +111,44 @@ def test_distinctive_terms_planted_skew(ray_session, tmp_path):
     assert z.iloc[0]["source"] == "s0"
     assert z.iloc[0]["n"] == 9 and z.iloc[0]["gtf"] == 9
     assert z.iloc[0]["rnk"] == 1
+
+
+def test_per_doc_reports_sink_variant(ray_session, tmp_path, monkeypatch):
+    """VERDICT r3 item 4: with output_path= the per-doc report queries
+    stream to Parquet and return a bounded summary — no full-corpus
+    to_pandas on the driver. Oracle (no-sink) shape unchanged."""
+    import pyarrow.dataset as pads
+
+    from approximate_quantiles_ray.pipelines import textstats as ts
+
+    sf = "/root/testdata/sf0.001"
+    fams = [
+        ts.docs_token_stats,
+        ts.docs_quality_report,
+        ts.docs_lang_id,
+        ts.docs_fingerprints,
+        ts.docs_quality_features,
+        ts.docs_lang_stopword_hits,
+        ts.docs_quality_ratios,
+        ts.docs_content_ids,
+    ]
+    n_docs = len(ts.docs_token_stats(sf))
+
+    # sink path must never call Dataset.to_pandas
+    import ray.data
+
+    def boom(self, *a, **k):
+        raise AssertionError("sink variant materialized the corpus on the driver")
+
+    for i, fn in enumerate(fams):
+        out_dir = str(tmp_path / f"rep{i}")
+        monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+        try:
+            summary = fn(sf, output_path=out_dir)
+        finally:
+            monkeypatch.undo()
+        assert list(summary.columns) == ["rows_written", "output_path"]
+        assert int(summary["rows_written"].iloc[0]) == n_docs
+        sunk = pads.dataset(out_dir, format="parquet")
+        assert sunk.count_rows() == n_docs
+        assert "doc_id" in sunk.schema.names
