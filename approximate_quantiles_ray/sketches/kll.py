@@ -85,12 +85,19 @@ class KLL(SlotState):
         "_sorted_cache",
         "compaction",
         "fast",
+        "dtype",
     )
 
     def __init__(self, k: int = 200, seed: int = 0, compaction: str = "default",
-                 fast: bool = False):
+                 fast: bool = False, dtype: str = "f8"):
         if compaction not in ("default", "average"):
             raise ValueError("compaction must be 'default' or 'average'")
+        # storage precision for level buffers, mirroring the reference's
+        # genericity over F: Float (src/traits.rs:1-6; f32 instantiation
+        # src/rc_sketch/rc_sketch.rs:412) — f4 halves sketch state
+        self.dtype = np.dtype(dtype)
+        if self.dtype not in (np.dtype("f4"), np.dtype("f8")):
+            raise ValueError("dtype must be 'f4' or 'f8'")
         # fast=True always compacts the upper half (rc_sketch.rs:130-136
         # get_compact_index_fast): cheaper, more error
         self.fast = bool(fast)
@@ -132,7 +139,7 @@ class KLL(SlotState):
         if len(chunks) == 1:
             return chunks[0]
         if not chunks:
-            return np.empty(0, dtype=np.float64)
+            return np.empty(0, dtype=self.dtype)
         merged = np.concatenate(chunks)
         self._levels[h] = [merged]
         return merged
@@ -145,10 +152,10 @@ class KLL(SlotState):
 
     @property
     def nbytes(self) -> int:
-        return sum(ll * 8 for ll in self._level_lens) + 64
+        return sum(ll * self.dtype.itemsize for ll in self._level_lens) + 64
 
     def update(self, values: np.ndarray) -> "KLL":
-        values = np.asarray(values, dtype=np.float64).ravel()
+        values = np.asarray(values, dtype=self.dtype).ravel()
         if len(values) == 0:
             return self
         self._sorted_cache = None
@@ -235,9 +242,11 @@ class KLL(SlotState):
         more-compacted section parameters, re-compress until every level
         fits. Symmetric in (self, other) so pairwise merge is exactly
         commutative (seeded coin + canonical sort)."""
-        if (other.k, other.compaction, other.fast) != (self.k, self.compaction, self.fast):
+        if (other.k, other.compaction, other.fast, other.dtype) != (
+            self.k, self.compaction, self.fast, self.dtype,
+        ):
             raise ValueError(
-                "cannot merge KLL sketches with different (k, compaction, fast) configuration"
+                "cannot merge KLL sketches with different (k, compaction, fast, dtype) configuration"
             )
         self._sorted_cache = None
         while len(self._levels) < len(other._levels):
@@ -343,6 +352,7 @@ class KLL(SlotState):
                 "section_sizes": list(self.section_sizes),
                 "compaction": self.compaction,
                 "fast": self.fast,
+                "dtype": self.dtype.str,
             },
         )
 
@@ -356,8 +366,9 @@ class KLL(SlotState):
             seed=st["seed"],
             compaction=st.get("compaction", "default"),
             fast=st.get("fast", False),
+            dtype=st.get("dtype", "f8"),
         )
-        obj._levels = [[np.asarray(a, dtype=np.float64)] for a in st["levels"]]
+        obj._levels = [[np.asarray(a, dtype=obj.dtype)] for a in st["levels"]]
         obj._level_lens = [len(a) for a in st["levels"]]
         obj.sketch_size = sum(obj._level_lens)
         obj._count = st["count"]

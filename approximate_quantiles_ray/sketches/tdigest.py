@@ -57,7 +57,17 @@ def weighted_average(x1: float, w1: float, x2: float, w2: float) -> float:
 
 @register_sketch
 class TDigest(SlotState):
-    """Mergeable t-digest over float64 values."""
+    """Mergeable t-digest over float values.
+
+    ``dtype`` ("f8" default, "f4" optional) selects the CENTROID storage
+    precision, mirroring the reference's genericity over ``F: Float``
+    (src/traits.rs:1-6; its tests/benches instantiate f32,
+    src/t_digest/t_digest.rs:12-17). f4 halves state size and doubles
+    cache throughput at 10^12-turn scale; compaction and query
+    arithmetic stay in float64 regardless (only storage narrows), so
+    the rank-error guarantee degrades only by value-rounding at the
+    f32 mantissa (~1e-7 relative), covered by the reference's own
+    f32-instantiated bounds in tests/test_f32_kernels.py."""
 
     name = "tdigest"
 
@@ -72,15 +82,20 @@ class TDigest(SlotState):
         "_pending",
         "_pending_n",
         "flush_size",
+        "dtype",
     )
 
-    def __init__(self, delta: float = 1000.0, scale: str = "k2", flush_size: int = 65536):
+    def __init__(self, delta: float = 1000.0, scale: str = "k2", flush_size: int = 65536,
+                 dtype: str = "f8"):
         if scale not in SCALE_FUNCTIONS:
             raise ValueError(f"unknown scale function {scale!r}")
+        self.dtype = np.dtype(dtype)
+        if self.dtype not in (np.dtype("f4"), np.dtype("f8")):
+            raise ValueError("dtype must be 'f4' or 'f8'")
         self.delta = float(delta)
         self.scale = scale
-        self.means = np.empty(0, dtype=np.float64)
-        self.weights = np.empty(0, dtype=np.float64)
+        self.means = np.empty(0, dtype=self.dtype)
+        self.weights = np.empty(0, dtype=self.dtype)
         self.min = np.inf
         self.max = -np.inf
         self._count = 0
@@ -93,7 +108,7 @@ class TDigest(SlotState):
     def update(self, values: np.ndarray) -> "TDigest":
         """Add a batch of values (weight-1 points). Buffered: compaction
         runs when the pending buffer reaches ``flush_size``."""
-        values = np.asarray(values, dtype=np.float64)
+        values = np.asarray(values, dtype=self.dtype)
         if values.ndim != 1:
             values = values.ravel()
         if len(values) == 0:
@@ -111,8 +126,8 @@ class TDigest(SlotState):
         path, t_digest.rs:301-361, which never required weight == 1).
         Pairs with the exact oracle ``relational.exact_weighted_quantiles``
         — quantile positions are taken over total WEIGHT, not row count."""
-        values = np.asarray(values, dtype=np.float64).ravel()
-        weights = np.asarray(weights, dtype=np.float64).ravel()
+        values = np.asarray(values, dtype=self.dtype).ravel()
+        weights = np.asarray(weights, dtype=self.dtype).ravel()
         if len(values) != len(weights):
             raise ValueError("values and weights must align")
         pos = weights > 0
@@ -120,7 +135,7 @@ class TDigest(SlotState):
             values, weights = values[pos], weights[pos]
         if len(values) == 0:
             return self
-        self._count += int(round(float(weights.sum())))
+        self._count += int(round(float(weights.astype(np.float64).sum())))
         self._flush()  # keep pending weight-1 points ahead of the merge
         self._add_weighted(values, weights)
         return self
@@ -131,7 +146,7 @@ class TDigest(SlotState):
         vals = np.concatenate(self._pending) if len(self._pending) > 1 else self._pending[0]
         self._pending = []
         self._pending_n = 0
-        self._add_weighted(vals, np.ones(len(vals), dtype=np.float64))
+        self._add_weighted(vals, np.ones(len(vals), dtype=self.dtype))
 
     def _add_weighted(self, means: np.ndarray, weights: np.ndarray) -> None:
         """Merge weighted points into the digest (add_centroid_buffer)."""
@@ -155,6 +170,10 @@ class TDigest(SlotState):
         """
         k, inv_k = SCALE_FUNCTIONS[self.scale]
         delta = self.delta
+        # arithmetic in float64 regardless of storage dtype: cumulative
+        # weights and weighted means would lose counts past 2^24 in f4
+        means = means.astype(np.float64, copy=False)
+        weights = weights.astype(np.float64, copy=False)
         cw = np.cumsum(weights)
         total = float(cw[-1])
         n = len(means)
@@ -178,15 +197,18 @@ class TDigest(SlotState):
         starts_arr = np.asarray(starts, dtype=np.intp)
         new_weights = np.add.reduceat(weights, starts_arr)
         new_means = np.add.reduceat(means * weights, starts_arr) / new_weights
-        return new_means, new_weights
+        return (
+            new_means.astype(self.dtype, copy=False),
+            new_weights.astype(self.dtype, copy=False),
+        )
 
     # ------------------------------------------------------------------ merge
 
     def merge(self, other: "TDigest") -> "TDigest":
         """Merge another t-digest into this one (commutative up to the
         algorithm's published ε; validated by merge-permutation tests)."""
-        if (other.delta, other.scale) != (self.delta, self.scale):
-            raise ValueError("cannot merge t-digests with different (delta, scale)")
+        if (other.delta, other.scale, other.dtype) != (self.delta, self.scale, self.dtype):
+            raise ValueError("cannot merge t-digests with different (delta, scale, dtype)")
         other._flush()
         self._flush()
         if other._count == 0:
@@ -369,6 +391,7 @@ class TDigest(SlotState):
                 "max": self.max,
                 "count": self._count,
                 "flush_size": self.flush_size,
+                "dtype": self.dtype.str,
             },
         )
 
@@ -377,9 +400,10 @@ class TDigest(SlotState):
         name, st = unpack_state(data)
         if name != cls.name:
             raise ValueError(f"expected {cls.name} state, got {name}")
-        obj = cls(delta=st["delta"], scale=st["scale"], flush_size=st["flush_size"])
-        obj.means = np.asarray(st["means"], dtype=np.float64)
-        obj.weights = np.asarray(st["weights"], dtype=np.float64)
+        obj = cls(delta=st["delta"], scale=st["scale"], flush_size=st["flush_size"],
+                  dtype=st.get("dtype", "f8"))
+        obj.means = np.asarray(st["means"], dtype=obj.dtype)
+        obj.weights = np.asarray(st["weights"], dtype=obj.dtype)
         obj.min = st["min"]
         obj.max = st["max"]
         obj._count = st["count"]
