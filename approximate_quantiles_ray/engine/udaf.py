@@ -74,6 +74,10 @@ class SketchSpec:
     # turns/conversation feeds ~30× fewer values. NEVER set for
     # multiplicity-sensitive sketches (count-min, quantiles).
     dedup_per_batch: bool = False
+    # columns a `transform` touches (projection hint — transforms are
+    # opaque, so readers that want a pruned scan need this; plain
+    # `on`/`weight_on` specs don't)
+    requires: tuple[str, ...] | None = None
 
     def _cache_key(self):
         return (id(self.transform), self.on, self.kind, self.dedup_per_batch, self.weight_on)
@@ -106,6 +110,12 @@ class SketchSpec:
 
     def build(self, block: pa.Table, cache: dict | None = None):
         sketch = self.factory()
+        return self.ingest(sketch, block, cache)
+
+    def ingest(self, sketch, block: pa.Table, cache: dict | None = None):
+        """Feed one block into an EXISTING sketch (incremental form of
+        :meth:`build` — lets a reader fold many record batches into one
+        deterministic per-file partial)."""
         if self.kind == "float" and self.weight_on is not None:
             # value/weight pairing must survive null dropping TOGETHER:
             # independent per-column drop_null misaligns the pairs when
@@ -150,6 +160,23 @@ class SketchSpec:
             else:
                 sketch.update(values)
         return sketch
+
+
+def required_columns(specs: list[SketchSpec]) -> list[str] | None:
+    """Union of input columns the specs read — the projection a pruned
+    scan should use. Returns None when some transform carries no
+    ``requires`` hint (opaque derivation: caller must read everything)."""
+    cols: set[str] = set()
+    for s in specs:
+        if s.transform is not None and s.requires is None:
+            return None
+        if s.on:
+            cols.add(s.on)
+        if s.weight_on:
+            cols.add(s.weight_on)
+        if s.requires:
+            cols.update(s.requires)
+    return sorted(cols)
 
 
 def _as_table(block) -> pa.Table:

@@ -57,11 +57,13 @@ def global_specs(
             key="text_len_tdigest",
             factory=lambda: TDigest(delta=delta, scale="k2"),
             transform=text_len,
+            requires=("text",),
         ),
         SketchSpec(
             key="text_len_kll",
             factory=lambda: KLL(k=kll_k, seed=seed),
             transform=text_len,
+            requires=("text",),
         ),
         SketchSpec(
             key="conv_hll",

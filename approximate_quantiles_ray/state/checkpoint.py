@@ -26,8 +26,45 @@ from typing import Any, Callable
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from approximate_quantiles_ray.engine.udaf import PartialSketcher, SketchSpec
+from approximate_quantiles_ray.engine.udaf import SketchSpec, required_columns
 from approximate_quantiles_ray.sketches.base import sketch_from_bytes
+
+
+class FilePartialSketcher:
+    """map_batches callable over FILE PATHS: each file folds through its
+    own record-batch stream (fixed ``batch_size``) into ONE sketch per
+    spec — a pure function of the file, immune to Ray's block-splitting
+    and task-fusion choices, so checkpointed partials are bit-stable
+    across runs, sessions, and cluster load. The scan is pruned to the
+    specs' required columns when every transform declares them."""
+
+    def __init__(self, specs: list[SketchSpec], batch_size: int = 65536):
+        self.specs = specs
+        self.batch_size = batch_size
+        self.columns = required_columns(specs)
+
+    def __call__(self, paths: pa.Table) -> pa.Table:
+        keys, states, counts = [], [], []
+        for path in paths.column("path").to_pylist():
+            pf = pq.ParquetFile(path)
+            sketches = {s.key: s.factory() for s in self.specs}
+            for rb in pf.iter_batches(batch_size=self.batch_size, columns=self.columns):
+                block = pa.Table.from_batches([rb])
+                cache: dict = {}
+                for s in self.specs:
+                    s.ingest(sketches[s.key], block, cache)
+            for s in self.specs:
+                sk = sketches[s.key]
+                keys.append(s.key)
+                states.append(sk.to_bytes())
+                counts.append(sk.count)
+        from approximate_quantiles_ray.engine.udaf import PARTIAL_SCHEMA
+
+        return pa.Table.from_arrays(
+            [pa.array(keys), pa.array(states, type=pa.binary()),
+             pa.array(counts, type=pa.int64())],
+            schema=PARTIAL_SCHEMA,
+        )
 
 PART_SCHEMA = pa.schema(
     [
@@ -266,18 +303,24 @@ class CheckpointedSketchJob:
         import ray.data as rd
 
         t0 = time.perf_counter()
-        # Dataset creation (path/filesystem resolution) is serialized: Ray's
-        # resolver lazily imports optional fsspec modules, and since the
-        # import FAILS in this env (no aiohttp) it never caches — concurrent
-        # attempts race into a plain ImportError that escapes Ray's
-        # ModuleNotFoundError guard. Execution below stays concurrent.
+        # One partial per (file, spec), built by FilePartialSketcher from
+        # the file's own record-batch stream at a FIXED batch size. This
+        # makes every partial a pure function of the file — independent
+        # of Ray's block splitting, task fusion, or cluster load — so an
+        # interrupted+resumed run is bit-equal to an unbroken one even
+        # across sessions (the old per-Ray-block partials drifted with
+        # the scheduler's batch boundaries). Dataset creation is
+        # serialized: Ray's path resolver lazily imports optional fsspec
+        # modules, and since the import FAILS in this env (no aiohttp) it
+        # never caches — concurrent attempts race into a plain
+        # ImportError that escapes Ray's ModuleNotFoundError guard.
+        # Execution below stays concurrent.
         with self._driver_lock:
-            ds = rd.read_parquet(files)
-        partials = ds.map_batches(
-            PartialSketcher(self.specs),
+            paths = rd.from_items([{"path": f} for f in sorted(files)])
+        partials = paths.map_batches(
+            FilePartialSketcher(self.specs, self.batch_size),
             batch_format="pyarrow",
-            batch_size=self.batch_size,
-            zero_copy_batch=True,
+            batch_size=1,
         )
         by_key: dict[str, list[bytes]] = {s.key: [] for s in self.specs}
         for tbl in partials.iter_batches(batch_format="pyarrow"):
