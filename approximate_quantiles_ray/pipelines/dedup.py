@@ -478,35 +478,68 @@ def dist_bucket_pairs(
 def _star_edges(band_ds, id_col: str = "doc_id") -> pd.DataFrame:
     """Distributed star-edge candidate generation (the scale path).
 
-    One groupby aggregate finds each hot bucket's MIN(id) — the result
-    is one row per hot bucket, the only thing that touches the driver
-    before the (small) verified-pair stage. That table is broadcast via
-    ``ray.put`` and resolved once per actor; each batch of band rows
-    merges against it (vectorized) and emits (root, member) edges.
-    Edges are made distinct by a distributed groupby BEFORE they reach
-    the driver, so the transfer is one row per unique candidate pair —
-    linear in the number of near-duplicate documents, with NO per-bucket
-    membership cap (star edges are linear in run size, so truncation
-    would only lose recall; cf. round-1 ADVICE.md item 3).
+    Hot-bucket detection runs as ONE distributed range sort over packed
+    int64 bucket keys plus a per-block sorted-run aggregate with driver
+    boundary stitching — measured ~20× faster than a Ray
+    groupby-aggregate over the same rows (1M docs: 108 s → ~10 s; the
+    sort itself is 4 s, the groupby machinery was the cost, BASELINE
+    §5.12). (band, bucket) packs into one uint64 key by multiply-xor;
+    a key collision only creates a false CANDIDATE pair, which the
+    exact-Jaccard verify stage rejects. After the sort, equal keys are
+    co-located, so each block emits only its duplicated runs plus its
+    two edge runs (for keys spanning block boundaries) — O(#hot + 2)
+    rows per block to the driver. The hot table is broadcast via
+    ``ray.put``; each batch of band rows joins against it (vectorized)
+    and emits (root, member) edges, distinct-ed by a distributed
+    groupby BEFORE they reach the driver, so the transfer is one row
+    per unique candidate pair — linear in the number of near-duplicate
+    documents, with NO per-bucket membership cap (star edges are linear
+    in run size; cf. round-1 ADVICE.md item 3).
     """
-    from approximate_quantiles_ray.engine.folds import adaptive_grouped_agg_ds
+    import ray
 
-    def block_hot(tbl: pa.Table) -> pa.Table:
-        agg = tbl.group_by(["band", "bucket"]).aggregate([(id_col, "min"), ([], "count_all")])
-        return agg.rename_columns(["band", "bucket", "root", "n"])
+    C1, C2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
 
-    part = band_ds.map_batches(block_hot, batch_format="pyarrow", zero_copy_batch=True)
-    # hot filter BEFORE the driver sees rows: one row per HOT bucket is
-    # the only thing that may land driver-side on the scale path
-    hot, is_ds = adaptive_grouped_agg_ds(part, ["band", "bucket"], {"root": "min", "n": "sum"})
-    if is_ds:
-        hot = hot.filter(expr="n > 1").to_pandas()[["band", "bucket", "root", "n"]]
-    if len(hot):
-        hot = hot[hot["n"] > 1].drop(columns=["n"])
+    def _pack_key(tbl: pa.Table) -> np.ndarray:
+        band = tbl.column("band").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return ((bucket * C1) ^ (band * C2)).astype(np.int64)
+
+    def pack(tbl: pa.Table) -> pa.Table:
+        return pa.table({"key": pa.array(_pack_key(tbl)), id_col: tbl.column(id_col)})
+
+    keyed = band_ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    skeyed = keyed.sort("key")
+
+    def block_runs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"key": pa.array([], pa.int64()), "root": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if tbl.num_rows == 0:
+            return empty
+        k = tbl.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        lens = np.diff(np.append(starts, len(k)))
+        roots = np.minimum.reduceat(ids, starts)
+        keep = lens > 1
+        keep[0] = keep[-1] = True  # edge runs may continue in a neighbor block
+        return pa.table(
+            {"key": pa.array(k[starts[keep]]), "root": pa.array(roots[keep]),
+             "n": pa.array(lens[keep].astype(np.int64))}
+        )
+
+    runs = skeyed.map_batches(
+        block_runs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).to_pandas()
+    if not len(runs):
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+    hot = runs.groupby("key", as_index=False).agg(root=("root", "min"), n=("n", "sum"))
+    hot = hot[hot["n"] > 1].drop(columns=["n"])
     if not len(hot):
         return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
-
-    import ray
 
     hot_ref = ray.put(hot)
 
@@ -515,8 +548,11 @@ def _star_edges(band_ds, id_col: str = "doc_id") -> pd.DataFrame:
         # shared-memory read, cached per worker process — a plain task
         # fn avoids actor-pool spin-up for this cheap stage
         hot_df = ray.get(hot_ref)
-        df = tbl.select([id_col, "band", "bucket"]).to_pandas()
-        m = df.merge(hot_df, on=["band", "bucket"], how="inner")
+        df = pd.DataFrame(
+            {"key": _pack_key(tbl),
+             id_col: tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)}
+        )
+        m = df.merge(hot_df, on="key", how="inner")
         m = m[m[id_col] != m["root"]]
         return pa.table({"a": pa.array(m["root"].to_numpy()), "b": pa.array(m[id_col].to_numpy())})
 

@@ -1,0 +1,298 @@
+"""16M-row scale smokes for the LLM-data family (round-3 verdict item 3).
+
+Dedup and ANN previously had only sf0.1-sized evidence (~10k docs). This
+tool synthesizes corpus-scale inputs with PLANTED structure and runs the
+real operators end-to-end, recording wall, driver max-RSS, recall of the
+planted structure, and any cap-hit warnings:
+
+- ``dedup``   — minhash_lsh_dedup over N docs (default 16M). Every
+  1000-id block plants a 4-member near-dup family (members mutate 1-3
+  of 40 tokens → Jaccard ≥ 0.86); recall = fraction of sampled families
+  fully co-clustered.
+- ``jaccard`` — exact n-gram Jaccard join over a (default 2M) slice:
+  the exact join shuffles every distinct shingle, so it is the
+  quadratic-adjacent operator; the probabilistic paths carry the 16M.
+- ``ann``     — brute-force ground truth + IVF + PQ over N vectors
+  (default 16M, dim 32, 256 planted clusters); recall@10 vs exact.
+
+    python tools/llm_scale_smoke.py                 # all phases
+    python tools/llm_scale_smoke.py --docs 1000000 --phase dedup
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+import warnings
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+VOCAB_N = 50_000
+TOKENS_PER_DOC = 40
+FAMILY_EVERY = 1000  # ids [b*1000, b*1000+4) form a near-dup family
+DIM = 32
+N_CENTERS = 256
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _cap_warnings(caught) -> list[str]:
+    """Only the engine's own cap/recall warnings — not library noise."""
+    return [
+        str(w.message)[:200] for w in caught
+        if "approximate_quantiles_ray" in (w.filename or "")
+    ]
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+# ------------------------------------------------------------- generators
+
+
+def _doc_shard(shard: int, rows: int, out_dir: str) -> str:
+    """Write one docs shard. Text is a pure function of doc_id: family
+    members (id % 1000 < 4) share the family's token stream with
+    member-index m mutating m token positions — deterministic across
+    shards and runs, no cross-shard coordination."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray.functions.hashing import splitmix64
+
+    start = shard * rows
+    ids = np.arange(start, start + rows, dtype=np.int64)
+    member = ids % FAMILY_EVERY
+    is_fam = member < 4
+    content = np.where(is_fam, ids - member, ids).astype(np.uint64)
+
+    # token index matrix: (rows, T) from splitmix of (content_key, pos)
+    pos = np.arange(TOKENS_PER_DOC, dtype=np.uint64)
+    keys = content[:, None] * np.uint64(TOKENS_PER_DOC) + pos[None, :]
+    with np.errstate(over="ignore"):
+        tok = (splitmix64(keys.ravel()).reshape(rows, TOKENS_PER_DOC)
+               % np.uint64(VOCAB_N)).astype(np.int64)
+        # member m of a family mutates the LAST m tokens — trailing
+        # edits keep EVERY within-family pair above Jaccard 0.8 in both
+        # word-shingle space (worst pair: 33/39 = 0.846) and char space
+        for m in (1, 2, 3):
+            sel = is_fam & (member == m)
+            for j in range(m):
+                p = (39, 38, 37)[j]
+                tok[sel, p] = (
+                    splitmix64(ids[sel].astype(np.uint64) * np.uint64(97) + np.uint64(j))
+                    % np.uint64(VOCAB_N)
+                ).astype(np.int64)
+
+    vocab = np.array([f"w{i:05d}" for i in range(VOCAB_N)], dtype=object)
+    texts = [" ".join(row) for row in vocab[tok]]
+    path = os.path.join(out_dir, f"part-{shard:05d}.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts, pa.string())}),
+        path,
+    )
+    return path
+
+
+def _vec_shard(shard: int, rows: int, out_dir: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    start = shard * rows
+    ids = np.arange(start, start + rows, dtype=np.int64)
+    rng_c = np.random.default_rng(1234)
+    centers = rng_c.normal(size=(N_CENTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rng = np.random.default_rng(10_000 + shard)
+    v = centers[ids % N_CENTERS] + 0.05 * rng.normal(size=(rows, DIM))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(v.astype(np.float32).ravel()), DIM
+    ).cast(pa.list_(pa.float32()))
+    path = os.path.join(out_dir, f"part-{shard:05d}.parquet")
+    pq.write_table(pa.table({"vec_id": pa.array(ids), "embedding": emb}), path)
+    return path
+
+
+def ensure_corpus(kind: str, n: int, rows_per_shard: int = 250_000) -> str:
+    import ray
+
+    out_dir = f"/tmp/aqr_llm_smoke/{kind}_v2_{n}"
+    if os.path.isdir(out_dir) and len(os.listdir(out_dir)) == n // rows_per_shard:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    fn = _doc_shard if kind == "docs" else _vec_shard
+    worker = ray.remote(num_cpus=1)(fn)
+    n_shards = n // rows_per_shard
+    ray.get([worker.remote(s, rows_per_shard, out_dir) for s in range(n_shards)])
+    return out_dir
+
+
+# ----------------------------------------------------------------- phases
+
+
+def phase_dedup(n_docs: int) -> dict:
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.dedup import minhash_lsh_dedup
+
+    tdir = ensure_corpus("docs", n_docs)
+    t0 = time.perf_counter()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = minhash_lsh_dedup(rd.read_parquet(tdir)).materialize()
+    wall = time.perf_counter() - t0
+
+    # planted recall on 200 deterministic sample families: all 4 members
+    # must share a cluster id (distributed filter; driver sees 800 rows)
+    n_fams = n_docs // FAMILY_EVERY
+    fam_bases = (np.linspace(0, n_fams - 1, min(200, n_fams)).astype(np.int64)
+                 * FAMILY_EVERY)
+    want = set()
+    for b in fam_bases:
+        want.update(range(int(b), int(b) + 4))
+    import pyarrow.compute as _pc
+
+    sample = out.map_batches(
+        lambda t: t.filter(_pc.is_in(t.column("doc_id"), value_set=__import__("pyarrow").array(sorted(want)))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    ok = 0
+    g = sample.set_index("doc_id")["cluster_id"]
+    for b in fam_bases:
+        cids = {g.get(int(b) + m) for m in range(4)}
+        ok += len(cids) == 1 and None not in cids
+    dup_rows = int(out.count() - out.sum("is_kept"))
+    return {
+        "n_docs": n_docs,
+        "wall_s": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "planted_family_recall": round(ok / len(fam_bases), 4),
+        "dup_rows_removed": dup_rows,
+        "driver_rss_mb": round(_rss_mb(), 1),
+        "warnings": _cap_warnings(caught),
+    }
+
+
+def phase_jaccard(n_docs: int) -> dict:
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.dedup import jaccard_similarity_join
+
+    tdir = ensure_corpus("docs", n_docs)
+    t0 = time.perf_counter()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pairs = jaccard_similarity_join(rd.read_parquet(tdir), tau_permille=800)
+    n_fams = n_docs // FAMILY_EVERY
+    wall = time.perf_counter() - t0
+    # planted: every within-family pair has word-shingle J >= 0.846,
+    # so each family contributes all 6 pairs at tau 0.8
+    fam_pairs = pairs[
+        (pairs["a"] % FAMILY_EVERY < 4)
+        & (pairs["b"] - pairs["a"] + pairs["a"] % FAMILY_EVERY < 4)
+    ]
+    return {
+        "n_docs": n_docs,
+        "wall_s": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "pairs_found": int(len(pairs)),
+        "family_pair_recall": round(len(fam_pairs) / (6 * n_fams), 4),
+        "family_pairs_found": int(len(fam_pairs)),
+        "driver_rss_mb": round(_rss_mb(), 1),
+        "warnings": _cap_warnings(caught),
+    }
+
+
+def phase_ann(n_vecs: int) -> dict:
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.similarity import (
+        knn_brute_force,
+        knn_ivf,
+        knn_pq,
+    )
+
+    vdir = ensure_corpus("vecs", n_vecs)
+    n_q = 16
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(os.path.join(vdir, "part-00000.parquet")).slice(0, n_q)
+    qids = np.array(head.column("vec_id").to_pylist(), np.int64)
+    qmat = np.array(head.column("embedding").to_pylist(), np.float64)
+
+    out = {"n_vecs": n_vecs, "dim": DIM, "n_queries": n_q}
+    truth = None
+    for name, fn, kw in (
+        ("bruteforce", knn_brute_force, {}),
+        ("ivf", knn_ivf, {"n_centroids": N_CENTERS, "nprobe": 8, "sample_size": 32_768}),
+        # near-duplicate clusters are PQ's hardest regime: quantization
+        # error exceeds the intra-cluster spread, so ADC ordering within
+        # the winning cluster is near-random — widen the exact re-rank
+        # pool (refine_mult) to recover recall
+        ("pq", knn_pq, {"n_coarse": N_CENTERS, "sample_size": 32_768, "refine_mult": 64}),
+    ):
+        ds = rd.read_parquet(vdir)
+        t0 = time.perf_counter()
+        res = fn(ds, qids, qmat, k=10, **kw)
+        wall = time.perf_counter() - t0
+        key = res.groupby("query_id")["vec_id"].apply(set)
+        if truth is None:
+            truth = key
+            recall = 1.0
+        else:
+            recall = float(np.mean([
+                len(truth[q] & key.get(q, set())) / 10 for q in truth.index
+            ]))
+        out[name] = {
+            "wall_s": round(wall, 2),
+            "vecs_per_sec": round(n_vecs / wall, 1),
+            "recall_at_10": round(recall, 4),
+        }
+    out["driver_rss_mb"] = round(_rss_mb(), 1)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=16_000_000)
+    ap.add_argument("--jaccard-docs", type=int, default=2_000_000)
+    ap.add_argument("--vecs", type=int, default=16_000_000)
+    ap.add_argument("--phase", default="all",
+                    choices=["all", "dedup", "jaccard", "ann"])
+    args = ap.parse_args()
+
+    _init_ray()
+    out: dict = {"num_cpus": CPUS}
+    if args.phase in ("all", "dedup"):
+        out["dedup_minhash_lsh"] = phase_dedup(args.docs)
+    if args.phase in ("all", "jaccard"):
+        out["jaccard_exact_join"] = phase_jaccard(args.jaccard_docs)
+    if args.phase in ("all", "ann"):
+        out["ann"] = phase_ann(args.vecs)
+    print(json.dumps(out, indent=1, default=float))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
