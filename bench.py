@@ -139,6 +139,11 @@ def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
             bench_queries.update(sampling.QUERIES)
             bench_queries.update(overlap.QUERIES)
             bench_queries.update(patterns.QUERIES)
+            # oracle-matched sketch gates override the shared names,
+            # same as the queries() registry (round-4)
+            from approximate_quantiles_ray.pipelines import sketch_gates
+
+            bench_queries.update(sketch_gates.QUERIES)
         except ImportError:
             pass
         # best-of-2 per query: the sandbox VM's host load drifts on a
