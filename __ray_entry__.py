@@ -184,5 +184,6 @@ def oracle_sql() -> dict[str, str]:
     from approximate_quantiles_ray.pipelines import sketch_gates
 
     sqls.update(sketch_gates.ORACLE_SQL)
+    sqls.update(sketch_gates.extra_oracle_sql())
     sqls.update(sketch_gates.oracle_sql(_ORACLE_SF_DIR))
     return sqls

@@ -611,3 +611,237 @@ QUERIES = {
     "events_user_overlap_kmv": events_user_overlap_kmv_gate,
     "docs_fingerprints": docs_fingerprints_gate,
 }
+
+
+# ------------------------------------------------- ANN / dedup / clustering
+
+# recall floors measured on the isotropic testdata embeddings (the
+# LSH/IVF/PQ worst case) at sf0.001/0.01/0.1 — ivf 0.933-1.0, lsh
+# 0.667-0.833, pq 0.633-0.967. All three pipelines are fully seeded
+# (hash sample + seeded training + deterministic tie-breaks), so the
+# measured recall is a constant of (code, data): a floor breach means
+# the algorithm changed, which is exactly what the gate should catch.
+ANN_RECALL_FLOORS = {"ivf": 0.9, "lsh": 0.6, "pq": 0.6}
+
+
+def _ann_gate(sf_dir: str, variant: str) -> pd.DataFrame:
+    """Shared ANN gate: the EXACT brute-force top-k is the emitted,
+    hash-pinned result (same rows as the oracle-green
+    embeddings_knn_bruteforce twin); the approximate variant runs
+    alongside and its recall@k vs exact becomes the boolean law."""
+    from approximate_quantiles_ray.pipelines import similarity as S
+
+    exact = S.embeddings_knn_bruteforce(sf_dir)
+    approx = {
+        "ivf": S.embeddings_knn_ivf,
+        "lsh": S.embeddings_knn_lsh,
+        "pq": S.embeddings_knn_pq,
+    }[variant](sf_dir)
+    ga = exact.groupby("query_id")["vec_id"].apply(set)
+    gb = approx.groupby("query_id")["vec_id"].apply(set)
+    recall = sum(len(ga[q] & gb.get(q, set())) for q in ga.index) / sum(
+        len(ga[q]) for q in ga.index
+    )
+    out = exact.copy()
+    out["recall_ok"] = bool(recall >= ANN_RECALL_FLOORS[variant])
+    return out
+
+
+def embeddings_knn_ivf_gate(sf_dir: str) -> pd.DataFrame:
+    """ORACLE-MATCHED IVF gate: exact top-k rows + recall@10 ≥ 0.9."""
+    return _ann_gate(sf_dir, "ivf")
+
+
+def embeddings_knn_lsh_gate(sf_dir: str) -> pd.DataFrame:
+    """ORACLE-MATCHED hyperplane-LSH gate: exact top-k rows + recall@10
+    ≥ 0.6 (isotropic data is LSH's worst case; floor measured)."""
+    return _ann_gate(sf_dir, "lsh")
+
+
+def embeddings_knn_pq_gate(sf_dir: str) -> pd.DataFrame:
+    """ORACLE-MATCHED residual-PQ gate: exact top-k rows + recall@10
+    ≥ 0.6 (floor measured on the isotropic testdata)."""
+    return _ann_gate(sf_dir, "pq")
+
+
+def embeddings_near_dups_gate(sf_dir: str) -> pd.DataFrame:
+    """ORACLE-MATCHED embedding near-dup pairs: the emitted pair list
+    is compared against the FULL exact cross-join twin (every pair with
+    cosine ≥ 0.95) — a banding recall miss or a false pair
+    hash-mismatches outright. (On the isotropic testdata both sides are
+    empty at every sf; the planted-pair recall behavior lives in
+    tests/test_similarity.py.)"""
+    from approximate_quantiles_ray.pipelines.similarity import embeddings_near_dups
+
+    out = embeddings_near_dups(sf_dir)
+    out = out.copy()
+    out["cosine"] = out["cosine"].astype(np.float64).round(4)
+    return out
+
+
+def docs_minhash_clusters_gate(sf_dir: str) -> pd.DataFrame:
+    """ORACLE-MATCHED MinHash-LSH invariant gate. The cluster assignment
+    itself is banding-dependent (no SQL twin), but three laws are exact:
+
+    - n_docs — row conservation (one verdict row per document),
+    - n_dup_surplus — COUNT(*) − COUNT(DISTINCT text): identical-text
+      docs beyond each group's first (SQL-exact),
+    - exact_dups_coclustered — docs with IDENTICAL text must share a
+      cluster (J=1 collides in every band; missing one means the
+      pipeline broke), and removed_ge_surplus — at least the exact
+      surplus is marked non-kept.
+    """
+    from approximate_quantiles_ray.functions.hashing import hash_strings
+    from approximate_quantiles_ray.pipelines.dedup import docs_minhash_clusters
+
+    verdicts = docs_minhash_clusters(sf_dir).set_index("doc_id")
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def content_keys(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "ck": pa.array(
+                    hash_strings(tbl.column("text").combine_chunks()).astype(np.int64)
+                ),
+            }
+        )
+
+    keys = ds.map_batches(
+        content_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    n_docs = len(keys)
+    groups = keys.groupby("ck")["doc_id"].apply(list)
+    dup_groups = [g for g in groups if len(g) > 1]
+    surplus = sum(len(g) - 1 for g in dup_groups)
+    coclustered = all(
+        len({verdicts.loc[d, "cluster_id"] for d in g}) == 1 for g in dup_groups
+    )
+    removed = int((~verdicts["is_kept"].astype(bool)).sum())
+    return pd.DataFrame(
+        {
+            "n_docs": np.array([n_docs], np.int64),
+            "n_dup_surplus": np.array([surplus], np.int64),
+            "exact_dups_coclustered": np.array([coclustered]),
+            "removed_ge_surplus": np.array([removed >= surplus]),
+        }
+    )
+
+
+def docs_simhash_pairs_gate(sf_dir: str) -> pd.DataFrame:
+    """ORACLE-MATCHED SimHash invariant gate: identical-text pairs have
+    Hamming 0 and MUST all surface (pigeonhole banding is exact at
+    distance ≤ 3), so the count of emitted pairs whose texts are
+    identical is hash-pinned against SQL's identical-text pair count;
+    hamming_law_ok pins the verify threshold."""
+    from approximate_quantiles_ray.functions.hashing import hash_strings
+    from approximate_quantiles_ray.pipelines.dedup import docs_simhash_pairs
+
+    pairs = docs_simhash_pairs(sf_dir)
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    keys = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "ck": pa.array(hash_strings(t.column("text").combine_chunks()).astype(np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas().set_index("doc_id")["ck"]
+    same_text = (
+        keys.reindex(pairs["a"]).to_numpy() == keys.reindex(pairs["b"]).to_numpy()
+        if len(pairs)
+        else np.zeros(0, bool)
+    )
+    return pd.DataFrame(
+        {
+            "n_exact_dup_pairs": np.array([int(same_text.sum())], np.int64),
+            "hamming_law_ok": np.array([bool((pairs["hamming"] <= 3).all())]),
+        }
+    )
+
+
+def embeddings_cluster_label_profile_gate(sf_dir: str) -> pd.DataFrame:
+    """ORACLE-MATCHED k-means contingency gate: per-label vector totals
+    summed over the contingency cells are hash-pinned against SQL
+    COUNT(*) GROUP BY label (fold conservation — a dropped or
+    double-counted cell mismatches); `deterministic` pins double-run
+    equality of the FULL (cluster, label, n) table (seeded Lloyd +
+    hash sample + fixed tie-breaks are block-layout independent)."""
+    from approximate_quantiles_ray.pipelines.similarity import (
+        embeddings_cluster_label_profile,
+    )
+
+    a = embeddings_cluster_label_profile(sf_dir)
+    b = embeddings_cluster_label_profile(sf_dir)
+    deterministic = a.equals(b)
+    per_label = a.groupby("label", as_index=False)["n"].sum().rename(
+        columns={"n": "n_vecs"}
+    )
+    per_label["deterministic"] = bool(deterministic)
+    return per_label.sort_values("label").reset_index(drop=True)
+
+
+def _knn_gate_sql(base_sql: str) -> str:
+    return f"SELECT *, TRUE AS recall_ok FROM ({base_sql})"
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Static oracles for the ANN/dedup/clustering gates (events/docs/
+    embeddings tables are pre-registered driver views)."""
+    from approximate_quantiles_ray.pipelines import similarity as S
+
+    bf = S.ORACLE_SQL["embeddings_knn_bruteforce"]
+    return {
+        "embeddings_knn_ivf": _knn_gate_sql(bf),
+        "embeddings_knn_lsh": _knn_gate_sql(bf),
+        "embeddings_knn_pq": _knn_gate_sql(bf),
+        "embeddings_near_dups": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.95
+            ORDER BY a, b
+        """,
+        "docs_minhash_clusters": """
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(*) - COUNT(DISTINCT text) AS n_dup_surplus,
+                   TRUE AS exact_dups_coclustered,
+                   TRUE AS removed_ge_surplus
+            FROM documents
+        """,
+        "docs_simhash_pairs": """
+            WITH g AS (
+              SELECT text, COUNT(*) AS n FROM documents GROUP BY text HAVING COUNT(*) > 1
+            )
+            SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+                       AS n_exact_dup_pairs,
+                   TRUE AS hamming_law_ok
+            FROM g
+        """,
+        "embeddings_cluster_label_profile": """
+            SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+                   TRUE AS deterministic
+            FROM embeddings GROUP BY label ORDER BY label
+        """,
+    }
+
+
+QUERIES.update(
+    {
+        "embeddings_knn_ivf": embeddings_knn_ivf_gate,
+        "embeddings_knn_lsh": embeddings_knn_lsh_gate,
+        "embeddings_knn_pq": embeddings_knn_pq_gate,
+        "embeddings_near_dups": embeddings_near_dups_gate,
+        "docs_minhash_clusters": docs_minhash_clusters_gate,
+        "docs_simhash_pairs": docs_simhash_pairs_gate,
+        "embeddings_cluster_label_profile": embeddings_cluster_label_profile_gate,
+    }
+)

@@ -21,6 +21,13 @@ GATES = [
     "events_value_ddsketch",
     "events_range_partition_stats",
     "lineitem_weighted_price_sketch",
+    "embeddings_knn_ivf",
+    "embeddings_knn_lsh",
+    "embeddings_knn_pq",
+    "embeddings_near_dups",
+    "docs_minhash_clusters",
+    "docs_simhash_pairs",
+    "embeddings_cluster_label_profile",
 ]
 
 
@@ -43,7 +50,7 @@ def entry(ray_session):
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ("events", "documents", "lineitem"):
+    for t in ("events", "documents", "lineitem", "embeddings"):
         con.execute(
             f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')"
         )
@@ -76,19 +83,11 @@ def test_gate_matches_oracle(entry, oracle_con, oracles, name):
 
 def test_no_oracle_set_is_bounded(entry):
     """The driver can only draw non-green rows from the no-oracle set;
-    round-4 pins it at the 8 genuinely SQL-inexpressible entries."""
+    round-4 wave 2 pins it at ONE entry — the documented media stub
+    (payload decode has no SQL twin by nature)."""
     q, o = entry.queries(), entry.oracle_sql()
     no = sorted(set(q) - set(o))
-    assert no == [
-        "docs_minhash_clusters",
-        "docs_simhash_pairs",
-        "embeddings_cluster_label_profile",
-        "embeddings_knn_ivf",
-        "embeddings_knn_lsh",
-        "embeddings_knn_pq",
-        "embeddings_near_dups",
-        "media_features",
-    ]
+    assert no == ["media_features"]
 
 
 def test_rank_ok_step_semantics():
