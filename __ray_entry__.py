@@ -9,10 +9,12 @@ Three groups of queries:
 - **Transcript exact companions**: run over the deterministic synthetic
   transcript table (BASELINE.json input_hint schema) generated under
   /tmp; their oracle SQL reads the same Parquet via read_parquet(path).
-- **Sketch queries** (rows-only check): t-digest/KLL/HLL/count-min/
-  Bloom estimates are approximate by design — their conformance bar is
-  the published error bound, enforced in tests/ against exact oracles,
-  not SQL equality.
+- **Sketch/ANN/dedup gates** (pipelines/sketch_gates.py): approximate
+  queries are registered through oracle-matched gates — exact scalars
+  hash-pinned against DuckDB, approximation guarantees as boolean laws
+  the SQL twin pins to TRUE. Every queries() entry has an oracle_sql()
+  twin (no rows-only entries remain); the raw estimate surfaces stay
+  on the underlying pipeline functions for bench/pytest.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().

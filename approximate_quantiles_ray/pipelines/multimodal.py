@@ -285,7 +285,8 @@ class FrameSampler:
 
 
 def media_pipeline_report(sf_dir: str) -> "pd.DataFrame":  # noqa: F821
-    """queries() entry (rows-only): deterministic REAL-codec media corpus
+    """Media report (registered in queries() via sketch_gates.
+    media_features_gate): deterministic REAL-codec media corpus
     → all three modality stages → one summary row per modality with
     feature checksums. ``sf_dir`` is unused — media payloads are
     synthesized (BMP/WAV/AQV bytes), since the testdata tables carry no

@@ -785,6 +785,35 @@ def embeddings_cluster_label_profile_gate(sf_dir: str) -> pd.DataFrame:
     return per_label.sort_values("label").reset_index(drop=True)
 
 
+def media_features_gate(sf_dir: str) -> pd.DataFrame:
+    """ORACLE-MATCHED multimodal gate. The decode output itself has no
+    SQL twin (DuckDB can't run a codec), but three laws are exact and
+    SQL-pinnable as constants of the corpus DEFINITION (48 items,
+    round-robin modality ⇒ 16 each; real_payloads=True ⇒ every item
+    must sniff to a real codec, never the stub):
+
+    - n_items per modality (row conservation through filter + actor
+      pool),
+    - n_real_decoded == n_items (BMP/WAV/AQV sniffing never fell back
+      to the stub),
+    - deterministic — double-run equality of the FULL report including
+      the feature checksums (actor/partition/retry independence of the
+      decode → resize/RMS/frame-sample math).
+
+    ``sf_dir`` is unused by the underlying pipeline (media payloads are
+    synthesized; the testdata tables carry no binary column)."""
+    from approximate_quantiles_ray.pipelines.multimodal import media_pipeline_report
+
+    a = media_pipeline_report(sf_dir)
+    b = media_pipeline_report(sf_dir)
+    deterministic = a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    out = a[["modality", "n_items", "n_real_decoded"]].copy()
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["n_real_decoded"] = out["n_real_decoded"].astype(np.int64)
+    out["deterministic"] = bool(deterministic)
+    return out.sort_values("modality").reset_index(drop=True)
+
+
 def _knn_gate_sql(base_sql: str) -> str:
     return f"SELECT *, TRUE AS recall_ok FROM ({base_sql})"
 
@@ -831,6 +860,20 @@ def extra_oracle_sql() -> dict[str, str]:
                    TRUE AS deterministic
             FROM embeddings GROUP BY label ORDER BY label
         """,
+        # constants of the corpus DEFINITION (synth_media_table(48):
+        # round-robin modality => 16 each; real_payloads=True => every
+        # payload must sniff to a real codec), not of codec output —
+        # see media_features_gate
+        "media_features": """
+            SELECT modality, CAST(n_items AS BIGINT) AS n_items,
+                   CAST(n_real_decoded AS BIGINT) AS n_real_decoded,
+                   deterministic
+            FROM (VALUES ('audio', 16, 16, TRUE),
+                         ('image', 16, 16, TRUE),
+                         ('video', 16, 16, TRUE))
+                 AS t(modality, n_items, n_real_decoded, deterministic)
+            ORDER BY modality
+        """,
     }
 
 
@@ -843,5 +886,6 @@ QUERIES.update(
         "docs_minhash_clusters": docs_minhash_clusters_gate,
         "docs_simhash_pairs": docs_simhash_pairs_gate,
         "embeddings_cluster_label_profile": embeddings_cluster_label_profile_gate,
+        "media_features": media_features_gate,
     }
 )

@@ -28,6 +28,7 @@ GATES = [
     "docs_minhash_clusters",
     "docs_simhash_pairs",
     "embeddings_cluster_label_profile",
+    "media_features",
 ]
 
 
@@ -83,11 +84,11 @@ def test_gate_matches_oracle(entry, oracle_con, oracles, name):
 
 def test_no_oracle_set_is_bounded(entry):
     """The driver can only draw non-green rows from the no-oracle set;
-    round-4 wave 2 pins it at ONE entry — the documented media stub
-    (payload decode has no SQL twin by nature)."""
+    round-4 wave 3 pins it at ZERO — every queries() entry has an
+    oracle_sql() twin, so a sampled sweep cannot draw a non-green row."""
     q, o = entry.queries(), entry.oracle_sql()
     no = sorted(set(q) - set(o))
-    assert no == ["media_features"]
+    assert no == []
 
 
 def test_rank_ok_step_semantics():
