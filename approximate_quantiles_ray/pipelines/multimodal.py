@@ -85,6 +85,21 @@ def synth_media_table(n: int = 64, seed: int = 42, real_payloads: bool = False) 
     )
 
 
+# one actor (holds 1 CPU even when idle) + ~2 task slots for the
+# repartition/filter feeding it: the budget ONE media pipeline needs to
+# make progress without starving concurrent pipelines
+CPUS_PER_MEDIA_PIPELINE = 3
+
+
+def cluster_cpus() -> float:
+    import ray
+
+    try:
+        return float(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0.0
+    except Exception:
+        return 0.0
+
+
 # ------------------------------------------------------------------ stub codecs
 
 
@@ -298,9 +313,25 @@ def media_pipeline_report(sf_dir: str) -> "pd.DataFrame":  # noqa: F821
 
     tbl = synth_media_table(48, seed=123, real_payloads=True)
     ds = rd.from_arrow(tbl).repartition(4)
-    img = media_pipeline(ds, "image", ImageDecodeResize, target=16).to_pandas()
-    aud = media_pipeline(ds, "audio", AudioFeatures).to_pandas()
-    vid = media_pipeline(ds, "video", FrameSampler).to_pandas()
+    # the three modality pipelines are independent — when the cluster
+    # has CPU headroom, execute them concurrently from driver threads so
+    # their actor-pool spin-ups overlap instead of serializing (each
+    # stage is tiny; wall time is pool startup, not decode). Actor pools
+    # HOLD a CPU while idle, so concurrent pools on a small cluster can
+    # starve each other's upstream tasks into deadlock — below the
+    # headroom bar, run sequentially (see cpus_for_media_concurrency).
+    thunks = [
+        lambda: media_pipeline(ds, "image", ImageDecodeResize, target=16).to_pandas(),
+        lambda: media_pipeline(ds, "audio", AudioFeatures).to_pandas(),
+        lambda: media_pipeline(ds, "video", FrameSampler).to_pandas(),
+    ]
+    if cluster_cpus() >= 3 * CPUS_PER_MEDIA_PIPELINE:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(3) as ex:
+            img, aud, vid = [f.result() for f in [ex.submit(t) for t in thunks]]
+    else:
+        img, aud, vid = [t() for t in thunks]
     img = img.sort_values("media_id")
     aud = aud.sort_values("media_id")
     vid = vid.sort_values(["media_id", "frame_idx"])

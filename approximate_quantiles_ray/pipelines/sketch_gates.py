@@ -48,6 +48,19 @@ from approximate_quantiles_ray.sources.read import read_parquet_sized
 RANK_TOL = 0.02
 
 
+def _concurrent(*thunks):
+    """Run independent gate legs (exact twin + approximate run, or the
+    two runs of a determinism law) as concurrent driver threads: each
+    leg is its own Ray Data pipeline, so overlapping them pipelines the
+    fixed per-pipeline latency instead of serializing it. Results are
+    unchanged — the legs share no state."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _rank_ok(vals: np.ndarray, cum: np.ndarray, est: float, q: float,
              tol: float = RANK_TOL) -> bool:
     """Step-widened rank sandwich for interpolating sketches on a
@@ -154,17 +167,36 @@ def transcript_sketch_report_gate(sf_dir: str) -> pd.DataFrame:
     from approximate_quantiles_ray.pipelines.transcripts import transcript_report
 
     tdir = transcripts_dir_for(sf_dir)
-    rep = transcript_report(tdir).set_index("metric")["value"]
 
     # exact text-length histogram (domain-bounded → driver walk)
-    ds_text = read_parquet_sized(tdir, columns=["text"]).map_batches(
-        lambda t: pa.table(
-            {"g": pa.array(np.zeros(t.num_rows, np.int8)), "text": t.column("text")}
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    def _text_hist():
+        ds_text = read_parquet_sized(tdir, columns=["text"]).map_batches(
+            lambda t: pa.table(
+                {"g": pa.array(np.zeros(t.num_rows, np.int8)), "text": t.column("text")}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return _grouped_len_hist(ds_text, "g")
+
+    # exact distinct conversations via the degenerate distinct fold
+    def _n_convs():
+        conv_part = read_parquet_sized(tdir, columns=["conv_id"]).map_batches(
+            lambda t: pa.table({"conv_id": pc.unique(t.column("conv_id"))}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return len(adaptive_distinct_pairs(conv_part, ["conv_id"]))
+
+    # five independent legs (sketch suite + four exact oracles), each
+    # its own Ray pipeline — overlapped, not serialized
+    rep, hist, n_convs, top5, (gap_hist, boundary) = _concurrent(
+        lambda: transcript_report(tdir).set_index("metric")["value"],
+        _text_hist,
+        _n_convs,
+        lambda: tool_topk(sf_dir, k=5),
+        lambda: _gap_hist(sf_dir),
     )
-    hist = _grouped_len_hist(ds_text, "g")
     vals = hist["len"].to_numpy(np.int64)
     cum = np.cumsum(hist["n"].to_numpy(np.int64))
 
@@ -175,24 +207,15 @@ def transcript_sketch_report_gate(sf_dir: str) -> pd.DataFrame:
     kll_ok = all(
         _rank_ok(vals, cum, float(rep[f"text_len_p{int(q*100)}_kll"]), q) for q in qs
     )
-
-    # exact distinct conversations via the degenerate distinct fold
-    conv_part = read_parquet_sized(tdir, columns=["conv_id"]).map_batches(
-        lambda t: pa.table({"conv_id": pc.unique(t.column("conv_id"))}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    n_convs = len(adaptive_distinct_pairs(conv_part, ["conv_id"]))
     hll_ok = abs(float(rep["distinct_conv_hll"]) - n_convs) <= 0.05 * n_convs
 
     # CMS top-5 candidate set vs exact top-5
     cms_tools = {m.split("_", 2)[2] for m in rep.index if m.startswith("tool_top")}
-    cms_ok = cms_tools == set(tool_topk(sf_dir, k=5)["tool"])
+    cms_ok = cms_tools == set(top5["tool"])
 
     # latency p50 rank sandwich over the exact gap histogram (µs);
     # the gap histogram is near-continuous, so the rank interval is
     # summed from the partial fold in one streaming pass
-    gap_hist, boundary = _gap_hist(sf_dir)
     lo, hi = _rank_of_partials(
         gap_hist, "gap_us", float(rep["latency_p50_tdigest"]) * 1e6, boundary
     )
@@ -228,9 +251,11 @@ def transcript_role_len_gate(sf_dir: str) -> pd.DataFrame:
     )
 
     tdir = transcripts_dir_for(sf_dir)
-    sk = grouped_text_len_by_role(tdir).set_index("role")
-    hist = _grouped_len_hist(
-        read_parquet_sized(tdir, columns=["role", "text"]), "role"
+    sk, hist = _concurrent(
+        lambda: grouped_text_len_by_role(tdir).set_index("role"),
+        lambda: _grouped_len_hist(
+            read_parquet_sized(tdir, columns=["role", "text"]), "role"
+        ),
     )
 
     rows = []
@@ -263,15 +288,19 @@ def transcript_daily_text_len_gate(sf_dir: str) -> pd.DataFrame:
         transcript_daily_text_len,
     )
 
-    sk = transcript_daily_text_len(sf_dir).set_index("window_start")
-
     tdir = transcripts_dir_for(sf_dir)
-    ds = read_parquet_sized(tdir, columns=["ts", "text"]).map_batches(
-        lambda t: add_window_column(t, "ts", "day").drop_columns(["ts"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+
+    def _day_hist():
+        ds = read_parquet_sized(tdir, columns=["ts", "text"]).map_batches(
+            lambda t: add_window_column(t, "ts", "day").drop_columns(["ts"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return _grouped_len_hist(ds, "window_start")
+
+    sk, hist = _concurrent(
+        lambda: transcript_daily_text_len(sf_dir).set_index("window_start"), _day_hist
     )
-    hist = _grouped_len_hist(ds, "window_start")
     hist["window_start"] = hist["window_start"].astype("datetime64[us]")
 
     rows = []
@@ -310,8 +339,11 @@ def transcript_tool_hh_cms_gate(sf_dir: str) -> pd.DataFrame:
     )
 
     ds = rd.read_parquet(transcripts_dir_for(sf_dir), columns=["tool"])
-    cand = set(heavy_hitters(ds, "tool", k=10)["value"])
-    exact = tool_topk(sf_dir, k=50)  # vocab-bounded exact counts
+    cand_df, exact = _concurrent(
+        lambda: heavy_hitters(ds, "tool", k=10),
+        lambda: tool_topk(sf_dir, k=50),  # vocab-bounded exact counts
+    )
+    cand = set(cand_df["value"])
     sub = exact[exact["tool"].isin(cand)]
     return (
         sub.sort_values(["n_uses", "tool"], ascending=[False, True])
@@ -335,12 +367,14 @@ def transcript_tool_hh_mg_gate(sf_dir: str) -> pd.DataFrame:
     from approximate_quantiles_ray.sketches.misra_gries import MisraGries
 
     ds = rd.read_parquet(transcripts_dir_for(sf_dir), columns=["tool"])
-    mg = sketch_columns(
-        ds,
-        [SketchSpec(key="tool", factory=lambda: MisraGries(k=32), on="tool", kind="hash")],
-    )["tool"]
+    mg, exact = _concurrent(
+        lambda: sketch_columns(
+            ds,
+            [SketchSpec(key="tool", factory=lambda: MisraGries(k=32), on="tool", kind="hash")],
+        )["tool"],
+        lambda: tool_topk(sf_dir, k=50).set_index("tool")["n_uses"],
+    )
     cand = {key: (int(est), int(upper)) for key, est, upper in mg.top(10)}
-    exact = tool_topk(sf_dir, k=50).set_index("tool")["n_uses"]
     rows = []
     for tool in cand:
         est, upper = cand[tool]
@@ -374,9 +408,14 @@ def events_type_drift_gate(sf_dir: str) -> pd.DataFrame:
         events_wasserstein_value,
     )
 
-    est = events_type_drift_sketch(sf_dir).iloc[0]
-    ks = events_ks_statistic(sf_dir).iloc[0]
-    w1 = events_wasserstein_value(sf_dir).iloc[0]
+    est, ks, w1 = (
+        df.iloc[0]
+        for df in _concurrent(
+            lambda: events_type_drift_sketch(sf_dir),
+            lambda: events_ks_statistic(sf_dir),
+            lambda: events_wasserstein_value(sf_dir),
+        )
+    )
     return pd.DataFrame(
         {
             "n_a": np.array([int(w1["n_a"])], np.int64),
@@ -401,8 +440,10 @@ def events_user_overlap_kmv_gate(sf_dir: str) -> pd.DataFrame:
         events_user_overlap_kmv,
     )
 
-    exact = events_user_overlap(sf_dir)
-    est = events_user_overlap_kmv(sf_dir).set_index(["type_a", "type_b"])
+    exact, est = _concurrent(
+        lambda: events_user_overlap(sf_dir),
+        lambda: events_user_overlap_kmv(sf_dir).set_index(["type_a", "type_b"]),
+    )
     rows = []
     for _, r in exact.iterrows():
         e = est.loc[(r["type_a"], r["type_b"])]
@@ -451,29 +492,31 @@ def docs_fingerprints_gate(sf_dir: str) -> pd.DataFrame:
             add = np.sum(parts["add"].to_numpy().astype(np.uint64), dtype=np.uint64)
         return int(xor), int(add), int(parts["n"].sum())
 
-    x1, a1, n1 = fp_fold()
-    x2, a2, n2 = fp_fold()
-    deterministic = (x1, a1, n1) == (x2, a2, n2)
-
     # distinct fingerprints (distributed fold)
-    ds = read_parquet_sized(path, columns=["doc_id", "text"])
-    fp_part = ds.map_batches(
-        lambda t: pa.table(
-            {"fp": pc.unique(fingerprint_batch(t).column("fingerprint"))}
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    n_fp = len(adaptive_distinct_pairs(fp_part, ["fp"]))
+    def _n_fp():
+        fp_part = read_parquet_sized(path, columns=["doc_id", "text"]).map_batches(
+            lambda t: pa.table(
+                {"fp": pc.unique(fingerprint_batch(t).column("fingerprint"))}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return len(adaptive_distinct_pairs(fp_part, ["fp"]))
 
     # distinct texts (exact; DuckDB's COUNT(DISTINCT text) is the
     # independent check on this number)
-    text_part = ds.map_batches(
-        lambda t: pa.table({"text": pc.unique(t.column("text"))}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    def _n_text():
+        text_part = read_parquet_sized(path, columns=["text"]).map_batches(
+            lambda t: pa.table({"text": pc.unique(t.column("text"))}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return len(adaptive_distinct_pairs(text_part, ["text"]))
+
+    (x1, a1, n1), (x2, a2, n2), n_fp, n_text = _concurrent(
+        fp_fold, fp_fold, _n_fp, _n_text
     )
-    n_text = len(adaptive_distinct_pairs(text_part, ["text"]))
+    deterministic = (x1, a1, n1) == (x2, a2, n2)
 
     return pd.DataFrame(
         {
@@ -631,12 +674,14 @@ def _ann_gate(sf_dir: str, variant: str) -> pd.DataFrame:
     alongside and its recall@k vs exact becomes the boolean law."""
     from approximate_quantiles_ray.pipelines import similarity as S
 
-    exact = S.embeddings_knn_bruteforce(sf_dir)
-    approx = {
+    approx_fn = {
         "ivf": S.embeddings_knn_ivf,
         "lsh": S.embeddings_knn_lsh,
         "pq": S.embeddings_knn_pq,
-    }[variant](sf_dir)
+    }[variant]
+    exact, approx = _concurrent(
+        lambda: S.embeddings_knn_bruteforce(sf_dir), lambda: approx_fn(sf_dir)
+    )
     ga = exact.groupby("query_id")["vec_id"].apply(set)
     gb = approx.groupby("query_id")["vec_id"].apply(set)
     recall = sum(len(ga[q] & gb.get(q, set())) for q in ga.index) / sum(
@@ -775,8 +820,10 @@ def embeddings_cluster_label_profile_gate(sf_dir: str) -> pd.DataFrame:
         embeddings_cluster_label_profile,
     )
 
-    a = embeddings_cluster_label_profile(sf_dir)
-    b = embeddings_cluster_label_profile(sf_dir)
+    a, b = _concurrent(
+        lambda: embeddings_cluster_label_profile(sf_dir),
+        lambda: embeddings_cluster_label_profile(sf_dir),
+    )
     deterministic = a.equals(b)
     per_label = a.groupby("label", as_index=False)["n"].sum().rename(
         columns={"n": "n_vecs"}
@@ -802,10 +849,21 @@ def media_features_gate(sf_dir: str) -> pd.DataFrame:
 
     ``sf_dir`` is unused by the underlying pipeline (media payloads are
     synthesized; the testdata tables carry no binary column)."""
-    from approximate_quantiles_ray.pipelines.multimodal import media_pipeline_report
+    from approximate_quantiles_ray.pipelines.multimodal import (
+        CPUS_PER_MEDIA_PIPELINE,
+        cluster_cpus,
+        media_pipeline_report,
+    )
 
-    a = media_pipeline_report(sf_dir)
-    b = media_pipeline_report(sf_dir)
+    # each report may itself run 3 concurrent actor-pool pipelines;
+    # overlapping the two runs is safe only with 2×3 pools of headroom
+    # (idle actor pools hold CPUs — see media_pipeline_report)
+    if cluster_cpus() >= 6 * CPUS_PER_MEDIA_PIPELINE:
+        a, b = _concurrent(
+            lambda: media_pipeline_report(sf_dir), lambda: media_pipeline_report(sf_dir)
+        )
+    else:
+        a, b = media_pipeline_report(sf_dir), media_pipeline_report(sf_dir)
     deterministic = a.reset_index(drop=True).equals(b.reset_index(drop=True))
     out = a[["modality", "n_items", "n_real_decoded"]].copy()
     out["n_items"] = out["n_items"].astype(np.int64)

@@ -12,6 +12,13 @@
   digest over x and a high digest over −x; queries answer from the side
   of the median that is more accurate for one-sided sketches (the
   relative-compactor family is low-tail-accurate), ties averaged.
+- :class:`BufferedDigest` — /root/reference/src/buffered_digest.rs:4-80:
+  values accumulate in a buffer and flush into the inner digest in
+  capacity-sized batches; queries flush first; ``count`` includes
+  still-buffered values. In the Ray engine the same amortization is
+  provided by ``map_batches`` batching + the t-digest's internal flush
+  buffer (SURVEY §2.4), so this wrapper exists for single-process users
+  coming from the reference API.
 """
 
 from __future__ import annotations
@@ -116,6 +123,76 @@ class SymDigest:
         if avg > 0.5:
             return hi_rank
         return avg
+
+
+class BufferedDigest:
+    """Buffering wrapper over any digest exposing ``update`` / ``count``
+    / the two query methods (buffered_digest.rs:27-80).
+
+    Semantics mirror the reference exactly: ``add`` appends and flushes
+    once the buffer EXCEEDS capacity (:50-55); ``update`` feeds
+    capacity-sized chunks with the same overflow check per chunk
+    (:57-64); both queries flush before delegating (:66-75); ``count``
+    is inner count plus buffered length (:77-79). ``merge`` is a repo
+    strengthening (the reference never implements MergableDigest for
+    this wrapper): flush both sides, merge the inners.
+    """
+
+    def __init__(self, digest, capacity: int):
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.digest = digest
+        self.capacity = int(capacity)
+        self._chunks: list[np.ndarray] = []
+        self._buffered = 0
+
+    @property
+    def count(self) -> int:
+        return int(self.digest.count) + self._buffered
+
+    @property
+    def nbytes(self) -> int:
+        """owned_size parity (buffered_digest.rs:15-25): inner digest
+        plus the buffered values."""
+        return int(self.digest.nbytes) + sum(c.nbytes for c in self._chunks)
+
+    def flush(self) -> "BufferedDigest":
+        if self._chunks:
+            self.digest.update(np.concatenate(self._chunks))
+            self._chunks.clear()
+            self._buffered = 0
+        return self
+
+    def add(self, item: float) -> "BufferedDigest":
+        self._chunks.append(np.array([item], dtype=np.float64))
+        self._buffered += 1
+        if self._buffered > self.capacity:
+            self.flush()
+        return self
+
+    def update(self, values: np.ndarray) -> "BufferedDigest":
+        v = np.asarray(values, dtype=np.float64).ravel()
+        for i in range(0, len(v), self.capacity):
+            chunk = v[i : i + self.capacity]
+            self._chunks.append(chunk)
+            self._buffered += len(chunk)
+            if self._buffered > self.capacity:
+                self.flush()
+        return self
+
+    def merge(self, other: "BufferedDigest") -> "BufferedDigest":
+        self.flush()
+        other.flush()
+        self.digest.merge(other.digest)
+        return self
+
+    def est_quantile_at_value(self, value: float) -> float:
+        self.flush()
+        return self.digest.est_quantile_at_value(value)
+
+    def est_value_at_quantile(self, q: float) -> float:
+        self.flush()
+        return self.digest.est_value_at_quantile(q)
 
 
 class MultiDigest:

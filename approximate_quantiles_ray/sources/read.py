@@ -16,6 +16,16 @@ from __future__ import annotations
 
 import math
 import os
+import threading
+
+# Ray's ParquetDatasource constructor probes `from
+# fsspec.implementations.http import HTTPFileSystem`, which in this
+# environment always fails (no aiohttp) — handled when single-threaded,
+# but two threads constructing readers concurrently can observe the
+# partially-initialized fsspec module and die with an ImportError Ray
+# doesn't catch. Construction is cheap driver-side metadata work;
+# serialize it. Execution still overlaps freely.
+_CONSTRUCT_LOCK = threading.Lock()
 
 
 def _input_bytes(path: str) -> int:
@@ -49,9 +59,11 @@ def read_parquet_sized(
     if nbytes <= 0:
         # remote URI or path we can't stat — let Ray's planner decide
         # rather than forcing ncpu giant blocks on an unknown-size input
-        return rd.read_parquet(path, columns=columns, **kw)
+        with _CONSTRUCT_LOCK:
+            return rd.read_parquet(path, columns=columns, **kw)
     blocks = max(ncpu, math.ceil(nbytes / target_block_bytes))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks, **kw)
+    with _CONSTRUCT_LOCK:
+        return rd.read_parquet(path, columns=columns, override_num_blocks=blocks, **kw)
 
 
 def read_any(path: str, columns: list[str] | None = None, **kw):

@@ -152,3 +152,71 @@ def test_k2n_single_value_no_crash():
     sk = TDigest(delta=100, scale="k2n")
     sk.update(np.array([5.0]))
     assert sk.est_value_at_quantile(0.5) == 5.0
+
+
+# ---------------------------------------------------------- BufferedDigest
+
+
+def test_buffered_digest_equivalence_and_count(uniform_data):
+    """buffered_digest.rs semantics: the wrapper feeds the inner digest
+    capacity-sized batches, so a BufferedDigest over TDigest must be
+    BIT-equal to a TDigest updated with the same capacity-sized chunks;
+    count includes still-buffered values before any flush."""
+    from approximate_quantiles_ray.sketches.combinators import BufferedDigest
+
+    cap = 4096
+    data = uniform_data[:100_000]
+    bd = BufferedDigest(TDigest(delta=300, scale="k2"), cap)
+    bd.update(data)
+    assert bd.count == len(data)  # pre-query: some values still buffered
+
+    # same chunk schedule applied directly: chunks flush on OVERFLOW
+    # (buffer > capacity), i.e. pairs of capacity-sized chunks
+    direct = TDigest(delta=300, scale="k2")
+    buf, buffered = [], 0
+    for i in range(0, len(data), cap):
+        chunk = data[i : i + cap]
+        buf.append(chunk)
+        buffered += len(chunk)
+        if buffered > cap:
+            direct.update(np.concatenate(buf))
+            buf, buffered = [], 0
+    if buf:
+        direct.update(np.concatenate(buf))
+    for q in QS:
+        assert bd.est_value_at_quantile(q) == direct.est_value_at_quantile(q), q
+    assert bd.count == direct.count == len(data)
+
+
+def test_buffered_digest_add_flush_merge():
+    from approximate_quantiles_ray.sketches.combinators import BufferedDigest
+
+    a = BufferedDigest(TDigest(delta=100, scale="k2"), 8)
+    for x in range(20):
+        a.add(float(x))
+    assert a.count == 20
+    assert a._buffered > 0  # last partial batch unflushed until a query
+    assert a.est_quantile_at_value(10.0) == pytest.approx(0.5, abs=0.1)
+    assert a._buffered == 0
+
+    b = BufferedDigest(TDigest(delta=100, scale="k2"), 8)
+    b.update(np.arange(20, 40, dtype=np.float64))
+    a.merge(b)
+    assert a.count == 40
+    assert a.est_value_at_quantile(0.5) == pytest.approx(19.5, abs=2.0)
+    assert a.nbytes > 0
+
+
+def test_buffered_digest_accuracy_over_kll(uniform_data):
+    """The wrapper must not change KLL's error profile (reference bar
+    rel 0.0075 on uniform, parallel_digest.rs-grade)."""
+    from approximate_quantiles_ray.sketches.combinators import BufferedDigest
+
+    exact = ExactDigest()
+    exact.update(uniform_data)
+    bd = BufferedDigest(KLL(k=200, seed=7), 10_000)
+    bd.update(uniform_data)
+    for q in QS:
+        assert bd.est_value_at_quantile(q) == pytest.approx(
+            exact.est_value_at_quantile(q), rel=0.0075, abs=1.0
+        ), q
