@@ -739,10 +739,6 @@ def docs_minhash_clusters_gate(sf_dir: str) -> pd.DataFrame:
     from approximate_quantiles_ray.functions.hashing import hash_strings
     from approximate_quantiles_ray.pipelines.dedup import docs_minhash_clusters
 
-    verdicts = docs_minhash_clusters(sf_dir).set_index("doc_id")
-
-    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
     def content_keys(tbl: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -753,9 +749,17 @@ def docs_minhash_clusters_gate(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    keys = ds.map_batches(
-        content_keys, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    def _keys():
+        ds = read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ds.map_batches(
+            content_keys, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+
+    verdicts, keys = _concurrent(
+        lambda: docs_minhash_clusters(sf_dir).set_index("doc_id"), _keys
+    )
     n_docs = len(keys)
     groups = keys.groupby("ck")["doc_id"].apply(list)
     dup_groups = [g for g in groups if len(g) > 1]
@@ -783,19 +787,28 @@ def docs_simhash_pairs_gate(sf_dir: str) -> pd.DataFrame:
     from approximate_quantiles_ray.functions.hashing import hash_strings
     from approximate_quantiles_ray.pipelines.dedup import docs_simhash_pairs
 
-    pairs = docs_simhash_pairs(sf_dir)
+    def _keys():
+        ds = read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return (
+            ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "doc_id": t.column("doc_id"),
+                        "ck": pa.array(
+                            hash_strings(t.column("text").combine_chunks()).astype(np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .to_pandas()
+            .set_index("doc_id")["ck"]
+        )
 
-    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    keys = ds.map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "ck": pa.array(hash_strings(t.column("text").combine_chunks()).astype(np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas().set_index("doc_id")["ck"]
+    pairs, keys = _concurrent(lambda: docs_simhash_pairs(sf_dir), _keys)
     same_text = (
         keys.reindex(pairs["a"]).to_numpy() == keys.reindex(pairs["b"]).to_numpy()
         if len(pairs)
