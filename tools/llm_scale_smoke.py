@@ -246,26 +246,48 @@ def phase_ann(n_vecs: int) -> dict:
         ("ivf", knn_ivf, {"n_centroids": N_CENTERS, "nprobe": 8, "sample_size": 32_768}),
         # near-duplicate clusters are PQ's hardest regime: quantization
         # error exceeds the intra-cluster spread, so ADC ordering within
-        # the winning cluster is near-random — widen the exact re-rank
-        # pool (refine_mult) to recover recall
-        ("pq", knn_pq, {"n_coarse": N_CENTERS, "sample_size": 32_768, "refine_mult": 64}),
+        # the winning cluster degrades. Counter with FINER subquantizers
+        # (m=16 → 2-dim subspaces; measured at 1M: recall 0.869@m=8 →
+        # 0.969@m=16 for ~35% more wall) plus a wide exact re-rank pool
+        ("pq", knn_pq,
+         {"n_coarse": N_CENTERS, "sample_size": 32_768, "refine_mult": 64, "m": 16}),
     ):
         ds = rd.read_parquet(vdir)
         t0 = time.perf_counter()
         res = fn(ds, qids, qmat, k=10, **kw)
         wall = time.perf_counter() - t0
         key = res.groupby("query_id")["vec_id"].apply(set)
+        scores = res.groupby("query_id")["score"].apply(
+            lambda s: np.sort(s.to_numpy())[::-1]
+        )
         if truth is None:
-            truth = key
-            recall = 1.0
+            truth, truth_scores = key, scores
+            recall = eps_recall = 1.0
+            gap = 0.0
         else:
             recall = float(np.mean([
                 len(truth[q] & key.get(q, set())) / 10 for q in truth.index
+            ]))
+            # planted near-dup clusters make id-level recall
+            # ill-conditioned (the top-10 is a 10-of-62k near-tie);
+            # ε-relaxed recall + mean score gap measure what a user
+            # gets: neighbors within ε of the true k-th cosine
+            eps = 1e-4
+            eps_recall = float(np.mean([
+                np.mean(scores.get(q, np.array([-1.0]))
+                        >= truth_scores[q][-1] - eps)
+                for q in truth.index
+            ]))
+            gap = float(np.mean([
+                truth_scores[q].mean() - scores.get(q, np.array([-1.0])).mean()
+                for q in truth.index
             ]))
         out[name] = {
             "wall_s": round(wall, 2),
             "vecs_per_sec": round(n_vecs / wall, 1),
             "recall_at_10": round(recall, 4),
+            "eps_recall_at_10_eps1e-4": round(eps_recall, 4),
+            "mean_score_gap": round(gap, 8),
         }
     out["driver_rss_mb"] = round(_rss_mb(), 1)
     return out

@@ -69,6 +69,16 @@ def main() -> int:
 
     qs = mod.queries()
     sqls = mod.oracle_sql()
+    # __ray_entry__ binds its transcript-table oracles to the DRIVER's
+    # correctness scale (sf0.01); when sweeping another sf_dir, rebuild
+    # the dir-dependent oracles for THAT dir so queries and twins read
+    # the same transcript corpus
+    from approximate_quantiles_ray.pipelines import sketch_gates, windows
+    from approximate_quantiles_ray.pipelines import transcript_exact as te
+
+    sqls.update(te.oracle_sql(args.sf_dir))
+    sqls.update(windows.oracle_sql(args.sf_dir))
+    sqls.update(sketch_gates.oracle_sql(args.sf_dir))
     if args.only:
         qs = {k: v for k, v in qs.items() if k in set(args.only)}
 
