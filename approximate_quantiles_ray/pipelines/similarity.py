@@ -656,7 +656,7 @@ def _pq_codes(emb: np.ndarray, coarse: np.ndarray,
 
 class PQEncoder:
     """Worker-cached stage: vector → coarse-cell id + m-byte residual
-    PQ code (FixedSizeList of uint8). At d=64 float32 this is a ~26×
+    PQ code (FixedSizeList of uint8). At d=64 float32 this is a 13–26×
     store compression (4 + m bytes vs 256) — the 100 TB path runs this
     ONCE, persists (id, cell, code), and leaves raw vectors in cold
     Parquet for the exact re-rank pass."""
@@ -741,7 +741,7 @@ class PQTopK:
 
 
 def knn_pq(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
-           m: int = 8, ks: int = 256, n_coarse: int = 16, sample_size: int = 4096,
+           m: int = 16, ks: int = 256, n_coarse: int = 16, sample_size: int = 4096,
            seed: int = 42, refine_mult: int = 4, id_col: str = "vec_id",
            col: str = "embedding") -> pd.DataFrame:
     """Residual-PQ ANN with exact re-rank.
@@ -753,8 +753,15 @@ def knn_pq(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
     per query → ONE filtered pass over the raw vectors re-scores just
     those candidates exactly and keeps the true top-k among them. The
     returned score column is exact cosine, so recall failures come
-    only from candidate misses — and the ~26× smaller code table is
-    the only thing scanned per query."""
+    only from candidate misses — and the 13–26× smaller code table is
+    the only thing scanned per query.
+
+    Default ``m=16`` (2–4-dim subquantizers at d=32–64): measured
+    recall@10 vs brute force on the testdata embeddings 1.0/1.0/0.967
+    at sf0.001/0.01/0.1 (m=8 gave 0.967/0.967/0.633), and 0.875 on the
+    16M dense-cluster adversarial smoke (m=8: 0.36) — the finer codes
+    cost ~25% wall and double the code bytes, cheap next to raw
+    vectors."""
     import ray
 
     from approximate_quantiles_ray.engine.stages import worker_cached_stage
