@@ -200,7 +200,15 @@ def knn_lsh(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
             seed: int = 42, id_col: str = "vec_id", col: str = "embedding") -> pd.DataFrame:
     """ANN: score only vectors whose hyperplane signature is within
     Hamming ``radius`` of some query signature. One filter+matmul pass;
-    candidate fraction shrinks exponentially in (n_planes − radius)."""
+    candidate fraction shrinks exponentially in (n_planes − radius).
+
+    The default (16, 6) keeps ~23% of the corpus as candidates and
+    measures recall@10 0.67–0.83 on the ISOTROPIC testdata — LSH's
+    worst case (real embedding corpora cluster, concentrating the
+    signature). radius=7/8 measure 0.90/0.97–1.0 here but admit
+    40%/60% of the corpus — at 100 TB that erases the selectivity
+    that justifies LSH over brute force, so the default stays 6 and
+    the dial is exposed."""
     import ray
 
     from approximate_quantiles_ray.engine.stages import worker_cached_stage

@@ -98,7 +98,11 @@ def run() -> dict:
                 lambda: TDigest(delta=3000, scale="k2"), vals,
                 rng.integers(1, 50, n).astype(float),
             ),
+            "tdigest_d3000_f32": bench_one(
+                lambda: TDigest(delta=3000, scale="k2", dtype="f4"), vals
+            ),
             "kll_k16": bench_one(lambda: KLL(k=16, seed=1), vals),
+            "kll_k256_f32": bench_one(lambda: KLL(k=256, seed=1, dtype="f4"), vals),
             "kll_k64": bench_one(lambda: KLL(k=64, seed=1), vals),
             "kll_k256": bench_one(lambda: KLL(k=256, seed=1), vals),
             "kll_fixed_k64": bench_one(lambda: KLLFixed(n, k=64, seed=1), vals),
