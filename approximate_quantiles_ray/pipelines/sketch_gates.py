@@ -847,6 +847,51 @@ def embeddings_cluster_label_profile_gate(sf_dir: str) -> pd.DataFrame:
     return per_label.sort_values("label").reset_index(drop=True)
 
 
+def embeddings_semantic_dedup_gate(sf_dir: str) -> pd.DataFrame:
+    """ORACLE-MATCHED SemDeDup gate. Cluster assignment is a transitive
+    closure (no SQL twin), but four laws are exact:
+
+    - n_vecs — row conservation through the verdict pipeline,
+    - n_dup_members — vectors appearing in some exact-cosine ≥ 0.95
+      pair, hash-pinned against the full DuckDB cross-join (a blocking
+      recall miss mismatches outright, as in the near-dups gate),
+    - removed_subset_ok — every removed vector is a dup member,
+    - keep_rule_ok — every cluster keeps EXACTLY its min-id member.
+    (On the isotropic testdata both sides have zero dup members at
+    every sf; planted-cluster recall lives in tests/test_similarity.py.)
+    """
+    from approximate_quantiles_ray.pipelines.similarity import (
+        embeddings_near_dups,
+        semantic_dedup,
+    )
+
+    def _verdicts():
+        ds = read_parquet_sized(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return semantic_dedup(ds, threshold=0.95).to_pandas()
+
+    verdicts, pairs = _concurrent(_verdicts, lambda: embeddings_near_dups(sf_dir))
+
+    dup_members = set(pairs["a"]) | set(pairs["b"])
+    removed = verdicts[~verdicts["is_kept"].astype(bool)]
+    removed_ok = set(removed["vec_id"]).issubset(dup_members)
+    kept = verdicts[verdicts["is_kept"].astype(bool)]
+    mins = verdicts.groupby("cluster_id")["vec_id"].min()  # vectorized
+    keep_ok = bool(
+        len(kept) == verdicts["cluster_id"].nunique()
+        and kept.set_index("cluster_id")["vec_id"].sort_index().equals(mins.sort_index())
+    )
+    return pd.DataFrame(
+        {
+            "n_vecs": np.array([len(verdicts)], np.int64),
+            "n_dup_members": np.array([len(dup_members)], np.int64),
+            "removed_subset_ok": np.array([removed_ok]),
+            "keep_rule_ok": np.array([keep_ok]),
+        }
+    )
+
+
 def media_features_gate(sf_dir: str) -> pd.DataFrame:
     """ORACLE-MATCHED multimodal gate. The decode output itself has no
     SQL twin (DuckDB can't run a codec), but three laws are exact and
@@ -933,6 +978,21 @@ def extra_oracle_sql() -> dict[str, str]:
                    TRUE AS deterministic
             FROM embeddings GROUP BY label ORDER BY label
         """,
+        "embeddings_semantic_dedup": """
+            WITH p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.95
+            ),
+            m AS (SELECT DISTINCT v FROM
+                  (SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p))
+            SELECT (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+                   (SELECT COUNT(*) FROM m) AS n_dup_members,
+                   TRUE AS removed_subset_ok,
+                   TRUE AS keep_rule_ok
+        """,
         # constants of the corpus DEFINITION (synth_media_table(48):
         # round-robin modality => 16 each; real_payloads=True => every
         # payload must sniff to a real codec), not of codec output —
@@ -959,6 +1019,7 @@ QUERIES.update(
         "docs_minhash_clusters": docs_minhash_clusters_gate,
         "docs_simhash_pairs": docs_simhash_pairs_gate,
         "embeddings_cluster_label_profile": embeddings_cluster_label_profile_gate,
+        "embeddings_semantic_dedup": embeddings_semantic_dedup_gate,
         "media_features": media_features_gate,
     }
 )

@@ -282,3 +282,44 @@ def test_cluster_label_profile_purity_on_planted_clusters(ray_session, tmp_path)
     assert int(out["n"].sum()) == n
     dom = out.groupby("cluster")["n"].max().sum()
     assert dom / n > 0.95, out
+
+
+def test_semantic_dedup_planted_clusters(ray_session):
+    """SemDeDup verdicts on planted near-dup families: each family
+    collapses to one cluster keeping its min id; singletons untouched."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.similarity import semantic_dedup
+
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((60, 32))
+    # 6 planted families of 3: base[i], plus two tiny perturbations
+    fam_ids = list(range(6))
+    emb = [base]
+    for _ in range(2):
+        emb.append(base[:6] + rng.standard_normal((6, 32)) * 0.01)
+    emb = np.vstack(emb).astype(np.float32)  # ids 60..65, 66..71 dup 0..5
+    tbl = pa.table(
+        {
+            "vec_id": list(range(len(emb))),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float32()), 32
+            ),
+        }
+    )
+    out = (
+        semantic_dedup(rd.from_arrow(tbl).repartition(4), threshold=0.98, dim=32)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert len(out) == len(emb)  # row conservation
+    for i in fam_ids:
+        members = [i, 60 + i, 66 + i]
+        clusters = {out.loc[m, "cluster_id"] for m in members}
+        assert clusters == {i}, (i, clusters)  # family collapsed, min id is root
+        assert bool(out.loc[i, "is_kept"])
+        assert not out.loc[members[1:], "is_kept"].any()
+    singles = [i for i in range(6, 60)]
+    assert out.loc[singles, "is_kept"].all()
+    assert (out.loc[singles, "cluster_id"] == singles).all()

@@ -28,6 +28,7 @@ GATES = [
     "docs_minhash_clusters",
     "docs_simhash_pairs",
     "embeddings_cluster_label_profile",
+    "embeddings_semantic_dedup",
     "media_features",
 ]
 
