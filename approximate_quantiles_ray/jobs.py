@@ -578,6 +578,35 @@ def cmd_pq_index(args) -> None:
     )
 
 
+def cmd_semantic_dedup(args) -> None:
+    """SemDeDup verdicts over an embedding corpus, written as
+    partitioned Parquet (id, cluster_id, is_kept) — the embedding twin
+    of ``dedup``: banded hyperplane blocking, distributed exact-cosine
+    verify, components, broadcast cluster assignment (min-id kept).
+    Nothing corpus-sized touches the driver; downstream selects kept
+    rows with a left_semi join on the verdict file."""
+    _ensure_ray()
+    import ray
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.similarity import semantic_dedup
+
+    ds = rd.read_parquet(args.input)
+    verdicts = semantic_dedup(
+        ds, threshold=args.threshold, n_bands=args.n_bands,
+        id_col=args.id_col, col=args.col, components=args.components,
+    ).materialize()  # 3 small columns; write + counts reuse the blocks
+    verdicts.write_parquet(args.output)
+    n = verdicts.count()
+    kept = verdicts.sum("is_kept")
+    _emit(
+        {"rows": int(n), "kept": int(kept), "removed": int(n - kept),
+         "threshold": args.threshold, "n_bands": args.n_bands,
+         "output": args.output},
+        None,
+    )
+
+
 def cmd_synth(args) -> None:
     from approximate_quantiles_ray.sources.transcripts import generate_transcripts
 
@@ -759,12 +788,25 @@ def main(argv: list[str] | None = None) -> int:
     pqp.add_argument("--output", required=True)
     pqp.add_argument("--id-col", default="vec_id")
     pqp.add_argument("--col", default="embedding")
-    pqp.add_argument("--m", type=int, default=8)
+    pqp.add_argument("--m", type=int, default=16)  # matches knn_pq default
     pqp.add_argument("--ks", type=int, default=256)
     pqp.add_argument("--n-coarse", type=int, default=16)
     pqp.add_argument("--sample-size", type=int, default=4096)
     pqp.add_argument("--seed", type=int, default=42)
     pqp.set_defaults(fn=cmd_pq_index)
+
+    sd = sub.add_parser(
+        "semantic-dedup",
+        help="SemDeDup verdicts over an embedding corpus, write (id, cluster_id, is_kept)",
+    )
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--output", required=True)
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--col", default="embedding")
+    sd.add_argument("--threshold", type=float, default=0.98)
+    sd.add_argument("--n-bands", type=int, default=4)
+    sd.add_argument("--components", default="driver", choices=["driver", "distributed"])
+    sd.set_defaults(fn=cmd_semantic_dedup)
 
     s = sub.add_parser("synth", help="generate the deterministic synthetic transcript table")
     s.add_argument("--out", required=True)

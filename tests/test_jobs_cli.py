@@ -552,3 +552,47 @@ def test_column_minmax_ns_timestamp_exact(ray_session):
     assert out.loc["big", "vmax"] == str(2**60 + 130)
     assert out.loc["ts", "vmin"].endswith(".000000001")
     assert out.loc["ts", "vmax"].endswith(".000000130")
+
+
+def test_semantic_dedup_cli(ray_session, tmp_path_factory, capsys):
+    """semantic-dedup: verdict Parquet with planted embedding families
+    collapsed (min-id kept), singletons conserved, counts in the emit."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from approximate_quantiles_ray import jobs
+
+    root = tmp_path_factory.mktemp("semdedup")
+    src = str(root / "emb.parquet")
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((40, 32))
+    dups = base[:4] + rng.standard_normal((4, 32)) * 0.005  # ids 40..43 dup 0..3
+    pts = np.vstack([base, dups]).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.arange(len(pts), dtype=np.int64),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(pts.ravel(), pa.float32()), 32
+                ),
+            }
+        ),
+        src,
+    )
+    out = str(root / "verdicts")
+    jobs.main(["semantic-dedup", "--input", src, "--output", out,
+               "--threshold", "0.98"])
+    emitted = json.loads(capsys.readouterr().out.strip())
+    assert emitted["rows"] == len(pts)
+    assert emitted["removed"] == 4 and emitted["kept"] == len(pts) - 4
+
+    v = rd.read_parquet(out).to_pandas().set_index("vec_id").sort_index()
+    for i in range(4):
+        assert v.loc[40 + i, "cluster_id"] == i and not v.loc[40 + i, "is_kept"]
+        assert v.loc[i, "is_kept"] and v.loc[i, "cluster_id"] == i
+    singles = list(range(4, 40))
+    assert v.loc[singles, "is_kept"].all()
