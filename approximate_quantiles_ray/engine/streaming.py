@@ -616,35 +616,29 @@ def stream_sessions_distributed(
     if n_part <= driver_cap:
         out = _sweep_df(part.to_pandas())
     else:
-        # range-sort interval rows; after a per-block sweep only each
-        # block's first/last interval per key can merge across blocks
+        # range-sort interval rows and LOCALLY sweep each sorted block —
+        # that collapses almost everything to final sessions — then one
+        # exact driver sweep over the collapsed rows finishes the job.
+        # (An earlier version stitched only each block's first/last
+        # interval per key; that is WRONG when a long interval from an
+        # earlier block bridges two non-adjacent intervals of a later
+        # block — the later block's middle interval never reached the
+        # stitch. The driver already collected every row in that design,
+        # so sweeping them all costs the same and is layout-independent.)
         srt = part.sort(key_cols + ["start_us"])
-        finals: list[pd.DataFrame] = []
-        boundary: list[pd.DataFrame] = []
 
-        def split_block(df: pd.DataFrame) -> pd.DataFrame:
+        def local_sweep(df: pd.DataFrame) -> pd.DataFrame:
             sw = _sweep_df(df)
-            sw = sw.sort_values(key_cols + ["session_start_us"]).reset_index(drop=True)
-            grp = sw.groupby(key_cols, sort=False)
-            first_last = grp.head(1).index.union(grp.tail(1).index)
-            is_bnd = sw.index.isin(first_last)
-            sw["_bnd"] = is_bnd
-            return sw
+            return sw.rename(
+                columns={
+                    "session_start_us": "start_us",
+                    "session_end_us": "last_us",
+                    "n_events": "n",
+                }
+            )
 
-        swept = srt.map_batches(split_block, batch_format="pandas")
-        for b in swept.iter_batches(batch_format="pandas", batch_size=1 << 16):
-            finals.append(b[~b["_bnd"]].drop(columns="_bnd"))
-            boundary.append(b[b["_bnd"]].drop(columns="_bnd"))
-        bnd = pd.concat(boundary, ignore_index=True) if boundary else pd.DataFrame(
-            columns=key_cols + ["session_start_us", "session_end_us", "n_events"]
-        )
-        bnd = bnd.rename(
-            columns={"session_start_us": "start_us", "session_end_us": "last_us", "n_events": "n"}
-        )
-        stitched = _sweep_df(bnd) if len(bnd) else bnd.rename(
-            columns={"start_us": "session_start_us", "last_us": "session_end_us", "n": "n_events"}
-        )
-        out = pd.concat(finals + [stitched], ignore_index=True)
+        collapsed = srt.map_batches(local_sweep, batch_format="pandas").to_pandas()
+        out = _sweep_df(collapsed)
 
     if not len(out):
         cols = {c: pd.Series(dtype=object) for c in key_cols}

@@ -596,3 +596,52 @@ def test_streaming_windowed_ddsketch_guarantee():
         assert sk.count == len(v)
         true = float(v[min(int(math.floor(0.5 * len(v) + 0.5)), len(v) - 1)])
         assert abs(sk.est_value_at_quantile(0.5) - true) <= 0.0101 * true
+
+
+def test_stream_sessions_distributed_bridge_intervals(ray_session):
+    """Regression: a long session from one sort block can BRIDGE two
+    non-adjacent intervals of a later block. The old stitch forwarded
+    only each block's first/last interval per key, so the bridged
+    middle interval stayed 'final' and the merge was missed whenever
+    the sort happened to split there (load-dependent flake). The fix
+    sweeps all locally-collapsed rows once on the driver — exact for
+    every block layout, so this must pass for ANY repartitioning.
+
+    Pattern per key (gap=50k): a dense run [0, 1.085M] plus points at
+    1.02M / 1.08M / 1.14M. Truth: the run bridges the first two
+    (1.085M within gap of both) while 1.14M stays separate →
+    exactly 2 sessions per key with n_events = n_run + 2 and 1.
+    """
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.streaming import (
+        stream_sessions,
+        stream_sessions_distributed,
+    )
+
+    gap = 50_000
+    n_keys = 64
+    run = np.arange(0, 1_085_001, 40_000, dtype=np.int64)  # dense: steps < gap
+    extras = np.array([1_020_000, 1_080_000, 1_140_000], np.int64)
+    ts = np.concatenate([run, extras])
+    keys = np.repeat(np.arange(n_keys, dtype=np.int64), len(ts))
+    tbl = pa.table({"k": keys, "ts": np.tile(ts, n_keys)})
+
+    replay = stream_sessions(
+        rd.from_arrow(tbl).repartition(4), ["k"], ts_col="ts", gap_us=gap,
+        allowed_lateness_us=1 << 62,
+    ).sort_values(["k", "session_start_us"]).reset_index(drop=True)
+    assert len(replay) == 2 * n_keys  # the pattern itself: 2 sessions/key
+
+    for n_parts in (2, 7, 16, 64):
+        dist = stream_sessions_distributed(
+            rd.from_arrow(tbl).repartition(n_parts), ["k"], ts_col="ts",
+            gap_us=gap, driver_cap=0,  # force the sort path
+        )
+        pd.testing.assert_frame_equal(
+            dist.astype({"k": np.int64}),
+            replay[["k", "session_start_us", "session_end_us", "n_events"]].astype(
+                {"k": np.int64}
+            ),
+            check_dtype=False,
+        )
