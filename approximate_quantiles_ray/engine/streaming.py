@@ -524,36 +524,49 @@ def _keyed_interval_sweep(
     return tuple(np.concatenate(parts) for parts in zip(*outs))  # type: ignore[return-value]
 
 
-def stream_sessions_distributed(
+def sessions_dataset(
     ds,
     key_cols: list[str],
     ts_col: str = "ts",
     gap_us: int = 1_800_000_000,
-    driver_cap: int = 1 << 22,
-) -> pd.DataFrame:
-    """DISTRIBUTED session windows — the scale path for
-    ``stream_sessions``'s unbounded-lateness (exact) configuration.
-
-    Session windows are MERGEABLE: a session is a gap-connected interval
-    union, and interval-union-with-gap is associative and commutative.
-    So each block reduces its events to per-key merged intervals
-    (one vectorized sweep — ``_keyed_interval_sweep``), only interval
-    rows (keys, start, last, n) leave the block, and a fold re-sweeps:
-
-    - ≤ ``driver_cap`` partial rows: one driver-side vectorized sweep;
-    - above the cap: Ray range-sort by (key, start) → per-block local
-      sweep → the only intervals that can straddle a block boundary are
-      each block's first/last per key, stitched on the driver (same
-      pattern as engine/segmented.py); middle intervals are final.
-
-    Equals the replay engine (``stream_sessions``) exactly when no event
-    is late there — i.e. the unbounded-lateness oracle configuration.
-    Tight-watermark semantics are inherently arrival-order-dependent and
-    stay on the replay engine.
+):
+    """Fully-distributed session windows returning a DATASET — the
+    100 TB path: per-block interval partials (same reduction as
+    ``stream_sessions_distributed``) → ``groupby(key).map_groups``
+    sweep, so every key's intervals meet in exactly one group and the
+    per-key sweep is exact with NOTHING corpus-sized on the driver.
+    Write the result with ``write_parquet``. Partitioning assumption:
+    one key's interval partials fit in a group task (bounded by
+    #blocks, not #events — a key with a billion events still reduces
+    to ≤ one interval row per block first).
     """
-    import pyarrow.compute as pc
+    import pyarrow.compute as pc  # noqa: F401 — parity with the pandas twin
+
+    part = _session_partials_ds(ds, key_cols, ts_col, int(gap_us))
 
     gap = int(gap_us)
+
+    def per_key_sweep(df: pd.DataFrame) -> pd.DataFrame:
+        codes = np.zeros(len(df), np.int64)  # one group == one key
+        oc, os_, ol, on = _keyed_interval_sweep(
+            codes,
+            df["start_us"].to_numpy(np.int64),
+            df["last_us"].to_numpy(np.int64),
+            df["n"].to_numpy(np.int64),
+            gap,
+        )
+        out = pd.DataFrame({c: np.repeat(df[c].iloc[0], len(os_)) for c in key_cols})
+        out["session_start_us"] = os_
+        out["session_end_us"] = ol
+        out["n_events"] = on
+        return out
+
+    return part.groupby(key_cols).map_groups(per_key_sweep, batch_format="pandas")
+
+
+def _session_partials_ds(ds, key_cols, ts_col, gap):
+    """Per-block reduction shared by both session finishes: events →
+    per-key merged intervals (one vectorized sweep per block)."""
 
     def block_partials(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -579,17 +592,50 @@ def stream_sessions_distributed(
                 for c in key_cols
             ]
             codes, uniq = pd.MultiIndex.from_arrays(arrays).factorize()
-            uniq_cols = {c: np.asarray(uniq.get_level_values(i)) for i, c in enumerate(key_cols)}
+            uniq_cols = {
+                c: np.asarray(uniq.get_level_values(i)) for i, c in enumerate(key_cols)
+            }
         oc, os_, ol, on = _keyed_interval_sweep(
             codes.astype(np.int64), ts, ts, np.ones(len(ts), np.int64), gap
         )
         out = {c: pa.array(uniq_cols[c][oc]) for c in key_cols}
-        out.update(
-            start_us=pa.array(os_), last_us=pa.array(ol), n=pa.array(on)
-        )
+        out.update(start_us=pa.array(os_), last_us=pa.array(ol), n=pa.array(on))
         return pa.table(out)
 
-    part = ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(block_partials, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stream_sessions_distributed(
+    ds,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_us: int = 1_800_000_000,
+    driver_cap: int = 1 << 22,
+) -> pd.DataFrame:
+    """DISTRIBUTED session windows — the scale path for
+    ``stream_sessions``'s unbounded-lateness (exact) configuration.
+
+    Session windows are MERGEABLE: a session is a gap-connected interval
+    union, and interval-union-with-gap is associative and commutative.
+    So each block reduces its events to per-key merged intervals
+    (one vectorized sweep — ``_keyed_interval_sweep``), only interval
+    rows (keys, start, last, n) leave the block, and a fold re-sweeps:
+
+    - ≤ ``driver_cap`` partial rows: one driver-side vectorized sweep;
+    - above the cap: Ray range-sort by (key, start) → per-block local
+      sweep (collapses almost everything) → one exact driver sweep over
+      the collapsed rows.
+
+    For a Dataset (no driver result at all), use ``sessions_dataset`` —
+    the groupby(key).map_groups finish. Equals the replay engine
+    (``stream_sessions``) exactly when no event is late there — i.e.
+    the unbounded-lateness oracle configuration. Tight-watermark
+    semantics are inherently arrival-order-dependent and stay on the
+    replay engine.
+    """
+    gap = int(gap_us)
+
+    part = _session_partials_ds(ds, key_cols, ts_col, gap)
     part = part.materialize()
     n_part = part.count()
 

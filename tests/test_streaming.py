@@ -645,3 +645,42 @@ def test_stream_sessions_distributed_bridge_intervals(ray_session):
             ),
             check_dtype=False,
         )
+
+
+def test_sessions_dataset_matches_replay(ray_session):
+    """sessions_dataset (groupby-finish, nothing on the driver) must
+    equal the replay oracle exactly — single and multi key."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.streaming import (
+        sessions_dataset,
+        stream_sessions,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    tbl = pa.table(
+        {
+            "k": rng.integers(0, 30, n),
+            "g": rng.integers(0, 3, n),
+            "ts": rng.integers(0, 8_000_000, n).astype("int64"),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(6)
+    for keys in (["k"], ["k", "g"]):
+        replay = stream_sessions(
+            ds, keys, ts_col="ts", gap_us=40_000, allowed_lateness_us=1 << 62
+        )[keys + ["session_start_us", "session_end_us", "n_events"]]
+        got = (
+            sessions_dataset(ds, keys, ts_col="ts", gap_us=40_000)
+            .to_pandas()
+            .sort_values(keys + ["session_start_us"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({k: np.int64 for k in keys}),
+            replay.sort_values(keys + ["session_start_us"])
+            .reset_index(drop=True)
+            .astype({k: np.int64 for k in keys}),
+            check_dtype=False,
+        )
