@@ -607,6 +607,26 @@ def cmd_semantic_dedup(args) -> None:
     )
 
 
+def cmd_sessions(args) -> None:
+    """Sessionize an event table and write one Parquet row per session
+    (keys, session_start_us, session_end_us, n_events) — the
+    fully-distributed ``sessions_dataset`` finish: per-block interval
+    partials → groupby(key).map_groups per-key sweep; nothing
+    corpus-sized on the driver."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.streaming import sessions_dataset
+
+    ds = rd.read_parquet(args.input, columns=args.keys + [args.ts_col])
+    sess = sessions_dataset(
+        ds, args.keys, ts_col=args.ts_col, gap_us=args.gap_us
+    ).materialize()  # session rows only; write + count reuse blocks
+    sess.write_parquet(args.output)
+    _emit({"sessions": int(sess.count()), "gap_us": args.gap_us,
+           "output": args.output}, None)
+
+
 def cmd_synth(args) -> None:
     from approximate_quantiles_ray.sources.transcripts import generate_transcripts
 
@@ -807,6 +827,17 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--n-bands", type=int, default=4)
     sd.add_argument("--components", default="driver", choices=["driver", "distributed"])
     sd.set_defaults(fn=cmd_semantic_dedup)
+
+    ssn = sub.add_parser(
+        "sessions",
+        help="sessionize an event table, write one Parquet row per session",
+    )
+    ssn.add_argument("--input", required=True)
+    ssn.add_argument("--output", required=True)
+    ssn.add_argument("--keys", nargs="+", required=True)
+    ssn.add_argument("--ts-col", default="ts")
+    ssn.add_argument("--gap-us", type=int, default=1_800_000_000)
+    ssn.set_defaults(fn=cmd_sessions)
 
     s = sub.add_parser("synth", help="generate the deterministic synthetic transcript table")
     s.add_argument("--out", required=True)

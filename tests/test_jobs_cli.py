@@ -596,3 +596,51 @@ def test_semantic_dedup_cli(ray_session, tmp_path_factory, capsys):
         assert v.loc[i, "is_kept"] and v.loc[i, "cluster_id"] == i
     singles = list(range(4, 40))
     assert v.loc[singles, "is_kept"].all()
+
+
+def test_sessions_cli(ray_session, tmp_path_factory, capsys):
+    """sessions job: session Parquet matches the replay oracle."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from approximate_quantiles_ray import jobs
+    from approximate_quantiles_ray.engine.streaming import stream_sessions
+
+    root = tmp_path_factory.mktemp("sessjob")
+    src = str(root / "events.parquet")
+    rng = np.random.default_rng(29)
+    n = 3000
+    tbl = pa.table(
+        {
+            "user": rng.integers(0, 25, n),
+            "ts": rng.integers(0, 5_000_000, n).astype("int64"),
+        }
+    )
+    pq.write_table(tbl, src)
+    out = str(root / "sessions")
+    jobs.main(["sessions", "--input", src, "--output", out,
+               "--keys", "user", "--gap-us", "60000"])
+    emitted = json.loads(capsys.readouterr().out.strip())
+
+    replay = stream_sessions(
+        rd.from_arrow(tbl).repartition(4), ["user"], ts_col="ts",
+        gap_us=60_000, allowed_lateness_us=1 << 62,
+    )
+    got = (
+        rd.read_parquet(out).to_pandas()
+        .sort_values(["user", "session_start_us"]).reset_index(drop=True)
+    )
+    assert emitted["sessions"] == len(replay) == len(got)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.astype({"user": np.int64}),
+        replay[["user", "session_start_us", "session_end_us", "n_events"]]
+        .sort_values(["user", "session_start_us"]).reset_index(drop=True)
+        .astype({"user": np.int64}),
+        check_dtype=False,
+    )
