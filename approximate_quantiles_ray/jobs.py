@@ -611,7 +611,7 @@ def cmd_sessions(args) -> None:
     """Sessionize an event table and write one Parquet row per session
     (keys, session_start_us, session_end_us, n_events) — the
     fully-distributed ``sessions_dataset`` finish: per-block interval
-    partials → groupby(key).map_groups per-key sweep; nothing
+    partials → hash-bucketed vectorized multi-key sweep; nothing
     corpus-sized on the driver."""
     _ensure_ray()
     import ray.data as rd
