@@ -93,3 +93,57 @@ def test_distributed_finishes_match_brute_force(ray_session, evts, gap, n_parts)
         .astype(np.int64)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def _brute_sliding(keys, ts, window, slide):
+    """Every event lands in each pane whose [start, start+window) covers
+    it; pane starts are multiples of slide."""
+    rows = {}
+    for k, t in zip(keys, ts):
+        t = int(t)
+        s = (t // slide) * slide  # latest pane containing t …
+        while s > t - window:  # … back to the earliest (may be negative)
+            rows[(s, int(k))] = rows.get((s, int(k)), 0) + 1
+            s -= slide
+    out = pd.DataFrame(
+        [(s, k, n) for (s, k), n in rows.items()],
+        columns=["window_start_us", "k", "n_events"],
+    )
+    return out.sort_values(["window_start_us", "k"]).reset_index(drop=True)
+
+
+@settings(max_examples=10, deadline=None)
+@given(events, st.integers(1, 5), st.integers(1, 4))
+def test_distributed_sliding_windows_match_brute_force(
+    ray_session, evts, slide_mult, n_parts
+):
+    """stream_keyed_windows_distributed (sliding panes) vs a pane-offset
+    brute force, at random slides and partitionings."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.streaming import (
+        stream_keyed_windows_distributed,
+    )
+
+    slide = slide_mult * 100
+    window = slide * 3  # window a multiple of slide, 3 panes per event
+    keys = np.array([k for k, _ in evts], np.int64)
+    ts = np.array([t for _, t in evts], np.int64)
+    want = _brute_sliding(keys, ts, window, slide).astype(np.int64)
+
+    ds = rd.from_arrow(pa.table({"k": keys, "ts": ts})).repartition(n_parts)
+    df = stream_keyed_windows_distributed(
+        ds, [], ["k"], ts_col="ts", window_us=window, slide_us=slide
+    )
+    got = (
+        pd.DataFrame(
+            {
+                "window_start_us": df["window_start_us"].astype(np.int64),
+                "k": df["k"].astype(np.int64),
+                "n_events": df["rows"].astype(np.int64),
+            }
+        )
+        .sort_values(["window_start_us", "k"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
