@@ -4344,17 +4344,32 @@ def column_minmax(ds, cols: list[str]) -> pd.DataFrame:
             }
         )
 
-    part = ds.map_batches(block_keys, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    # Fold the per-block partials in pure Python from Arrow rows (take_all
+    # yields exact Python ints). A pandas fold would coerce the int64
+    # imin/imax columns to float64 whenever `cols` mixes integer/timestamp
+    # with float/string columns (the ints gain nulls), reintroducing the
+    # >2^53 ns-epoch precision loss this int64 path exists to avoid.
+    part_rows = ds.map_batches(
+        block_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    groups: dict[str, list[dict]] = {}
+    for r in part_rows:
+        groups.setdefault(r["col"], []).append(r)
     rows = []
-    for c, g in part.groupby("col", sort=True):
-        if g["imin"].notna().any():  # integer/temporal: exact int64 fold
-            lo = g.loc[g["imin"].idxmin(), "smin"]
-            hi = g.loc[g["imax"].idxmax(), "smax"]
-        elif g["fmin"].notna().any():  # floats: float64 fold
-            lo = g.loc[g["fmin"].idxmin(), "smin"]
-            hi = g.loc[g["fmax"].idxmax(), "smax"]
+    for c in sorted(groups):
+        g = groups[c]
+        imins = [r for r in g if r["imin"] is not None]
+        fmins = [r for r in g if r["fmin"] is not None]
+        smins = [r["smin"] for r in g if r["smin"] is not None]
+        smaxs = [r["smax"] for r in g if r["smax"] is not None]
+        if imins:  # integer/temporal: exact int64 fold
+            lo = min(imins, key=lambda r: r["imin"])["smin"]
+            hi = max(imins, key=lambda r: r["imax"])["smax"]
+        elif fmins:  # floats: float64 fold
+            lo = min(fmins, key=lambda r: r["fmin"])["smin"]
+            hi = max(fmins, key=lambda r: r["fmax"])["smax"]
         else:  # strings: lexicographic fold on the values themselves
-            lo = g["smin"].dropna().min() if g["smin"].notna().any() else None
-            hi = g["smax"].dropna().max() if g["smax"].notna().any() else None
+            lo = min(smins) if smins else None
+            hi = max(smaxs) if smaxs else None
         rows.append({"col": c, "vmin": lo, "vmax": hi})
     return pd.DataFrame(rows)

@@ -690,6 +690,12 @@ def _ann_gate(sf_dir: str, variant: str) -> pd.DataFrame:
     )
     out = exact.copy()
     out["recall_ok"] = bool(recall >= ANN_RECALL_FLOORS[variant])
+    # ADVICE r4: also hash-pin an approximation-DERIVED scalar so a
+    # recall regression that stays above the floor (0.99 → 0.91) still
+    # shifts a pinned value: recall on a 1/20 grid as an exact integer.
+    # The SQL twin pins the expected grid value per test scale
+    # (discriminated by the events row count — see _knn_gate_sql).
+    out["recall_pct20"] = np.int64(round(recall * 20))
     return out
 
 
@@ -932,8 +938,26 @@ def media_features_gate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("modality").reset_index(drop=True)
 
 
-def _knn_gate_sql(base_sql: str) -> str:
-    return f"SELECT *, TRUE AS recall_ok FROM ({base_sql})"
+# Measured recall@10 (×20, rounded) per ANN variant at each test scale,
+# discriminated by the events row count (embeddings counts collide at
+# sf0.001/sf0.01). All three pipelines are fully seeded, so these are
+# constants of (code, data); re-measure if the algorithm or testdata
+# changes. events=1000 → sf0.001, 10000 → sf0.01, 100000 → sf0.1.
+ANN_RECALL_PCT20 = {
+    "ivf": {1000: 19, 10000: 19, 100000: 20},
+    "lsh": {1000: 13, 10000: 15, 100000: 17},
+    "pq": {1000: 20, 10000: 20, 100000: 19},
+}
+
+
+def _knn_gate_sql(base_sql: str, variant: str) -> str:
+    pins = ANN_RECALL_PCT20[variant]
+    whens = " ".join(f"WHEN {n} THEN {v}" for n, v in sorted(pins.items()))
+    return (
+        f"SELECT *, TRUE AS recall_ok, "
+        f"CAST(CASE (SELECT COUNT(*) FROM events) {whens} END AS BIGINT) "
+        f"AS recall_pct20 FROM ({base_sql})"
+    )
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -943,9 +967,9 @@ def extra_oracle_sql() -> dict[str, str]:
 
     bf = S.ORACLE_SQL["embeddings_knn_bruteforce"]
     return {
-        "embeddings_knn_ivf": _knn_gate_sql(bf),
-        "embeddings_knn_lsh": _knn_gate_sql(bf),
-        "embeddings_knn_pq": _knn_gate_sql(bf),
+        "embeddings_knn_ivf": _knn_gate_sql(bf, "ivf"),
+        "embeddings_knn_lsh": _knn_gate_sql(bf, "lsh"),
+        "embeddings_knn_pq": _knn_gate_sql(bf, "pq"),
         "embeddings_near_dups": """
             SELECT a.vec_id AS a, b.vec_id AS b,
                    ROUND(list_cosine_similarity(

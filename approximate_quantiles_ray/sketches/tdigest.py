@@ -224,6 +224,18 @@ class TDigest(SlotState):
     def _materialize(self) -> None:
         self._flush()
 
+    def _query_arrays(self):
+        """Flushed (means, weights) upcast to float64 for query-time
+        arithmetic. With dtype='f4' the reductions (np.sum / np.cumsum)
+        must not accumulate in float32 — a cumsum past 2^24 would drop
+        sub-ulp singleton weights and rank error would grow with
+        centroid count; only STORAGE narrows, never query arithmetic."""
+        self._materialize()
+        return (
+            self.means.astype(np.float64, copy=False),
+            self.weights.astype(np.float64, copy=False),
+        )
+
     @property
     def count(self) -> int:
         return self._count
@@ -233,13 +245,12 @@ class TDigest(SlotState):
         return self.means.nbytes + self.weights.nbytes + 64
 
     def total_weight(self) -> float:
-        self._materialize()
-        return float(np.sum(self.weights))
+        _, weights = self._query_arrays()
+        return float(np.sum(weights))
 
     def est_quantile_at_value(self, item: float) -> float:
         """CDF estimate (rank / n) of ``item``. t_digest.rs:68-202."""
-        self._materialize()
-        means, weights = self.means, self.weights
+        means, weights = self._query_arrays()
         n = len(means)
         if n == 0:
             return float("nan")
@@ -328,8 +339,7 @@ class TDigest(SlotState):
 
     def est_value_at_quantile(self, q: float) -> float:
         """Inverse-CDF estimate. t_digest.rs:204-266."""
-        self._materialize()
-        means, weights = self.means, self.weights
+        means, weights = self._query_arrays()
         n = len(means)
         if n == 0:
             return float("nan")

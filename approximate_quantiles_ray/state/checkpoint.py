@@ -43,10 +43,24 @@ class FilePartialSketcher:
         self.batch_size = batch_size
         self.columns = required_columns(specs)
 
+    @staticmethod
+    def _open(path: str) -> pq.ParquetFile:
+        """Open a Parquet file by path OR URI. A bare ``pq.ParquetFile(path)``
+        only supports local/shared-filesystem paths; resolving through
+        ``pyarrow.fs.FileSystem.from_uri`` keeps checkpointed jobs working
+        over remote inputs (s3://, gs://, hdfs://) the way the Ray read
+        path does (ADVICE r4). Plain local paths take the fast path."""
+        if "://" not in path:
+            return pq.ParquetFile(path)
+        from pyarrow import fs as pafs
+
+        filesystem, fs_path = pafs.FileSystem.from_uri(path)
+        return pq.ParquetFile(filesystem.open_input_file(fs_path))
+
     def __call__(self, paths: pa.Table) -> pa.Table:
         keys, states, counts = [], [], []
         for path in paths.column("path").to_pylist():
-            pf = pq.ParquetFile(path)
+            pf = self._open(path)
             sketches = {s.key: s.factory() for s in self.specs}
             for rb in pf.iter_batches(batch_size=self.batch_size, columns=self.columns):
                 block = pa.Table.from_batches([rb])

@@ -243,3 +243,18 @@ def test_file_partial_sketcher_scheduling_independent(ray_session, input_files):
     fps2 = FilePartialSketcher(global_specs(), batch_size=4096)
     again = fps2(pa.table({"path": list(input_files)}))
     assert again.column("state").to_pylist() == all_at_once.column("state").to_pylist()
+
+
+def test_file_partial_sketcher_uri_paths(ray_session, input_files):
+    """ADVICE r4: FilePartialSketcher must resolve URIs through
+    pyarrow.fs (the Ray read path does), not just bare local paths —
+    a file:// URI must produce bit-identical states to the plain path."""
+    import pyarrow as pa
+
+    from approximate_quantiles_ray.pipelines.transcripts import global_specs
+    from approximate_quantiles_ray.state.checkpoint import FilePartialSketcher
+
+    fps = FilePartialSketcher(global_specs(), batch_size=4096)
+    plain = fps(pa.table({"path": [input_files[0]]}))
+    via_uri = fps(pa.table({"path": ["file://" + input_files[0]]}))
+    assert plain.column("state").to_pylist() == via_uri.column("state").to_pylist()

@@ -68,6 +68,24 @@ def test_f32_merge_and_dtype_guard(cls):
         _mk(cls, "f2")
 
 
+def test_f32_query_reductions_accumulate_in_f64():
+    """ADVICE r4: np.sum/np.cumsum on f4 weights would accumulate in
+    float32 — a cumsum past 2^24 silently drops weight-1 singletons.
+    With an explicit 2^24 centroid plus a singleton, total_weight and
+    the rank of the singleton must reflect the exact f64 fold."""
+    t4 = TDigest(delta=100, scale="k2", dtype="f4")
+    big = float(2**24)  # exactly representable in f4
+    t4.update_weighted(np.array([0.0]), np.array([big]))
+    t4.update_weighted(np.array([1000.0]), np.array([1.0]))
+    # f32 accumulation would report 2^24 (dropping the singleton)
+    assert t4.total_weight() == big + 1.0
+    # the singleton at the top of the distribution must still rank ~1.0;
+    # if cumsum dropped it, est_quantile_at_value(1000) would misplace it
+    assert t4.est_quantile_at_value(1000.0) > 0.999
+    arr_m, arr_w = t4._query_arrays()
+    assert arr_m.dtype == np.float64 and arr_w.dtype == np.float64
+
+
 def test_f32_query_path_stays_f64():
     """Query results are Python floats computed in f64 — an f4 sketch's
     estimate is finite and close to the f8 twin's on identical input."""

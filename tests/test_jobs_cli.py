@@ -554,6 +554,37 @@ def test_column_minmax_ns_timestamp_exact(ray_session):
     assert out.loc["ts", "vmax"].endswith(".000000130")
 
 
+def test_column_minmax_mixed_types_exact(ray_session):
+    """ADVICE r4 (medium): when `cols` mixes integer/timestamp columns
+    with float/string columns the int64 partial columns gain nulls; a
+    pandas fold would coerce them to float64 and lose >2^53 precision.
+    The fold must stay exact for the int column regardless of siblings."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from approximate_quantiles_ray.pipelines.relational import column_minmax
+
+    big = 1_700_000_000_000_000_000
+    blk_a = pa.table({
+        "big": pa.array(np.array([big + 2, big + 129], np.int64)),
+        "f": pa.array([0.5, 2.5], pa.float64()),
+        "s": pa.array(["m", "q"], pa.string()),
+    })
+    blk_b = pa.table({
+        "big": pa.array(np.array([big + 1, big + 130], np.int64)),
+        "f": pa.array([1.5, 3.5], pa.float64()),
+        "s": pa.array(["a", "z"], pa.string()),
+    })
+    assert float(big + 1) == float(big + 2)  # premise: float64 can't tell
+    ds = rd.from_arrow([blk_a, blk_b])
+    out = column_minmax(ds, ["big", "f", "s"]).set_index("col")
+    assert out.loc["big", "vmin"] == str(big + 1)
+    assert out.loc["big", "vmax"] == str(big + 130)
+    assert out.loc["f", "vmin"] == "0.5" and out.loc["f", "vmax"] == "3.5"
+    assert out.loc["s", "vmin"] == "a" and out.loc["s", "vmax"] == "z"
+
+
 def test_semantic_dedup_cli(ray_session, tmp_path_factory, capsys):
     """semantic-dedup: verdict Parquet with planted embedding families
     collapsed (min-id kept), singletons conserved, counts in the emit."""
