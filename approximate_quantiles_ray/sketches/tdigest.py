@@ -81,6 +81,8 @@ class TDigest(SlotState):
         "_count",
         "_pending",
         "_pending_n",
+        "_pending_w",
+        "_pending_w_n",
         "flush_size",
         "dtype",
     )
@@ -101,6 +103,13 @@ class TDigest(SlotState):
         self._count = 0
         self._pending: list[np.ndarray] = []
         self._pending_n = 0
+        # weighted pending buffer: (means, weights) pairs from
+        # update_weighted / merge, compacted lazily at flush boundaries
+        # so an N-way merge fold costs O(N·centroids/flush_size)
+        # compressions instead of N (the r4-verdict streaming-window
+        # reduction spent ~90% of its wall in per-pair _compress calls)
+        self._pending_w: list[tuple[np.ndarray, np.ndarray]] = []
+        self._pending_w_n = 0
         self.flush_size = int(flush_size)
 
     # ------------------------------------------------------------------ ingest
@@ -136,17 +145,36 @@ class TDigest(SlotState):
         if len(values) == 0:
             return self
         self._count += int(round(float(weights.astype(np.float64).sum())))
-        self._flush()  # keep pending weight-1 points ahead of the merge
-        self._add_weighted(values, weights)
+        # buffered (not consumed immediately) → must not alias caller data
+        self._pending_w.append((np.array(values, dtype=self.dtype),
+                                np.array(weights, dtype=self.dtype)))
+        self._pending_w_n += len(values)
+        if self._pending_n + self._pending_w_n >= self.flush_size:
+            self._flush()
         return self
 
     def _flush(self) -> None:
-        if self._pending_n == 0:
+        """Compact BOTH pending buffers (weight-1 points and weighted
+        centroid batches) into the digest with one _add_weighted call."""
+        if self._pending_n == 0 and self._pending_w_n == 0:
             return
-        vals = np.concatenate(self._pending) if len(self._pending) > 1 else self._pending[0]
+        parts_v: list[np.ndarray] = []
+        parts_w: list[np.ndarray] = []
+        if self._pending_n:
+            vals = (np.concatenate(self._pending)
+                    if len(self._pending) > 1 else self._pending[0])
+            parts_v.append(vals)
+            parts_w.append(np.ones(len(vals), dtype=self.dtype))
+        for m, w in self._pending_w:
+            parts_v.append(m)
+            parts_w.append(w)
         self._pending = []
         self._pending_n = 0
-        self._add_weighted(vals, np.ones(len(vals), dtype=self.dtype))
+        self._pending_w = []
+        self._pending_w_n = 0
+        vals = parts_v[0] if len(parts_v) == 1 else np.concatenate(parts_v)
+        wts = parts_w[0] if len(parts_w) == 1 else np.concatenate(parts_w)
+        self._add_weighted(vals, wts)
 
     def _add_weighted(self, means: np.ndarray, weights: np.ndarray) -> None:
         """Merge weighted points into the digest (add_centroid_buffer)."""
@@ -206,23 +234,67 @@ class TDigest(SlotState):
 
     def merge(self, other: "TDigest") -> "TDigest":
         """Merge another t-digest into this one (commutative up to the
-        algorithm's published ε; validated by merge-permutation tests)."""
+        algorithm's published ε; validated by merge-permutation tests).
+
+        LAZY: the other digest's centroids (and raw pending points) are
+        buffered and compacted at the next flush boundary, so folding N
+        digests costs O(N·|centroids|/flush_size) compressions instead
+        of N — the difference between 74 s and ~7 s in the 16M-row
+        1,024-block streaming-window tree reduction. min/max of already-
+        compacted centroids are propagated explicitly (centroid means
+        do not preserve extrema); raw pending points carry their own."""
         if (other.delta, other.scale, other.dtype) != (self.delta, self.scale, self.dtype):
             raise ValueError("cannot merge t-digests with different (delta, scale, dtype)")
-        other._flush()
-        self._flush()
         if other._count == 0:
             return self
         self._count += other._count
-        self._add_weighted(other.means.copy(), other.weights.copy())
-        self.min = min(self.min, other.min)
-        self.max = max(self.max, other.max)
+        # other.min/max, when set, are TRUE data extrema (set from raw
+        # values or propagated through earlier merges) — centroid means
+        # in the buffers do not preserve them, so carry them explicitly
+        # whether or not other has compacted centroids right now
+        if other.min < self.min:
+            self.min = other.min
+        if other.max > self.max:
+            self.max = other.max
+        if len(other.means):
+            self._pending_w.append((other.means.copy(), other.weights.copy()))
+            self._pending_w_n += len(other.means)
+        for m, w in other._pending_w:
+            self._pending_w.append((m.copy(), w.copy()))
+            self._pending_w_n += len(m)
+        for arr in other._pending:
+            self._pending.append(arr.copy())
+        self._pending_n += other._pending_n
+        if self._pending_n + self._pending_w_n >= self.flush_size:
+            self._flush()
         return self
 
     # ------------------------------------------------------------------ query
 
     def _materialize(self) -> None:
         self._flush()
+
+    def __getstate__(self):
+        """Compact lazily-MERGED buffers before pickling: they grow
+        linearly with merge count, so shipping them between tree-merge
+        rounds (or into a checkpoint) would inflate state size round
+        over round. Flushing here keeps every serialized digest at the
+        compacted O(delta) footprint. Plain weight-1 pending points are
+        left untouched — they are bounded by flush_size AND must survive
+        pickling bit-exactly so a checkpoint/resume replays identically
+        to the one-shot path (tests/test_streaming.py
+        test_resumable_replay_matches_one_shot). Surviving weight-1
+        pending is CONSOLIDATED into one contiguous array: merge()
+        appends each source's buffers as separate tiny arrays, so after
+        k tree-merge rounds a digest can hold fanin^k array objects —
+        ~100 B of pickle overhead each (the 4096-block keyed smoke shipped
+        89 MB blobs, 13 s to unpickle, vs ~2 MB consolidated). Concatenation
+        preserves order, so the eventual _flush sees byte-identical input."""
+        if self._pending_w_n:
+            self._flush()
+        elif len(self._pending) > 1:
+            self._pending = [np.concatenate(self._pending)]
+        return super().__getstate__()
 
     def _query_arrays(self):
         """Flushed (means, weights) upcast to float64 for query-time
@@ -242,7 +314,9 @@ class TDigest(SlotState):
 
     @property
     def nbytes(self) -> int:
-        return self.means.nbytes + self.weights.nbytes + 64
+        pend = sum(a.nbytes for a in self._pending)
+        pend += sum(m.nbytes + w.nbytes for m, w in self._pending_w)
+        return self.means.nbytes + self.weights.nbytes + pend + 64
 
     def total_weight(self) -> float:
         _, weights = self._query_arrays()
