@@ -92,10 +92,15 @@ def cmd_dedup(args) -> None:
 
     from approximate_quantiles_ray.pipelines.dedup import exact_dedup
 
+    # keep-set scan needs ONLY (id, text) — on a wide corpus the
+    # unprojected read was the job's largest avoidable cost (r4 verdict
+    # item 2); the semi-join side below still reads full rows (they are
+    # the output)
+    keys = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
     ds = rd.read_parquet(args.input)
     n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
     keep = (
-        exact_dedup(ds, id_col=args.id_col, text_col=args.text_col)
+        exact_dedup(keys, id_col=args.id_col, text_col=args.text_col)
         .select_columns([args.id_col])
         # repartition also folds away the hash-agg's empty schema-less
         # blocks, which the semi join's key resolution chokes on
@@ -135,7 +140,8 @@ def cmd_simjoin(args) -> None:
 
     from approximate_quantiles_ray.pipelines.dedup import jaccard_similarity_join
 
-    ds = rd.read_parquet(args.input)
+    # pair output carries ids only — never read the other corpus columns
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
     pairs = jaccard_similarity_join(
         ds,
         k=int(args.shingle_words),
@@ -554,7 +560,8 @@ def cmd_pq_index(args) -> None:
         train_pq_codebooks,
     )
 
-    ds = rd.read_parquet(args.input)
+    # PQ codes derive from (id, embedding) only — prune the scan
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.col])
     sample = _hash_sample(ds, args.sample_size, seed=args.seed,
                           id_col=args.id_col, col=args.col)
     coarse, books = train_pq_codebooks(
@@ -591,7 +598,8 @@ def cmd_semantic_dedup(args) -> None:
 
     from approximate_quantiles_ray.pipelines.similarity import semantic_dedup
 
-    ds = rd.read_parquet(args.input)
+    # verdicts derive from (id, embedding) only — prune the scan
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.col])
     verdicts = semantic_dedup(
         ds, threshold=args.threshold, n_bands=args.n_bands,
         id_col=args.id_col, col=args.col, components=args.components,

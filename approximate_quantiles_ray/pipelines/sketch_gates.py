@@ -48,17 +48,61 @@ from approximate_quantiles_ray.sources.read import read_parquet_sized
 RANK_TOL = 0.02
 
 
-def _concurrent(*thunks):
+def _concurrent(*thunks, raw=0):
     """Run independent gate legs (exact twin + approximate run, or the
     two runs of a determinism law) as concurrent driver threads: each
     leg is its own Ray Data pipeline, so overlapping them pipelines the
     fixed per-pipeline latency instead of serializing it. Results are
-    unchanged — the legs share no state."""
+    unchanged — the legs share no state.
+
+    ``raw``: index (or tuple of indices) of the thunk(s) that ARE the
+    underlying data pipeline; the others are gate legs (exact twins,
+    determinism re-runs). Per-leg walls accumulate in a module log that
+    ``pop_leg_walls`` drains, so bench.py can report the raw pipeline's
+    wall separately from gate overhead (r4 verdict item 3: folding the
+    twins into each query made per-query BENCH numbers incomparable
+    across rounds). Legs overlap on the same Ray session, so each leg's
+    wall is an upper bound on its standalone cost under that session's
+    concurrent load — the bias is shared by both legs and stable round
+    to round, which is all cross-round comparability needs."""
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
+    raw_ix = {raw} if isinstance(raw, int) else set(raw)
+
+    def timed(t):
+        t0 = _time.perf_counter()
+        r = t()
+        return r, _time.perf_counter() - t0
+
     with ThreadPoolExecutor(len(thunks)) as ex:
-        futures = [ex.submit(t) for t in thunks]
-        return [f.result() for f in futures]
+        futures = [ex.submit(timed, t) for t in thunks]
+        results = [f.result() for f in futures]
+    _LEG_LOG.append(
+        (
+            sum(w for i, (_, w) in enumerate(results) if i in raw_ix),
+            sum(w for i, (_, w) in enumerate(results) if i not in raw_ix),
+        )
+    )
+    return [r for r, _ in results]
+
+
+_LEG_LOG: list[tuple[float, float]] = []
+
+
+def pop_leg_walls() -> dict | None:
+    """Drain the per-leg walls accumulated by ``_concurrent`` since the
+    last call. Returns ``{"raw": sec, "gate": sec}`` (summed across
+    ``_concurrent`` calls — a gate may fan out more than once), or None
+    if no gate leg ran (plain oracle queries)."""
+    global _LEG_LOG
+    legs, _LEG_LOG = _LEG_LOG, []
+    if not legs:
+        return None
+    return {
+        "raw": round(sum(r for r, _ in legs), 3),
+        "gate": round(sum(g for _, g in legs), 3),
+    }
 
 
 def _rank_ok(vals: np.ndarray, cum: np.ndarray, est: float, q: float,
@@ -443,6 +487,7 @@ def events_user_overlap_kmv_gate(sf_dir: str) -> pd.DataFrame:
     exact, est = _concurrent(
         lambda: events_user_overlap(sf_dir),
         lambda: events_user_overlap_kmv(sf_dir).set_index(["type_a", "type_b"]),
+        raw=1,
     )
     rows = []
     for _, r in exact.iterrows():
@@ -681,7 +726,7 @@ def _ann_gate(sf_dir: str, variant: str) -> pd.DataFrame:
         "pq": S.embeddings_knn_pq,
     }[variant]
     exact, approx = _concurrent(
-        lambda: S.embeddings_knn_bruteforce(sf_dir), lambda: approx_fn(sf_dir)
+        lambda: S.embeddings_knn_bruteforce(sf_dir), lambda: approx_fn(sf_dir), raw=1
     )
     ga = exact.groupby("query_id")["vec_id"].apply(set)
     gb = approx.groupby("query_id")["vec_id"].apply(set)

@@ -149,14 +149,41 @@ def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
         # best-of-2 per query: the sandbox VM's host load drifts on a
         # minutes scale (BASELINE.md §5.2), and the first run of a
         # pipeline also pays actor-pool spin-up — the second sample is
-        # the steady-state number a warm service would see
+        # the steady-state number a warm service would see.
+        # Gated queries (r4) run their exact DuckDB-parity twin
+        # CONCURRENTLY with the raw pipeline, which made per-query walls
+        # incomparable with pre-gate rounds (r4 verdict item 3): the
+        # benched number is now the RAW pipeline leg where the gate
+        # reports one, with gate overhead recorded alongside in the
+        # sidecar's `legs` map.
+        try:
+            from approximate_quantiles_ray.pipelines.sketch_gates import (
+                pop_leg_walls,
+            )
+        except ImportError:
+            pop_leg_walls = lambda: None  # noqa: E731
+        legs_by_query: dict[str, dict] = {}
         for name, fn in bench_queries.items():
             best = float("inf")
+            best_legs = None
             for _ in range(2):
+                pop_leg_walls()  # clear anything a prior query left behind
                 t0 = time.perf_counter()
                 fn(sf_dir)
-                best = min(best, time.perf_counter() - t0)
-            queries[name] = round(best, 3)
+                total = time.perf_counter() - t0
+                legs = pop_leg_walls()
+                if total < best:
+                    best, best_legs = total, legs
+            if best_legs is not None:
+                queries[name] = round(best_legs["raw"], 3)
+                legs_by_query[name] = {
+                    "raw": best_legs["raw"],
+                    "gate": best_legs["gate"],
+                    "total": round(best, 3),
+                }
+            else:
+                queries[name] = round(best, 3)
+        result["legs"] = legs_by_query
 
     for k in queries:
         queries[k] = round(queries[k], 3)
@@ -283,8 +310,10 @@ def _emit(result: dict) -> None:
     dict now goes to a sidecar file; the headline keeps only the
     flagship entries so the line stays well under 4 KiB."""
     full_queries = result.pop("queries", {})
+    legs = result.pop("legs", {})  # per-gated-query {raw, gate, total} walls
     with open(QUERIES_SIDECAR, "w") as f:
-        json.dump({**result, "queries": full_queries}, f, indent=1, sort_keys=True)
+        json.dump({**result, "queries": full_queries, "legs": legs},
+                  f, indent=1, sort_keys=True)
     result["queries"] = {
         k: v for k, v in full_queries.items() if k.startswith("flagship")
     }

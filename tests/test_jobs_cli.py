@@ -46,10 +46,13 @@ def test_checkpointed_resume(cli_table, capsys):
     assert res["turns"] == pads.dataset(table).count_rows()
 
 
-def test_dedup_cli_one_pass_no_driver_ids(ray_session, tmp_path_factory, capsys, monkeypatch):
-    """cmd_dedup must read the input once (one read_parquet call) and
-    never collect ids to the driver (no Dataset.to_pandas) — the
-    keep-set stays distributed and rows are selected by a semi join."""
+def test_dedup_cli_pruned_scan_no_driver_ids(ray_session, tmp_path_factory, capsys, monkeypatch):
+    """cmd_dedup's keep-set scan must be PRUNED to (id, text) — on a
+    wide 100-TB corpus the unprojected read was the job's largest
+    avoidable cost (r4 verdict item 2); the semi-join side reads full
+    rows because they ARE the output. And it must never collect ids to
+    the driver (no Dataset.to_pandas) — the keep-set stays distributed
+    and rows are selected by a semi join."""
     import pyarrow as pa
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
@@ -64,14 +67,14 @@ def test_dedup_cli_one_pass_no_driver_ids(ray_session, tmp_path_factory, capsys,
         pa.table({"doc_id": list(range(len(texts))), "text": texts}),
         str(root / "docs.parquet"),
     )
-    calls = {"n": 0}
+    scans = []
     real = rd.read_parquet
 
-    def counting(*a, **k):
-        calls["n"] += 1
+    def recording(*a, **k):
+        scans.append(k.get("columns"))
         return real(*a, **k)
 
-    monkeypatch.setattr(rd, "read_parquet", counting)
+    monkeypatch.setattr(rd, "read_parquet", recording)
 
     def no_collect(self, *a, **k):  # pragma: no cover - failure path
         raise AssertionError("cmd_dedup must not collect a Dataset to the driver")
@@ -79,7 +82,7 @@ def test_dedup_cli_one_pass_no_driver_ids(ray_session, tmp_path_factory, capsys,
     monkeypatch.setattr(Dataset, "to_pandas", no_collect)
     out = str(root / "out")
     jobs.main(["dedup", "--input", str(root / "docs.parquet"), "--output", out])
-    assert calls["n"] == 1
+    assert scans == [["doc_id", "text"], None]  # pruned keep scan + full output scan
     emitted = json.loads(capsys.readouterr().out)
     assert emitted["kept"] == 7
     got = sorted(pads.dataset(out).to_table().column("doc_id").to_pylist())
@@ -675,3 +678,66 @@ def test_sessions_cli(ray_session, tmp_path_factory, capsys):
         .astype({"user": np.int64}),
         check_dtype=False,
     )
+
+
+def test_job_scans_are_column_pruned(ray_session, tmp_path_factory, capsys, monkeypatch):
+    """r4 verdict item 2: the jobs whose outputs do NOT carry full rows
+    must prune their input scan to the columns they consume — simjoin
+    and pq-index/semantic-dedup read (id, text) / (id, embedding) only.
+    Asserted by recording the ``columns=`` kwarg of every
+    rd.read_parquet call against the job's input path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from approximate_quantiles_ray import jobs
+
+    root = tmp_path_factory.mktemp("prunedscans")
+    docs = str(root / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": ["the same six words repeated here",
+                           "the same six words repeated here",
+                           "a completely different document text body"],
+                  "wide_extra": ["x" * 100] * 3,  # the column pruning must drop
+                  "lang": ["en", "en", "en"]}),
+        docs,
+    )
+    emb = str(root / "emb.parquet")
+    rng = np.random.default_rng(5)
+    pts = rng.standard_normal((30, 16)).astype(np.float32)
+    pq.write_table(
+        pa.table({"vec_id": np.arange(30, dtype=np.int64),
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(pts.ravel(), pa.float32()), 16),
+                  "label": np.arange(30, dtype=np.int64)}),
+        emb,
+    )
+
+    scans: list[tuple[str, list | None]] = []
+    real = rd.read_parquet
+
+    def recording(path, *a, **k):
+        scans.append((str(path), k.get("columns")))
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(rd, "read_parquet", recording)
+
+    def input_scans(path):
+        got = [c for p, c in scans if p == path]
+        scans.clear()
+        return got
+
+    jobs.main(["simjoin", "--input", docs, "--output", str(root / "p1"),
+               "--tau-permille", "300"])
+    assert input_scans(docs) == [["doc_id", "text"]]
+
+    jobs.main(["pq-index", "--input", emb, "--output", str(root / "codes"),
+               "--sample-size", "30", "--ks", "8", "--m", "4"])
+    assert input_scans(emb) == [["vec_id", "embedding"]]
+
+    jobs.main(["semantic-dedup", "--input", emb, "--output", str(root / "v"),
+               "--threshold", "0.99"])
+    assert input_scans(emb) == [["vec_id", "embedding"]]
+    capsys.readouterr()
