@@ -597,12 +597,14 @@ def cmd_semantic_dedup(args) -> None:
     import ray.data as rd
 
     from approximate_quantiles_ray.pipelines.similarity import semantic_dedup
+    from approximate_quantiles_ray.sources.read import parquet_list_dim
 
     # verdicts derive from (id, embedding) only — prune the scan
     ds = rd.read_parquet(args.input, columns=[args.id_col, args.col])
     verdicts = semantic_dedup(
         ds, threshold=args.threshold, n_bands=args.n_bands,
         id_col=args.id_col, col=args.col, components=args.components,
+        dim=parquet_list_dim(args.input, args.col),
     ).materialize()  # 3 small columns; write + counts reuse the blocks
     verdicts.write_parquet(args.output)
     n = verdicts.count()

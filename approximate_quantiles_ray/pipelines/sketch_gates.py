@@ -917,10 +917,13 @@ def embeddings_semantic_dedup_gate(sf_dir: str) -> pd.DataFrame:
     )
 
     def _verdicts():
-        ds = read_parquet_sized(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
-        return semantic_dedup(ds, threshold=0.95).to_pandas()
+        from approximate_quantiles_ray.sources.read import parquet_list_dim
+
+        path = f"{sf_dir}/embeddings.parquet"
+        ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+        return semantic_dedup(
+            ds, threshold=0.95, dim=parquet_list_dim(path, "embedding")
+        ).to_pandas()
 
     verdicts, pairs = _concurrent(_verdicts, lambda: embeddings_near_dups(sf_dir))
 

@@ -39,6 +39,45 @@ def _input_bytes(path: str) -> int:
     return total
 
 
+def parquet_list_dim(path: str, col: str) -> int | None:
+    """Fixed per-row length of a list column, from FOOTER METADATA only
+    (no data read, no Ray task): leaf num_values / num_rows of one file.
+    Returns None when the ratio isn't integral (genuinely ragged lists)
+    — callers fall back to reading a row. For an embedding column this
+    replaces the ``ds.take(1)`` dim sniff that scheduled a real read
+    task per call (r4 verdict item 7)."""
+    import pyarrow.parquet as pq
+
+    fpath = path
+    if os.path.isdir(path):
+        names = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        if not names:
+            return None
+        fpath = names[0]
+    try:
+        md = pq.ParquetFile(fpath).metadata
+    except Exception:
+        return None
+    rows, vals = md.num_rows, 0
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            # nested leaf only (col.list.element) — a scalar column of
+            # the same name must not report dim=1
+            parts = c.path_in_schema.split(".")
+            if parts[0] == col and len(parts) > 1:
+                vals += c.num_values
+    if rows <= 0 or vals <= 0 or vals % rows:
+        return None
+    return vals // rows
+
+
 def read_parquet_sized(
     path: str,
     columns: list[str] | None = None,

@@ -323,3 +323,30 @@ def test_semantic_dedup_planted_clusters(ray_session):
     singles = [i for i in range(6, 60)]
     assert out.loc[singles, "is_kept"].all()
     assert (out.loc[singles, "cluster_id"] == singles).all()
+
+
+def test_parquet_list_dim_footer_only(tmp_path):
+    """dim sniffing must come from footer metadata (no read task): list
+    column -> per-row length; scalar column / ragged list -> None."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from approximate_quantiles_ray.sources.read import parquet_list_dim
+
+    p = str(tmp_path / "e.parquet")
+    pq.write_table(
+        pa.table({
+            "vec_id": np.arange(6, dtype=np.int64),
+            "embedding": pa.array([[1.0] * 8] * 6, pa.list_(pa.float32())),
+        }),
+        p,
+    )
+    assert parquet_list_dim(p, "embedding") == 8
+    assert parquet_list_dim(p, "vec_id") is None
+    ragged = str(tmp_path / "r.parquet")
+    pq.write_table(
+        pa.table({"x": pa.array([[1.0], [1.0, 2.0], [3.0]], pa.list_(pa.float32()))}),
+        ragged,
+    )
+    assert parquet_list_dim(ragged, "x") is None
