@@ -43,13 +43,39 @@ def trial_passes(factory, param: float, n: int, seed: int) -> bool:
     return True
 
 
+def _one_trial(args) -> bool:
+    sketch, param, n, seed = args
+    if sketch == "kll":
+        factory = lambda k: KLL(k=int(k), seed=0)  # noqa: E731
+    else:
+        factory = lambda d: TDigest(delta=d, scale="k2")  # noqa: E731
+    return trial_passes(factory, param, n, seed)
+
+
 def opt_accuracy_parameter(
-    factory, lo: float, hi: float, n: int, trials: int = 20, pass_ratio: float = 0.9
+    factory, lo: float, hi: float, n: int, trials: int = 20, pass_ratio: float = 0.9,
+    sketch: str | None = None, jobs: int = 1,
 ) -> float:
     """Smallest parameter whose pass rate ≥ pass_ratio (bisection,
-    util/mod.rs:155-205 — higher param = more accurate for both sketches)."""
+    util/mod.rs:155-205 — higher param = more accurate for both sketches).
+    ``jobs > 1`` fans the independent trials over a process pool (the
+    reference's n=1e6 / 100-trial setting is ~10 min serial)."""
+    pool = None
+    if jobs > 1 and sketch is not None:
+        import multiprocessing as mp
+
+        pool = mp.Pool(jobs)
+
     def passes(param: float) -> bool:
-        ok = sum(trial_passes(factory, param, n, seed=100 + t) for t in range(trials))
+        if pool is not None:
+            oks = pool.map(
+                _one_trial, [(sketch, param, n, 100 + t) for t in range(trials)]
+            )
+            ok = sum(oks)
+        else:
+            ok = sum(
+                trial_passes(factory, param, n, seed=100 + t) for t in range(trials)
+            )
         return ok / trials >= pass_ratio
 
     if not passes(hi):
@@ -68,13 +94,16 @@ if __name__ == "__main__":
     ap.add_argument("--sketch", choices=["kll", "tdigest"], default="kll")
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--jobs", type=int, default=1)
     args = ap.parse_args()
     if args.sketch == "kll":
         best = opt_accuracy_parameter(
-            lambda k: KLL(k=int(k), seed=0), 8, 1000, args.n, args.trials
+            lambda k: KLL(k=int(k), seed=0), 8, 1000, args.n, args.trials,
+            sketch="kll", jobs=args.jobs,
         )
     else:
         best = opt_accuracy_parameter(
-            lambda d: TDigest(delta=d, scale="k2"), 50, 10_000, args.n, args.trials
+            lambda d: TDigest(delta=d, scale="k2"), 50, 10_000, args.n, args.trials,
+            sketch="tdigest", jobs=args.jobs,
         )
     print(json.dumps({"sketch": args.sketch, "n": args.n, "tuned_param": round(best, 1)}))
