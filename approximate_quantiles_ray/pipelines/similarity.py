@@ -872,10 +872,18 @@ def knn_pq(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10,
 
     Default ``m=16`` (2–4-dim subquantizers at d=32–64): measured
     recall@10 vs brute force on the testdata embeddings 1.0/1.0/0.967
-    at sf0.001/0.01/0.1 (m=8 gave 0.967/0.967/0.633), and 0.875 on the
-    16M dense-cluster adversarial smoke (m=8: 0.36) — the finer codes
+    at sf0.001/0.01/0.1 (m=8 gave 0.967/0.967/0.633) — the finer codes
     cost ~25% wall and double the code bytes, cheap next to raw
-    vectors."""
+    vectors.
+
+    ``refine_mult`` is the recall lever on dense near-duplicate
+    corpora, and it is nearly free: the exact re-rank is ONE filtered
+    pass over the raw vectors whose cost barely moves with candidate
+    depth. Measured on the 16M/256-planted-cluster adversarial smoke
+    (m=16): refine_mult 64 → 0.875, 256 → 0.944, 512 → 0.988,
+    1024 → 1.0 recall@10, all within ~1.3× of the 64-deep wall
+    (tools/llm_scale_smoke.py runs 512). The small default (4) suits
+    corpora whose clusters are small relative to n/n_coarse."""
     import ray
 
     from approximate_quantiles_ray.engine.stages import worker_cached_stage

