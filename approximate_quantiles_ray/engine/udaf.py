@@ -355,16 +355,70 @@ def merge_partial_rows(batches) -> dict[str, Any]:
     return merged
 
 
-def sketch_columns_streaming(ds, specs: list[SketchSpec], batch_size: int = 65536):
-    """Alternative global driver: explicit map_batches partials + driver
-    streaming fold. Same result as :func:`sketch_columns`."""
+def _merge_partial_block(tbl: pa.Table) -> pa.Table:
+    """One tree-merge round over PARTIAL_SCHEMA rows: fold every state
+    in this block per sketch_key, emit one compacted row per key."""
+    merged: dict[str, Any] = {}
+    for key, state in zip(
+        tbl.column("sketch_key").to_pylist(), tbl.column("state").to_pylist()
+    ):
+        sk = sketch_from_bytes(state)
+        if key in merged:
+            merged[key].merge(sk)
+        else:
+            merged[key] = sk
+    keys = sorted(merged)
+    return pa.Table.from_arrays(
+        [
+            pa.array(keys),
+            pa.array([merged[k].to_bytes() for k in keys], type=pa.binary()),
+            pa.array([int(merged[k].count) for k in keys], pa.int64()),
+        ],
+        schema=PARTIAL_SCHEMA,
+    )
+
+
+def sketch_columns_streaming(ds, specs: list[SketchSpec], batch_size: int = 65536,
+                             merge_fanin: int = 32):
+    """Alternative global driver: explicit map_batches partials reduced
+    through a log-depth DISTRIBUTED tree, then a driver fold of at most
+    ``merge_fanin`` states per spec. Same result as
+    :func:`sketch_columns` (up to the sketches' published merge ε —
+    the fold order was always arrival-order-dependent).
+
+    The tree matters at scale: 64M turns × 7 specs produced ~5.3k
+    partial rows ≈ **1 GB** of serialized KLL/t-digest state that the
+    r4 driver deserialized and folded single-threaded (~2.3 s serial —
+    the Amdahl term behind the 0.50 raw 8→32 scaling efficiency).
+    Each tree round merges fanin×#specs rows per task in parallel and
+    re-serializes compacted states, so the driver sees ≤ fanin states
+    per spec regardless of block count — the same shape as
+    engine/streaming._tree_merge_blobs. Inputs small enough to skip the
+    tree (≤ fanin blocks) pay only a materialize of KB-sized rows."""
+    import math
+
     partials = ds.map_batches(
         PartialSketcher(specs),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
     )
-    merged = merge_partial_rows(partials.iter_batches(batch_format="pyarrow"))
+    n_specs = max(1, len(specs))
+    mat = partials.materialize()
+    n = mat.count()
+    while n > merge_fanin * n_specs:
+        mat = (
+            mat.repartition(max(1, math.ceil(n / (merge_fanin * n_specs))))
+            .map_batches(
+                _merge_partial_block,
+                batch_format="pyarrow",
+                batch_size=None,  # whole block per call → true fanin-way merge
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+        n = mat.count()
+    merged = merge_partial_rows(mat.iter_batches(batch_format="pyarrow"))
     for s in specs:  # empty dataset → empty sketches, like the other drivers
         if s.key not in merged:
             merged[s.key] = s.factory()
