@@ -84,11 +84,13 @@ class StreamingWindowAggregator:
                 self.open_counts[int(w)] = self.open_counts.get(int(w), 0) + sub.num_rows
                 cache: dict = {}
                 for spec in self.specs:
-                    part = spec.build(sub, cache)
-                    if spec.key in state:
-                        state[spec.key].merge(part)
-                    else:
-                        state[spec.key] = part
+                    # ingest into the EXISTING sketch: build-then-merge
+                    # allocated a fresh sketch (HLL: 4 KB of zeroed
+                    # registers) per (window, batch) just to throw it away
+                    sk = state.get(spec.key)
+                    if sk is None:
+                        sk = state[spec.key] = spec.factory()
+                    spec.ingest(sk, sub, cache)
             self.watermark = max(self.watermark, int(ts.max()) - self.lateness)
         return self._drain()
 
@@ -247,11 +249,14 @@ class KeyedStreamingWindowAggregator:
                     self.open_counts[skey] = self.open_counts.get(skey, 0) + len(gidx)
                     cache: dict = {}
                     for spec in self.specs:
-                        part = spec.build(sub, cache)
-                        if spec.key in state:
-                            state[spec.key].merge(part)
-                        else:
-                            state[spec.key] = part
+                        # ingest into the EXISTING sketch — build+merge
+                        # paid a fresh-sketch allocation per
+                        # (window, key, batch); with many small groups
+                        # that allocation dominated the keyed replay
+                        sk = state.get(spec.key)
+                        if sk is None:
+                            sk = state[spec.key] = spec.factory()
+                        spec.ingest(sk, sub, cache)
             self.watermark = max(self.watermark, int(ts.max()) - self.lateness)
         return self._drain()
 
