@@ -30,6 +30,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from approximate_quantiles_ray.engine.udaf import batch_fast_values, spec_probe_caps
+
 
 class StreamingWindowAggregator:
     """Consume pyarrow batches; emit finalized windows as they close.
@@ -56,6 +58,8 @@ class StreamingWindowAggregator:
         self.finalized: set[int] = set()
         self.late_rows = 0
         self.total_rows = 0
+        # per-spec (seed, has_update_prehashed) for the batch fast path
+        self._caps = {s.key: spec_probe_caps(s) for s in self.specs}
 
     def _ts_us(self, tbl: pa.Table) -> np.ndarray:
         col = tbl.column(self.ts_col).combine_chunks()
@@ -77,20 +81,46 @@ class StreamingWindowAggregator:
             # watermark (evaluated before this batch advances it)
             on_time = (win + self.window_us) > self.watermark
             self.late_rows += int((~on_time).sum())
-            for w in np.unique(win[on_time]):
-                mask = on_time & (win == w)
-                sub = tbl.filter(pa.array(mask))
-                state = self.open.setdefault(int(w), {})
-                self.open_counts[int(w)] = self.open_counts.get(int(w), 0) + sub.num_rows
-                cache: dict = {}
-                for spec in self.specs:
-                    # ingest into the EXISTING sketch: build-then-merge
-                    # allocated a fresh sketch (HLL: 4 KB of zeroed
-                    # registers) per (window, batch) just to throw it away
-                    sk = state.get(spec.key)
-                    if sk is None:
-                        sk = state[spec.key] = spec.factory()
-                    spec.ingest(sk, sub, cache)
+            ot_idx = np.flatnonzero(on_time)
+            if len(ot_idx):
+                # ONE stable argsort + permutation take, then zero-copy
+                # slices per window — instead of a full-table boolean
+                # filter per window (O(#windows × rows) mask passes)
+                order = np.argsort(win[ot_idx], kind="stable")
+                sorted_win = win[ot_idx][order]
+                perm = tbl.take(pa.array(ot_idx[order]))
+                # one extraction (and one hash) per batch; groups ingest
+                # zero-copy numpy slices — see udaf.batch_fast_values
+                fast = batch_fast_values(self.specs, perm, self._caps)
+                starts = np.flatnonzero(
+                    np.concatenate(([True], sorted_win[1:] != sorted_win[:-1]))
+                )
+                ends = np.append(starts[1:], len(sorted_win))
+                for s0, e0 in zip(starts, ends):
+                    w = int(sorted_win[s0])
+                    n_g = int(e0 - s0)
+                    state = self.open.setdefault(w, {})
+                    self.open_counts[w] = self.open_counts.get(w, 0) + n_g
+                    sub = None
+                    cache: dict = {}
+                    for spec in self.specs:
+                        # ingest into the EXISTING sketch: build-then-merge
+                        # allocated a fresh sketch (HLL: 4 KB of zeroed
+                        # registers) per (window, batch) just to throw it away
+                        sk = state.get(spec.key)
+                        if sk is None:
+                            sk = state[spec.key] = spec.factory()
+                        fv = fast.get(spec.key)
+                        if fv is None:
+                            if sub is None:
+                                sub = perm.slice(s0, n_g)
+                            spec.ingest(sk, sub, cache)
+                        elif fv[0] == "precomputed":
+                            sk.update_precomputed(fv[1][0][s0:e0], fv[1][1][s0:e0])
+                        elif fv[0] == "prehashed":
+                            sk.update_prehashed(fv[1][s0:e0])
+                        elif e0 > s0:
+                            sk.update(fv[1][s0:e0])
             self.watermark = max(self.watermark, int(ts.max()) - self.lateness)
         return self._drain()
 
@@ -200,6 +230,8 @@ class KeyedStreamingWindowAggregator:
         self.finalized: set[int] = set()  # window starts
         self.late_by_key: dict[tuple, int] = {}
         self.total_rows = 0
+        # per-spec (seed, has_update_prehashed) for the batch fast path
+        self._caps = {s.key: spec_probe_caps(s) for s in self.specs}
 
     _ts_us = StreamingWindowAggregator._ts_us
     # same open[*][spec_key] → sketch layout, same lazy-buffer concern
@@ -241,12 +273,23 @@ class KeyedStreamingWindowAggregator:
                         self.open.setdefault(skey, {})
                         self.open_counts[skey] = self.open_counts.get(skey, 0) + int(n)
                     continue
-                for gval, gidx in grouped.indices.items():
+                # ONE permutation take (group index arrays concatenated),
+                # then zero-copy slices per group — an Arrow take per
+                # (window, key) group paid per-call overhead × #groups
+                items = list(grouped.indices.items())
+                order = np.concatenate([g for _, g in items])
+                perm = tbl.take(pa.array(idx[order]))
+                # one extraction (and one hash) per batch×offset; groups
+                # ingest zero-copy numpy slices (udaf.batch_fast_values)
+                fast = batch_fast_values(self.specs, perm, self._caps)
+                off = 0
+                for gval, gidx in items:
                     gval = gval if isinstance(gval, tuple) else (gval,)
                     skey = (int(gval[0]), *gval[1:])
-                    sub = tbl.take(pa.array(idx[gidx]))
+                    n_g = len(gidx)
                     state = self.open.setdefault(skey, {})
-                    self.open_counts[skey] = self.open_counts.get(skey, 0) + len(gidx)
+                    self.open_counts[skey] = self.open_counts.get(skey, 0) + n_g
+                    sub = None
                     cache: dict = {}
                     for spec in self.specs:
                         # ingest into the EXISTING sketch — build+merge
@@ -256,7 +299,20 @@ class KeyedStreamingWindowAggregator:
                         sk = state.get(spec.key)
                         if sk is None:
                             sk = state[spec.key] = spec.factory()
-                        spec.ingest(sk, sub, cache)
+                        fv = fast.get(spec.key)
+                        if fv is None:
+                            if sub is None:
+                                sub = perm.slice(off, n_g)
+                            spec.ingest(sk, sub, cache)
+                        elif fv[0] == "precomputed":
+                            sk.update_precomputed(
+                                fv[1][0][off:off + n_g], fv[1][1][off:off + n_g]
+                            )
+                        elif fv[0] == "prehashed":
+                            sk.update_prehashed(fv[1][off:off + n_g])
+                        elif n_g:
+                            sk.update(fv[1][off:off + n_g])
+                    off += n_g
             self.watermark = max(self.watermark, int(ts.max()) - self.lateness)
         return self._drain()
 

@@ -162,6 +162,85 @@ class SketchSpec:
         return sketch
 
 
+def spec_probe_caps(spec: SketchSpec) -> tuple:
+    """(seed, has_update_prehashed, probe) of the spec's sketch type,
+    read off ONE probe instance — every sketch a spec builds shares the
+    factory's config, so the window engines can pre-hash (and for HLL
+    pre-bit-crunch) a whole batch once with the right parameters and
+    feed counted per-group slices."""
+    probe = spec.factory()
+    return getattr(probe, "seed", None), hasattr(probe, "update_prehashed"), probe
+
+
+def batch_fast_values(specs: list[SketchSpec], tbl: pa.Table, caps: dict) -> dict:
+    """ROW-ALIGNED per-spec value arrays for group-sliced ingestion.
+
+    The window engines group each batch into many small (window[, key])
+    sub-tables; extracting Arrow columns per GROUP costs per-call
+    overhead × #groups (measured: ~70% of the keyed replay wall). This
+    computes each spec's values ONCE on the (already permuted) batch —
+    including the hash pass for pre-hash-capable sketches — so groups
+    ingest zero-copy numpy slices.
+
+    Only specs whose semantics survive slicing get an entry; the rest
+    fall back to per-group :meth:`SketchSpec.ingest`:
+    - ``weight_on`` / ``dedup_per_batch`` specs never (pair-null
+      alignment / batch-scope dedup would change results),
+    - transform specs only when their ``requires`` columns are
+      null-free AND the output is row-aligned (a transform may drop
+      nulls itself),
+    - plain columns only when null-free (extraction drops nulls, which
+      would misalign slices).
+
+    Returns {spec.key: ("prehashed", uint64 hashes) | ("values", arr)}.
+    """
+    out: dict[str, tuple] = {}
+    for spec in specs:
+        if spec.weight_on is not None or spec.dedup_per_batch:
+            continue
+        if spec.transform is not None:
+            req = spec.requires
+            if not req or any(
+                c not in tbl.column_names or tbl.column(c).null_count for c in req
+            ):
+                continue
+            vals = spec.transform(tbl)
+            if len(vals) != tbl.num_rows:
+                continue  # transform dropped rows — not sliceable
+            if spec.kind == "float":
+                out[spec.key] = ("values", np.asarray(vals, dtype=np.float64))
+            else:
+                # sketch hashes each group slice itself, same as ingest
+                out[spec.key] = ("values", vals)
+        elif (
+            spec.on is not None
+            and spec.on in tbl.column_names
+            and tbl.column(spec.on).null_count == 0
+        ):
+            if spec.kind == "float":
+                out[spec.key] = (
+                    "values",
+                    np.asarray(
+                        column_as_numpy(tbl, spec.on, drop_nulls=False), np.float64
+                    ),
+                )
+            else:
+                seed, has_pre, probe = caps[spec.key]
+                if not has_pre or seed is None:
+                    continue
+                arr = tbl.column(spec.on)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                h = hash_any(arr, seed)
+                if hasattr(probe, "precompute_hashed"):
+                    # e.g. HLL: (register idx, rho) bit arithmetic done
+                    # once per batch; groups only scatter-max slices
+                    out[spec.key] = ("precomputed", probe.precompute_hashed(h))
+                else:
+                    out[spec.key] = ("prehashed", h)
+    return out
+
+
 def required_columns(specs: list[SketchSpec]) -> list[str] | None:
     """Union of input columns the specs read — the projection a pruned
     scan should use. Returns None when some transform carries no

@@ -48,7 +48,11 @@ class BloomFilter(SlotState):
         return self.bits.nbytes + 32
 
     def update(self, values) -> "BloomFilter":
-        h = hash_any(values, self.seed)
+        return self.update_prehashed(hash_any(values, self.seed))
+
+    def update_prehashed(self, h: np.ndarray) -> "BloomFilter":
+        """Counted pre-hashed update (values hashed once with this
+        sketch's seed); the vectorized body of :meth:`update`."""
         if len(h) == 0:
             return self
         self._count += len(h)

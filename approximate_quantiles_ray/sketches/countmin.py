@@ -54,7 +54,12 @@ class CountMinSketch(SlotState):
         Pre-aggregates the batch with np.unique on the hash before
         touching the table, so hot keys cost one bucket update per batch.
         """
-        h = hash_any(values, self.seed)
+        return self.update_prehashed(hash_any(values, self.seed), counts)
+
+    def update_prehashed(self, h: np.ndarray,
+                         counts: np.ndarray | None = None) -> "CountMinSketch":
+        """Counted pre-hashed update (values hashed once with this
+        sketch's seed); the vectorized body of :meth:`update`."""
         if len(h) == 0:
             return self
         if counts is None:

@@ -116,7 +116,22 @@ class HLL(SlotState):
         self.update_hashed(h)
         return self
 
-    def update_hashed(self, h: np.ndarray) -> "HLL":
+    def update_prehashed(self, h: np.ndarray) -> "HLL":
+        """Counted pre-hashed update: values already hashed ONCE with
+        this sketch's seed (the window engines hash a whole batch and
+        feed per-group slices). Equivalent to ``update`` minus the hash."""
+        if len(h) == 0:
+            return self
+        self._count += len(h)
+        return self.update_hashed(h)
+
+    def precompute_hashed(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Row-aligned (register index, rho) for a pre-hashed batch —
+        the vectorized bit arithmetic of :meth:`update_hashed`, hoisted
+        so the window engines compute it ONCE per batch and feed
+        per-group slices to :meth:`update_precomputed` (the per-tiny-
+        group _bit_length_u64 calls were ~45% of the keyed replay wall).
+        Depends only on (p); identical for every instance of a spec."""
         p64 = np.uint64(self.p)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         with np.errstate(over="ignore"):
@@ -124,19 +139,32 @@ class HLL(SlotState):
         # rho = number of leading zeros in the remaining (64-p) bits + 1
         rho = (64 - self.p) - _bit_length_u64(rem >> np.uint64(self.p)) + 1
         np.clip(rho, 1, 64 - self.p + 1, out=rho)
+        return idx, rho.astype(np.uint8)
+
+    def update_precomputed(self, idx: np.ndarray, rho: np.ndarray) -> "HLL":
+        """Counted scatter-max over precomputed (idx, rho) slices."""
+        if len(idx) == 0:
+            return self
+        self._count += len(idx)
+        np.maximum.at(self.registers, idx, rho)
+        return self
+
+    def update_hashed(self, h: np.ndarray) -> "HLL":
+        idx, rho8 = self.precompute_hashed(h)
+        rho = rho8
         # scatter-max without np.maximum.at (ufunc.at is ~10× slower than
         # a sort + segmented reduce at batch sizes): group by register via
         # argsort, take each run's max with maximum.reduceat
         if len(idx) > 2048:
             order = np.argsort(idx, kind="stable")
             si = idx[order]
-            sr = rho.astype(np.uint8)[order]
+            sr = rho[order]
             starts = np.flatnonzero(np.concatenate(([True], si[1:] != si[:-1])))
             runmax = np.maximum.reduceat(sr, starts)
             uidx = si[starts]
             self.registers[uidx] = np.maximum(self.registers[uidx], runmax)
         else:
-            np.maximum.at(self.registers, idx, rho.astype(np.uint8))
+            np.maximum.at(self.registers, idx, rho)
         return self
 
     def merge(self, other: "HLL") -> "HLL":

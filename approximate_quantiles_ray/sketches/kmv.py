@@ -73,6 +73,14 @@ class KMV(SlotState):
         self._count += len(h)
         return self.update_hashed(h)
 
+    def update_prehashed(self, h: np.ndarray) -> "KMV":
+        """Counted pre-hashed update (values hashed once with this
+        sketch's seed) — ``update`` minus the hash."""
+        if len(h) == 0:
+            return self
+        self._count += len(h)
+        return self.update_hashed(h)
+
     def update_hashed(self, h: np.ndarray) -> "KMV":
         h = np.asarray(h, dtype=np.uint64)
         if len(self.values) == self.k:
