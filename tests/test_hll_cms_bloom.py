@@ -195,3 +195,46 @@ def test_hll_transition_band_bias_ertl_vs_flajolet():
             # per-trial error bounded too (no catastrophic band behavior)
             assert max(abs(e) for e in errs) < 5.0 * stderr, (p, n, errs)
             assert mean_bias <= abs(float(np.mean(errs_classic))) + stderr
+
+
+def test_update_prehashed_bit_equal_to_update():
+    """update_prehashed(hash_any(v, seed)) must equal update(v) exactly
+    (registers/tables/bits AND count) — the window engines' batch fast
+    path hashes once per batch and feeds slices; any drift here would
+    silently skew every windowed sketch."""
+    import numpy as np
+
+    from approximate_quantiles_ray.functions.hashing import hash_any
+    from approximate_quantiles_ray.sketches.bloom import BloomFilter
+    from approximate_quantiles_ray.sketches.countmin import CountMinSketch
+    from approximate_quantiles_ray.sketches.hll import HLL
+    from approximate_quantiles_ray.sketches.kmv import KMV
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50_000, 20_000).astype(np.int64)
+
+    a, b = HLL(p=12, seed=5), HLL(p=12, seed=5)
+    a.update(vals)
+    b.update_prehashed(hash_any(vals, 5))
+    assert np.array_equal(a.registers, b.registers) and a.count == b.count
+    # and the precompute/scatter split used per group slices
+    c = HLL(p=12, seed=5)
+    idx, rho = c.precompute_hashed(hash_any(vals, 5))
+    for s in range(0, len(vals), 137):  # uneven slices
+        c.update_precomputed(idx[s:s + 137], rho[s:s + 137])
+    assert np.array_equal(a.registers, c.registers) and a.count == c.count
+
+    a, b = CountMinSketch(width=2048, depth=4, seed=5), CountMinSketch(width=2048, depth=4, seed=5)
+    a.update(vals)
+    b.update_prehashed(hash_any(vals, 5))
+    assert np.array_equal(a.table, b.table) and a.count == b.count
+
+    a, b = BloomFilter(num_bits=1 << 16, num_hashes=5, seed=5), BloomFilter(num_bits=1 << 16, num_hashes=5, seed=5)
+    a.update(vals)
+    b.update_prehashed(hash_any(vals, 5))
+    assert np.array_equal(a.bits, b.bits) and a.count == b.count
+
+    a, b = KMV(k=512, seed=5), KMV(k=512, seed=5)
+    a.update(vals)
+    b.update_prehashed(hash_any(vals, 5))
+    assert np.array_equal(a.values, b.values) and a.count == b.count
