@@ -281,3 +281,45 @@ def test_config_hash_signs_weight_on():
     assert _config_hash([weighted]) != _config_hash(
         [SketchSpec(key="x", factory=lambda: DDSketch(alpha=0.01), on="v", weight_on="u")]
     )
+
+
+def test_streaming_partials_multi_round_tree(ray_session):
+    """Force sketch_columns_streaming's distributed partial reduction
+    through MULTIPLE tree rounds (64 blocks, merge_fanin=3 → at least
+    two map_batches merge rounds) and hold the result to exact counts,
+    bit-exact order-invariant sketch states, and the quantile band —
+    the r5 tree is what keeps the driver fold O(fanin) at 10^5 blocks,
+    so it must not change semantics."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.udaf import sketch_columns_streaming
+    from approximate_quantiles_ray.pipelines.transcripts import global_specs
+    from approximate_quantiles_ray.sources.transcripts import ensure_transcripts
+
+    table = ensure_transcripts(20_000, seed=13, n_shards=4)
+    cols = ["conv_id", "text", "tool"]
+    ds = rd.read_parquet(table, columns=cols).repartition(64)
+    tree = sketch_columns_streaming(ds, global_specs(), batch_size=512, merge_fanin=3)
+    flat = sketch_columns_streaming(
+        rd.read_parquet(table, columns=cols), global_specs()
+    )
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{table}/*.parquet')"
+    ).fetchone()[0]
+    assert tree["text_len_tdigest"].count == flat["text_len_tdigest"].count == n
+    # order-invariant states must be bit-equal regardless of tree shape
+    np.testing.assert_array_equal(tree["conv_hll"].registers, flat["conv_hll"].registers)
+    np.testing.assert_array_equal(tree["conv_bloom"].bits, flat["conv_bloom"].bits)
+    np.testing.assert_array_equal(tree["tool_cms"].table, flat["tool_cms"].table)
+    exact = np.sort(
+        duckdb.sql(
+            f"select length(text) from read_parquet('{table}/*.parquet')"
+        ).df().iloc[:, 0].to_numpy()
+    )
+    for key in ("text_len_tdigest", "text_len_kll"):
+        for q in (0.1, 0.5, 0.99):
+            true = float(exact[min(len(exact) - 1, int(round(q * len(exact))))])
+            est = tree[key].est_value_at_quantile(q)
+            assert abs(est - true) / max(1.0, true) < 0.05, (key, q, est, true)
