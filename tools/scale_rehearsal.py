@@ -75,6 +75,10 @@ def main() -> None:
     ap.add_argument("--turns", type=int, default=64_000_000)
     ap.add_argument("--kill-after", type=float, default=None,
                     help="seconds before SIGKILL (default: ~40%% of cold wall)")
+    ap.add_argument("--kill-after-shards", type=int, default=None,
+                    help="SIGKILL once this many shards are durable in the "
+                         "child's manifest (robust to host-load variance; "
+                         "overrides --kill-after)")
     ap.add_argument("--child", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--tdir", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -101,12 +105,31 @@ def main() -> None:
     cold_metrics = job.metrics()
 
     # ---- 2. killed run in a real child process
-    kill_after = args.kill_after or max(2.0, 0.4 * cold_wall)
     child = subprocess.Popen(
         [sys.executable, __file__, "--child", kill_dir, "--tdir", tdir],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
-    time.sleep(kill_after)
+    t_kill0 = time.perf_counter()
+    if args.kill_after_shards is not None:
+        # Host load makes a fixed kill TIME a coin flip between "nothing
+        # durable yet" and "already finished"; polling the child's own
+        # manifest pins the kill to a progress point instead. Cap the wait
+        # so a wedged child can't hang the rehearsal.
+        manifest = os.path.join(kill_dir, "manifest.jsonl")
+        deadline = t_kill0 + max(120.0, 20 * cold_wall)
+        while time.perf_counter() < deadline:
+            try:
+                with open(manifest) as f:
+                    done = sum(1 for _ in f)
+            except FileNotFoundError:
+                done = 0
+            if done >= args.kill_after_shards or child.poll() is not None:
+                break
+            time.sleep(0.05)
+        kill_after = time.perf_counter() - t_kill0
+    else:
+        kill_after = args.kill_after or max(2.0, 0.4 * cold_wall)
+        time.sleep(kill_after)
     child.send_signal(signal.SIGKILL)
     child.wait()
 
