@@ -58,8 +58,22 @@ class StreamingWindowAggregator:
         self.finalized: set[int] = set()
         self.late_rows = 0
         self.total_rows = 0
-        # per-spec (seed, has_update_prehashed) for the batch fast path
+        # per-spec (seed, has_update_prehashed, probe) for the batch
+        # fast path; dropped from pickles (see __getstate__) — the probe
+        # instance can be KBs of zeroed registers per spec, pure dead
+        # weight in every tree-merge blob
         self._caps = {s.key: spec_probe_caps(s) for s in self.specs}
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_caps"] = None  # rebuilt lazily from specs after unpickle
+        return state
+
+    @property
+    def caps(self) -> dict:
+        if self._caps is None:
+            self._caps = {s.key: spec_probe_caps(s) for s in self.specs}
+        return self._caps
 
     def _ts_us(self, tbl: pa.Table) -> np.ndarray:
         col = tbl.column(self.ts_col).combine_chunks()
@@ -91,7 +105,7 @@ class StreamingWindowAggregator:
                 perm = tbl.take(pa.array(ot_idx[order]))
                 # one extraction (and one hash) per batch; groups ingest
                 # zero-copy numpy slices — see udaf.batch_fast_values
-                fast = batch_fast_values(self.specs, perm, self._caps)
+                fast = batch_fast_values(self.specs, perm, self.caps)
                 starts = np.flatnonzero(
                     np.concatenate(([True], sorted_win[1:] != sorted_win[:-1]))
                 )
@@ -230,8 +244,22 @@ class KeyedStreamingWindowAggregator:
         self.finalized: set[int] = set()  # window starts
         self.late_by_key: dict[tuple, int] = {}
         self.total_rows = 0
-        # per-spec (seed, has_update_prehashed) for the batch fast path
+        # per-spec (seed, has_update_prehashed, probe) for the batch
+        # fast path; dropped from pickles (see __getstate__) — the probe
+        # instance can be KBs of zeroed registers per spec, pure dead
+        # weight in every tree-merge blob
         self._caps = {s.key: spec_probe_caps(s) for s in self.specs}
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_caps"] = None  # rebuilt lazily from specs after unpickle
+        return state
+
+    @property
+    def caps(self) -> dict:
+        if self._caps is None:
+            self._caps = {s.key: spec_probe_caps(s) for s in self.specs}
+        return self._caps
 
     _ts_us = StreamingWindowAggregator._ts_us
     # same open[*][spec_key] → sketch layout, same lazy-buffer concern
@@ -281,7 +309,7 @@ class KeyedStreamingWindowAggregator:
                 perm = tbl.take(pa.array(idx[order]))
                 # one extraction (and one hash) per batch×offset; groups
                 # ingest zero-copy numpy slices (udaf.batch_fast_values)
-                fast = batch_fast_values(self.specs, perm, self._caps)
+                fast = batch_fast_values(self.specs, perm, self.caps)
                 off = 0
                 for gval, gidx in items:
                     gval = gval if isinstance(gval, tuple) else (gval,)
@@ -878,9 +906,9 @@ def _tree_merge_blobs(blobs, make_empty, fanin: int = 64):
     /KLL concat-compact — commute); partitioning-invariance is covered by
     tests/test_streaming.py.
     """
-    import math
-
     from ray import cloudpickle as cp
+
+    from approximate_quantiles_ray.engine.udaf import tree_reduce_rows
 
     def merge_block(tbl: pa.Table) -> pa.Table:
         agg = None
@@ -897,20 +925,7 @@ def _tree_merge_blobs(blobs, make_empty, fanin: int = 64):
             compact()  # blob stays O(states × sketch param) every round
         return pa.table({"blob": pa.array([cp.dumps(agg)], pa.large_binary())})
 
-    mat = blobs.materialize()
-    n = mat.count()
-    while n > fanin:
-        mat = (
-            mat.repartition(max(1, math.ceil(n / fanin)))
-            .map_batches(
-                merge_block,
-                batch_format="pyarrow",
-                batch_size=None,  # whole block per call → true fanin-way merge
-                zero_copy_batch=True,
-            )
-            .materialize()
-        )
-        n = mat.count()
+    mat = tree_reduce_rows(blobs, merge_block, fanin)
     merged = make_empty()
     for row in mat.take_all():
         merged.merge(cp.loads(row["blob"]))

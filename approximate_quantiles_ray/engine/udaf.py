@@ -457,6 +457,41 @@ def _merge_partial_block(tbl: pa.Table) -> pa.Table:
     )
 
 
+def tree_reduce_rows(ds, merge_block, rows_per_block: int, unit: int = 1):
+    """Log-depth distributed reduction shared by the sketch-partials and
+    streaming-window tree merges: while more than ``rows_per_block``
+    rows remain, repartition to ceil(n/rows_per_block) blocks and run
+    ``merge_block`` (a whole-block pyarrow reducer) over each — rows only
+    shrink by round, the driver never holds them.
+
+    ``unit`` is the irreducible row count a block can emit (1 for
+    one-aggregator-per-row blobs, #specs for keyed partial rows): the
+    floor ``rows_per_block >= 2*unit`` guarantees every round strictly
+    reduces the row count — with fanin 1 a block would emit as many rows
+    as it read and the loop would spin forever.
+    """
+    import math
+
+    rows_per_block = max(2 * max(1, unit), int(rows_per_block))
+    mat = ds.materialize()
+    n = mat.count()
+    tree_reduce_rows.last_rounds = 0  # observability (scale smokes)
+    while n > rows_per_block:
+        tree_reduce_rows.last_rounds += 1
+        mat = (
+            mat.repartition(max(1, math.ceil(n / rows_per_block)))
+            .map_batches(
+                merge_block,
+                batch_format="pyarrow",
+                batch_size=None,  # whole block per call → true fanin-way merge
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+        n = mat.count()
+    return mat
+
+
 def sketch_columns_streaming(ds, specs: list[SketchSpec], batch_size: int = 65536,
                              merge_fanin: int = 32):
     """Alternative global driver: explicit map_batches partials reduced
@@ -474,8 +509,6 @@ def sketch_columns_streaming(ds, specs: list[SketchSpec], batch_size: int = 6553
     per spec regardless of block count — the same shape as
     engine/streaming._tree_merge_blobs. Inputs small enough to skip the
     tree (≤ fanin blocks) pay only a materialize of KB-sized rows."""
-    import math
-
     partials = ds.map_batches(
         PartialSketcher(specs),
         batch_format="pyarrow",
@@ -483,20 +516,9 @@ def sketch_columns_streaming(ds, specs: list[SketchSpec], batch_size: int = 6553
         zero_copy_batch=True,
     )
     n_specs = max(1, len(specs))
-    mat = partials.materialize()
-    n = mat.count()
-    while n > merge_fanin * n_specs:
-        mat = (
-            mat.repartition(max(1, math.ceil(n / (merge_fanin * n_specs))))
-            .map_batches(
-                _merge_partial_block,
-                batch_format="pyarrow",
-                batch_size=None,  # whole block per call → true fanin-way merge
-                zero_copy_batch=True,
-            )
-            .materialize()
-        )
-        n = mat.count()
+    mat = tree_reduce_rows(
+        partials, _merge_partial_block, merge_fanin * n_specs, unit=n_specs
+    )
     merged = merge_partial_rows(mat.iter_batches(batch_format="pyarrow"))
     for s in specs:  # empty dataset → empty sketches, like the other drivers
         if s.key not in merged:

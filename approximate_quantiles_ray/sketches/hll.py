@@ -141,17 +141,7 @@ class HLL(SlotState):
         np.clip(rho, 1, 64 - self.p + 1, out=rho)
         return idx, rho.astype(np.uint8)
 
-    def update_precomputed(self, idx: np.ndarray, rho: np.ndarray) -> "HLL":
-        """Counted scatter-max over precomputed (idx, rho) slices."""
-        if len(idx) == 0:
-            return self
-        self._count += len(idx)
-        np.maximum.at(self.registers, idx, rho)
-        return self
-
-    def update_hashed(self, h: np.ndarray) -> "HLL":
-        idx, rho8 = self.precompute_hashed(h)
-        rho = rho8
+    def _scatter_max(self, idx: np.ndarray, rho: np.ndarray) -> None:
         # scatter-max without np.maximum.at (ufunc.at is ~10× slower than
         # a sort + segmented reduce at batch sizes): group by register via
         # argsort, take each run's max with maximum.reduceat
@@ -165,6 +155,21 @@ class HLL(SlotState):
             self.registers[uidx] = np.maximum(self.registers[uidx], runmax)
         else:
             np.maximum.at(self.registers, idx, rho)
+
+    def update_precomputed(self, idx: np.ndarray, rho: np.ndarray) -> "HLL":
+        """Counted scatter-max over precomputed (idx, rho) slices. Shares
+        the segmented-reduce branch with :meth:`update_hashed` — a global
+        window can feed a whole-batch-sized slice here, which would pay
+        the ~10× ufunc.at penalty above 2048 elements."""
+        if len(idx) == 0:
+            return self
+        self._count += len(idx)
+        self._scatter_max(idx, rho)
+        return self
+
+    def update_hashed(self, h: np.ndarray) -> "HLL":
+        idx, rho = self.precompute_hashed(h)
+        self._scatter_max(idx, rho)
         return self
 
     def merge(self, other: "HLL") -> "HLL":

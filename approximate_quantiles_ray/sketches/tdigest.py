@@ -122,6 +122,12 @@ class TDigest(SlotState):
             values = values.ravel()
         if len(values) == 0:
             return self
+        if values.base is not None:
+            # buffered until the next flush → a retained VIEW would pin
+            # its whole base buffer (a tiny per-group slice keeps the
+            # full batch column alive in a long-lived window/key state)
+            # and alias caller-mutable memory
+            values = values.copy()
         self._count += len(values)
         self._pending.append(values)
         self._pending_n += len(values)
@@ -247,6 +253,13 @@ class TDigest(SlotState):
             raise ValueError("cannot merge t-digests with different (delta, scale, dtype)")
         if other._count == 0:
             return self
+        # snapshot other's buffers FIRST: when other IS self (t.merge(t)
+        # doubles the digest), appending while iterating other's live
+        # lists would never terminate
+        other_means, other_weights = other.means, other.weights
+        other_pw = list(other._pending_w)
+        other_p = list(other._pending)
+        other_pn = other._pending_n
         self._count += other._count
         # other.min/max, when set, are TRUE data extrema (set from raw
         # values or propagated through earlier merges) — centroid means
@@ -256,15 +269,15 @@ class TDigest(SlotState):
             self.min = other.min
         if other.max > self.max:
             self.max = other.max
-        if len(other.means):
-            self._pending_w.append((other.means.copy(), other.weights.copy()))
-            self._pending_w_n += len(other.means)
-        for m, w in other._pending_w:
+        if len(other_means):
+            self._pending_w.append((other_means.copy(), other_weights.copy()))
+            self._pending_w_n += len(other_means)
+        for m, w in other_pw:
             self._pending_w.append((m.copy(), w.copy()))
             self._pending_w_n += len(m)
-        for arr in other._pending:
+        for arr in other_p:
             self._pending.append(arr.copy())
-        self._pending_n += other._pending_n
+        self._pending_n += other_pn
         if self._pending_n + self._pending_w_n >= self.flush_size:
             self._flush()
         return self

@@ -60,22 +60,47 @@ def parquet_list_dim(path: str, col: str) -> int | None:
             return None
         fpath = names[0]
     try:
-        md = pq.ParquetFile(fpath).metadata
+        pf = pq.ParquetFile(fpath)
+        md = pf.metadata
     except Exception:
         return None
-    rows, vals = md.num_rows, 0
+    # per-ROW-GROUP divisibility with one consistent dim: a whole-file
+    # ratio can land on an integer by accident for ragged lists (row
+    # lengths [1, 3] over 2 rows → "dim 2"), so every row group must
+    # independently agree
+    dim = None
     for g in range(md.num_row_groups):
         rg = md.row_group(g)
+        rg_vals = 0
         for i in range(rg.num_columns):
             c = rg.column(i)
             # nested leaf only (col.list.element) — a scalar column of
             # the same name must not report dim=1
             parts = c.path_in_schema.split(".")
             if parts[0] == col and len(parts) > 1:
-                vals += c.num_values
-    if rows <= 0 or vals <= 0 or vals % rows:
+                rg_vals += c.num_values
+        if rg.num_rows <= 0 or rg_vals <= 0 or rg_vals % rg.num_rows:
+            return None
+        g_dim = rg_vals // rg.num_rows
+        if dim is None:
+            dim = g_dim
+        elif g_dim != dim:
+            return None
+    if dim is None:
         return None
-    return vals // rows
+    # confirm against the FIRST row's actual length — a driver-local
+    # one-page read (no Ray task), closing the within-row-group ragged
+    # case ([1, 3] over one 2-row group)
+    try:
+        for b in pf.iter_batches(batch_size=1, columns=[col]):
+            if b.num_rows:
+                sc = b.column(0)[0]
+                if sc.is_valid and len(sc.values) != dim:
+                    return None
+            break
+    except Exception:
+        return None
+    return dim
 
 
 def read_parquet_sized(

@@ -166,20 +166,26 @@ def run_bench(num_cpus: int, sf_dir: str, scaling_mode: bool = False) -> dict:
         for name, fn in bench_queries.items():
             best = float("inf")
             best_legs = None
+            best_legs_total = None
             for _ in range(2):
                 pop_leg_walls()  # clear anything a prior query left behind
                 t0 = time.perf_counter()
                 fn(sf_dir)
                 total = time.perf_counter() - t0
                 legs = pop_leg_walls()
-                if total < best:
-                    best, best_legs = total, legs
+                # pick the sample by the number we PUBLISH: for gated
+                # queries that's the raw leg — selecting on total would
+                # let host noise on the concurrent gate leg pull in a
+                # run whose raw wall was worse
+                key = legs["raw"] if legs is not None else total
+                if key < best:
+                    best, best_legs, best_legs_total = key, legs, total
             if best_legs is not None:
                 queries[name] = round(best_legs["raw"], 3)
                 legs_by_query[name] = {
                     "raw": best_legs["raw"],
                     "gate": best_legs["gate"],
-                    "total": round(best, 3),
+                    "total": round(best_legs_total, 3),
                 }
             else:
                 queries[name] = round(best, 3)

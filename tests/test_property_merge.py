@@ -249,3 +249,55 @@ def test_drift_stats_bigint_no_overflow():
     assert abs(st_["ks"] - 0.5) < 1e-12
     assert st_["ks_num"] == big * (2 * big)
     assert st_["ks_num"] > 0  # a wrapped int64 would have gone negative/odd
+
+
+def test_tdigest_self_merge_doubles_and_terminates():
+    """t.merge(t) must terminate (the lazy-merge path iterates other's
+    pending lists while appending to self's — identical objects would
+    grow forever) and produce the doubled digest."""
+    from approximate_quantiles_ray.sketches.tdigest import TDigest
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=5000)
+    t = TDigest(delta=100)
+    t.update(vals)
+    t.merge(t)
+    assert t.count == 2 * len(vals)
+    ref = TDigest(delta=100)
+    ref.update(vals)
+    ref.update(vals)
+    assert abs(t.est_value_at_quantile(0.5) - ref.est_value_at_quantile(0.5)) < 0.05
+    # with buffered (unflushed) pending on both sides too
+    t2 = TDigest(delta=100)
+    t2.update(vals[:100])
+    t2.merge(t2)
+    assert t2.count == 200
+
+
+def test_tdigest_update_copies_views():
+    """A slice VIEW fed to update must not be retained as-is: a tiny
+    per-group slice would pin its whole base batch buffer in a
+    long-lived window/key state (review finding, round 5)."""
+    from approximate_quantiles_ray.sketches.tdigest import TDigest
+
+    base = np.arange(100_000, dtype=np.float64)
+    t = TDigest(delta=100)
+    t.update(base[10:20])  # view with .base set
+    assert t._pending, "expected a buffered pending array"
+    for arr in t._pending:
+        assert arr.base is None, "pending retained a view over the caller's base"
+
+
+def test_hll_update_precomputed_large_slice_matches_hashed():
+    """update_precomputed must agree with update_hashed on slices above
+    the 2048-element segmented-reduce threshold (both now share
+    _scatter_max)."""
+    from approximate_quantiles_ray.functions.hashing import hash_any
+
+    vals = np.arange(50_000, dtype=np.int64)
+    a, b = HLL(p=12, seed=3), HLL(p=12, seed=3)
+    h = hash_any(vals, 3)
+    idx, rho = a.precompute_hashed(h)
+    a.update_precomputed(idx, rho)
+    b.update_hashed(h)
+    assert np.array_equal(a.registers, b.registers)

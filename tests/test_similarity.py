@@ -350,3 +350,11 @@ def test_parquet_list_dim_footer_only(tmp_path):
         ragged,
     )
     assert parquet_list_dim(ragged, "x") is None
+    # ragged lists whose TOTAL happens to divide the row count ([1, 3]
+    # over 2 rows → whole-file ratio 2) must not report a fake dim
+    tricky = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"x": pa.array([[1.0], [1.0, 2.0, 3.0]], pa.list_(pa.float32()))}),
+        tricky,
+    )
+    assert parquet_list_dim(tricky, "x") is None

@@ -812,3 +812,66 @@ def test_window_engines_null_columns_fall_back_correctly():
         want = np.quantile(v[sel], 0.5)
         got = r["v_td"].est_value_at_quantile(0.5)
         assert abs(got - want) / max(want, 1e-9) < 0.08
+
+
+def test_tree_merge_fanin_one_terminates(ray_session):
+    """merge_fanin=1 (public kwarg) used to spin forever — one blob per
+    block emits one row per block, so the row count never shrank. The
+    tree reducer now floors the per-block row budget at 2×unit."""
+    import ray.data as rd
+
+    from approximate_quantiles_ray.engine.streaming import (
+        stream_windows_distributed,
+    )
+    from approximate_quantiles_ray.engine.udaf import sketch_columns_streaming
+
+    rng = np.random.default_rng(5)
+    n = 4_000
+    tbl = pa.table(
+        {
+            "ts": pa.array(rng.integers(0, 4 * WINDOW, n).astype(np.int64), pa.int64()),
+            "v": pa.array(rng.normal(size=n)),
+            "u": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(16)
+    out = stream_windows_distributed(
+        ds, _specs(), batch_size=256, window_us=WINDOW, merge_fanin=1
+    )
+    assert out["rows"].sum() == n
+    merged = sketch_columns_streaming(ds, _specs(), batch_size=256, merge_fanin=1)
+    assert sum(sk.count for sk in merged.values()) > 0
+
+
+def test_window_aggregator_pickle_sheds_probe_caps():
+    """The per-spec probe sketches (KBs of zeroed HLL registers each)
+    must not ride inside tree-merge blobs; caps rebuild lazily after
+    unpickle and the fast path still works."""
+    from ray import cloudpickle as cp
+
+    from approximate_quantiles_ray.engine.streaming import StreamingWindowAggregator
+
+    agg = StreamingWindowAggregator(_specs(), ts_col="ts", window_us=WINDOW,
+                                    allowed_lateness_us=1 << 62)
+    blob_fresh = cp.dumps(agg)
+    agg2 = cp.loads(blob_fresh)
+    assert agg2._caps is None  # shed from the pickle
+    rng = np.random.default_rng(11)
+    n = 3_000
+    tbl = pa.table(
+        {
+            "ts": pa.array(rng.integers(0, 2 * WINDOW, n).astype(np.int64), pa.int64()),
+            "v": pa.array(rng.normal(size=n)),
+            "u": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        }
+    )
+    agg2.push(tbl)  # lazy caps rebuild + fast path
+    ref = StreamingWindowAggregator(_specs(), ts_col="ts", window_us=WINDOW,
+                                    allowed_lateness_us=1 << 62)
+    ref.push(tbl)
+    got = {w: {k: v for k, v in st.items()} for w, st in agg2.open.items()}
+    assert set(got) == set(ref.open)
+    for w in ref.open:
+        assert np.array_equal(
+            got[w]["u_hll"].registers, ref.open[w]["u_hll"].registers
+        )

@@ -1,8 +1,9 @@
 """Scale smoke for the log-depth streaming-window blob reduction
 (r4 verdict item 1): 16M events forced into ≥1,000 blocks, run through
 ``stream_windows_distributed`` and ``stream_keyed_windows_distributed``
-with the default fanin (64 → two distributed merge rounds at 1,024
-blocks), recording wall time and driver max-RSS. The claim under test:
+with the default fanin (64 → one distributed merge round at 1,024
+blocks: 1024 → 16 ≤ 64; the per-run `tree_rounds` field records the
+measured count), recording wall time and driver max-RSS. The claim under test:
 the driver folds O(fanin) blobs instead of O(#blocks), so driver memory
 stays flat no matter how many blocks the replay stage emits.
 
@@ -86,14 +87,18 @@ def main() -> None:
     n_blocks = ds.num_blocks()
     rss0 = _rss_mb()
 
+    from approximate_quantiles_ray.engine.udaf import tree_reduce_rows
+
     t0 = time.perf_counter()
     glob = stream_windows_distributed(ds, specs, window_us=WINDOW_US)
     t_glob = time.perf_counter() - t0
+    rounds_glob = getattr(tree_reduce_rows, "last_rounds", None)
     rss_glob = _rss_mb()
 
     t0 = time.perf_counter()
     keyed = stream_keyed_windows_distributed(ds, specs, ["k"], window_us=WINDOW_US)
     t_keyed = time.perf_counter() - t0
+    rounds_keyed = getattr(tree_reduce_rows, "last_rounds", None)
     rss_keyed = _rss_mb()
 
     assert int(glob["rows"].sum()) == args.rows, "lost rows in global path"
@@ -104,7 +109,10 @@ def main() -> None:
         "blocks": n_blocks,
         "cpus": args.cpus,
         "merge_fanin": 64,
-        "tree_rounds": 2 if n_blocks > 64 else 1,
+        # MEASURED distributed merge rounds (counted by tree_reduce_rows,
+        # not inferred): at 1024 blocks / fanin 64 ONE round runs
+        # (1024 → 16 ≤ 64); a prior version hardcoded 2 here
+        "tree_rounds": {"global": rounds_glob, "keyed": rounds_keyed},
         "global": {
             "wall_sec": round(t_glob, 3),
             "windows": int(len(glob)),

@@ -44,12 +44,10 @@ def trial_passes(factory, param: float, n: int, seed: int) -> bool:
 
 
 def _one_trial(args) -> bool:
-    sketch, param, n, seed = args
-    if sketch == "kll":
-        factory = lambda k: KLL(k=int(k), seed=0)  # noqa: E731
-    else:
-        factory = lambda d: TDigest(delta=d, scale="k2")  # noqa: E731
-    return trial_passes(factory, param, n, seed)
+    fac_blob, param, n, seed = args
+    from ray import cloudpickle as cp
+
+    return trial_passes(cp.loads(fac_blob), param, n, seed)
 
 
 def opt_accuracy_parameter(
@@ -59,17 +57,25 @@ def opt_accuracy_parameter(
     """Smallest parameter whose pass rate ≥ pass_ratio (bisection,
     util/mod.rs:155-205 — higher param = more accurate for both sketches).
     ``jobs > 1`` fans the independent trials over a process pool (the
-    reference's n=1e6 / 100-trial setting is ~10 min serial)."""
+    reference's n=1e6 / 100-trial setting is ~10 min serial). The
+    CALLER's factory is what the workers run (cloudpickled — plain
+    pickle can't ship a lambda), so the parallel path tunes the same
+    configuration as the serial one; ``sketch`` is retained for CLI
+    labeling only."""
     pool = None
-    if jobs > 1 and sketch is not None:
+    fac_blob = None
+    if jobs > 1:
         import multiprocessing as mp
 
+        from ray import cloudpickle as cp
+
+        fac_blob = cp.dumps(factory)
         pool = mp.Pool(jobs)
 
     def passes(param: float) -> bool:
         if pool is not None:
             oks = pool.map(
-                _one_trial, [(sketch, param, n, 100 + t) for t in range(trials)]
+                _one_trial, [(fac_blob, param, n, 100 + t) for t in range(trials)]
             )
             ok = sum(oks)
         else:
@@ -78,15 +84,20 @@ def opt_accuracy_parameter(
             )
         return ok / trials >= pass_ratio
 
-    if not passes(hi):
-        raise ValueError(f"upper bound {hi} still fails the bounds")
-    while hi / lo > 1.05:
-        mid = (lo * hi) ** 0.5  # geometric bisection over scale params
-        if passes(mid):
-            hi = mid
-        else:
-            lo = mid
-    return hi
+    try:
+        if not passes(hi):
+            raise ValueError(f"upper bound {hi} still fails the bounds")
+        while hi / lo > 1.05:
+            mid = (lo * hi) ** 0.5  # geometric bisection over scale params
+            if passes(mid):
+                hi = mid
+            else:
+                lo = mid
+        return hi
+    finally:
+        if pool is not None:
+            pool.close()
+            pool.join()
 
 
 if __name__ == "__main__":
